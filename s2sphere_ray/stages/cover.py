@@ -1,0 +1,115 @@
+"""E7 — RegionCoverer as a Ray Data actor-pool stage.
+
+One input region row → one cover (``list<uint64>``). Covering is per-region
+sequential and branchy (SURVEY §3 Trace 2), so the batch body is a Python
+loop over region rows, but the stage parallelizes across batches via an
+actor pool: Hilbert/metric tables and coverer config are built once per
+actor in ``__init__`` (not per batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import geometry as g
+from ..regions import region_object
+
+
+class CovererStage:
+    """Callable-class stage for ``map_batches(CovererStage, concurrency=N)``.
+
+    Appends ``cover:list<uint64>`` (and optionally ``cover_tokens``) to a
+    regions batch. Config mirrors sphere.py RegionCoverer (SURVEY §2.1 I1).
+    """
+
+    def __init__(
+        self,
+        max_cells: int = 8,
+        min_level: int = 0,
+        max_level: int = g.MAX_LEVEL,
+        level_mod: int = 1,
+        interior: bool = False,
+        tokens: bool = False,
+    ):
+        self.coverer = g.RegionCoverer(
+            min_level=min_level,
+            max_level=max_level,
+            level_mod=level_mod,
+            max_cells=max_cells,
+        )
+        self.interior = interior
+        self.tokens = tokens
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        covers = []
+        rows = batch.to_pylist()
+        for row in rows:
+            region = region_object(row)
+            if self.interior:
+                union = self.coverer.get_interior_covering(region)
+            else:
+                union = self.coverer.get_covering(region)
+            covers.append(union.ids())
+        batch = batch.append_column(
+            "cover", pa.array(covers, pa.list_(pa.uint64()))
+        )
+        if self.tokens:
+            from .. import cells as ck
+
+            toks = [
+                ck.token_from_cell_id(np.array(ids, dtype=np.uint64)) if ids else []
+                for ids in covers
+            ]
+            batch = batch.append_column(
+                "cover_tokens", pa.array(toks, pa.list_(pa.string()))
+            )
+        return batch
+
+
+def cover_regions(
+    regions_ds,
+    max_cells: int = 8,
+    min_level: int = 0,
+    max_level: int = g.MAX_LEVEL,
+    level_mod: int = 1,
+    interior: bool = False,
+    tokens: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 512,
+):
+    """Dataset of region rows → same rows + ``cover`` list column."""
+    return regions_ds.map_batches(
+        CovererStage,
+        fn_constructor_kwargs=dict(
+            max_cells=max_cells,
+            min_level=min_level,
+            max_level=max_level,
+            level_mod=level_mod,
+            interior=interior,
+            tokens=tokens,
+        ),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def cover_table(
+    regions: pa.Table,
+    max_cells: int = 8,
+    min_level: int = 0,
+    max_level: int = g.MAX_LEVEL,
+    level_mod: int = 1,
+    interior: bool = False,
+) -> pa.Table:
+    """Driver-side covering of a small regions table (broadcast-index path)."""
+    stage = CovererStage(
+        max_cells=max_cells,
+        min_level=min_level,
+        max_level=max_level,
+        level_mod=level_mod,
+        interior=interior,
+    )
+    return stage(regions)

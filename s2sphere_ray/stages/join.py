@@ -1,0 +1,554 @@
+"""E9/E12 — the spatial join: S2-cell-prefix hash join + broadcast fast path.
+
+Semantics (SURVEY §2.3 E9, §3 Trace 3): join a big points dataset against a
+regions table on exact containment. Both strategies share one key algebra:
+
+* every region is covered (E7), each cover cell is **snapped** to the
+  nearest coarser level in a small canonical ``snap_levels`` set (a cell at
+  level < min(snap_levels) is denormalized down instead), and the per-region
+  key set is normalized as a CellUnion (no key is an ancestor of another) —
+  this guarantees each (point, region) candidate pair is generated at most
+  once, because a point's ancestors form a chain;
+* every point contributes its ancestor cell at each snap level that actually
+  occurs in the region keys (``levels_present`` — usually one or two);
+* candidates are exact-refined per region kind with vectorized predicates
+  whose float semantics mirror the DuckDB oracle SQL (closed intervals in
+  degrees for rects; the identical haversine expression for caps).
+
+Strategies:
+
+* ``broadcast`` (E12): the (key → region) index is built driver-side,
+  ``ray.put`` once, and read inside a stateless ``map_batches`` — points
+  never shuffle. Right whenever the regions table fits in memory.
+* ``shuffle`` (E9): both sides emit (join_key, payload) rows, are unioned,
+  and hash-grouped on the key (`groupby.map_groups`) — the all-to-all path
+  for regions tables too large to broadcast. **Hot-cell skew splitting**:
+  an optional counting pre-pass finds keys with more than
+  ``hot_threshold`` points and re-keys both sides ``split_delta`` levels
+  deeper (children intersecting the region's cover), bounding group sizes.
+
+Output: one row per (point, region) containment pair.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import cells as ck
+from .. import geometry as g
+from .cover import cover_table
+
+DEFAULT_SNAP_LEVELS = (4, 8, 12)
+
+
+def _u64_to_i64(x: int) -> int:
+    """Reinterpret a uint64 cell id as int64 (bijective join-key view)."""
+    return int(np.array([x], dtype=np.uint64).view(np.int64)[0])
+
+
+def _i64_to_u64(x: int) -> int:
+    return int(np.array([x], dtype=np.int64).view(np.uint64)[0])
+
+
+# ---------------------------------------------------------------------------
+# Exact refinement predicates (oracle-mirroring float semantics)
+# ---------------------------------------------------------------------------
+
+
+def _haversine_oracle(lat, lng, axis_lat, axis_lng):
+    """Great-circle distance (radians) with the exact op order of the oracle
+    SQL: 2*asin(sqrt(sin((r(lat)-r(alat))/2)^2 +
+    cos(r(lat))*cos(r(alat))*sin((r(lng)-r(alng))/2)^2))."""
+    rlat = np.deg2rad(lat)
+    ralat = np.deg2rad(axis_lat)
+    s1 = np.sin((rlat - ralat) / 2.0)
+    s2 = np.sin((np.deg2rad(lng) - np.deg2rad(axis_lng)) / 2.0)
+    x = s1 * s1 + np.cos(rlat) * np.cos(ralat) * s2 * s2
+    return 2.0 * np.arcsin(np.sqrt(x))
+
+
+CAP_DIST_SQL = (
+    "2*asin(sqrt(power(sin((radians({lat})-radians({alat}))/2),2)"
+    " + cos(radians({lat}))*cos(radians({alat}))"
+    "*power(sin((radians({lng})-radians({alng}))/2),2)))"
+)
+
+
+def refine_mask(
+    lat: np.ndarray, lng: np.ndarray, region_row: dict
+) -> np.ndarray:
+    """Exact containment of (lat, lng) degree arrays in one region row."""
+    kind = region_row["kind"]
+    if kind == "rect":
+        m = (lat >= region_row["lat_lo"]) & (lat <= region_row["lat_hi"])
+        lo, hi = region_row["lng_lo"], region_row["lng_hi"]
+        if lo <= hi:
+            m &= (lng >= lo) & (lng <= hi)
+        else:  # wrapping rectangle
+            m &= (lng >= lo) | (lng <= hi)
+        return m
+    if kind == "cap":
+        d = _haversine_oracle(
+            lat, lng, region_row["axis_lat"], region_row["axis_lng"]
+        )
+        return d <= np.deg2rad(region_row["radius_deg"])
+    if kind == "poly":
+        import json
+
+        verts = json.loads(region_row["poly_json"])
+        vx = [g.LatLng.from_degrees(a, b).to_point() for a, b in verts]
+        normals = np.array(
+            [g.cross(vx[k], vx[(k + 1) % len(vx)]) for k in range(len(vx))]
+        )  # (V, 3)
+        x, y, z = ck.latlng_to_xyz(lat, lng)
+        pts = np.stack([x, y, z], axis=1)  # (N, 3)
+        return (pts @ normals.T >= 0.0).all(axis=1)
+    raise ValueError(f"unknown region kind {kind}")
+
+
+# ---------------------------------------------------------------------------
+# Key algebra shared by both strategies
+# ---------------------------------------------------------------------------
+
+
+def snap_cover_keys(cover_ids: list[int], snap_levels) -> list[int]:
+    """Cover cell ids → normalized snapped key set (see module docstring)."""
+    snap_levels = sorted(snap_levels)
+    lo = snap_levels[0]
+    keys = []
+    for cid_int in cover_ids:
+        cid = g.CellId(int(cid_int))
+        lvl = cid.level()
+        snap = None
+        for s in reversed(snap_levels):
+            if s <= lvl:
+                snap = s
+                break
+        if snap is not None:
+            keys.append(cid.parent(snap))
+        else:
+            # Giant cell below the coarsest snap level: denormalize down.
+            child = cid.child_begin(lo)
+            end = cid.child_end(lo)
+            while child.id != end.id:
+                keys.append(child)
+                child = child.next()
+    return [c.id for c in g.CellUnion(keys).cell_ids]
+
+
+def build_region_keys(
+    regions: pa.Table,
+    snap_levels=DEFAULT_SNAP_LEVELS,
+    max_cells: int = 8,
+) -> tuple[pa.Table, list[int]]:
+    """Cover + snap a regions table.
+
+    Returns (key table with columns ``join_key:int64, region_idx:int32``,
+    sorted list of snap levels actually present).
+    """
+    covered = cover_table(regions, max_cells=max_cells)
+    keys = []
+    idxs = []
+    levels_present: set[int] = set()
+    covers = covered["cover"].to_pylist()
+    for ridx, cover in enumerate(covers):
+        for kid in snap_cover_keys(cover, snap_levels):
+            keys.append(np.uint64(kid))
+            idxs.append(ridx)
+            levels_present.add(int(ck.level(np.array([kid], dtype=np.uint64))[0]))
+    key_arr = np.array(keys, dtype=np.uint64).view(np.int64)
+    return (
+        pa.table(
+            {
+                "join_key": pa.array(key_arr, pa.int64()),
+                "region_idx": pa.array(np.array(idxs, dtype=np.int32)),
+            }
+        ),
+        sorted(levels_present),
+    )
+
+
+def _point_keys(leaf_ids: np.ndarray, levels: list[int]) -> np.ndarray:
+    """(n,) leaf ids → (n, len(levels)) ancestor keys viewed as int64."""
+    cols = [ck.parent(leaf_ids, l).view(np.int64) for l in levels]
+    return np.stack(cols, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Broadcast strategy (E12)
+# ---------------------------------------------------------------------------
+
+
+class _BroadcastIndex:
+    """Sorted-key lookup: join_key → region row indexes (CSR layout)."""
+
+    def __init__(self, key_table: pa.Table, regions: pa.Table, levels):
+        key = key_table["join_key"].to_numpy()
+        ridx = key_table["region_idx"].to_numpy()
+        order = np.argsort(key, kind="stable")
+        key, ridx = key[order], ridx[order]
+        uniq, starts = np.unique(key, return_index=True)
+        self.keys = uniq
+        self.starts = np.append(starts, len(key))
+        self.ridx = ridx
+        self.levels = levels
+        self.region_rows = regions.to_pylist()
+
+    def candidates(self, leaf_ids: np.ndarray):
+        """→ (point_row_indices, region_idx) candidate pair arrays."""
+        pk = _point_keys(leaf_ids, self.levels)  # (n, L)
+        prows = []
+        rregs = []
+        for c in range(pk.shape[1]):
+            col = pk[:, c]
+            pos = np.searchsorted(self.keys, col)
+            ok = (pos < len(self.keys)) & (self.keys[np.minimum(pos, len(self.keys) - 1)] == col)
+            hit_rows = np.nonzero(ok)[0]
+            hit_pos = pos[hit_rows]
+            counts = self.starts[hit_pos + 1] - self.starts[hit_pos]
+            prows.append(np.repeat(hit_rows, counts))
+            if len(hit_rows):
+                gather = np.concatenate(
+                    [
+                        self.ridx[self.starts[p] : self.starts[p + 1]]
+                        for p in hit_pos
+                    ]
+                )
+            else:
+                gather = np.array([], dtype=np.int32)
+            rregs.append(gather)
+        return np.concatenate(prows), np.concatenate(rregs)
+
+
+class BroadcastJoinStage:
+    """Actor-pool stage: candidate lookup + exact refinement per batch.
+
+    The index object ref is fetched once per actor (``ray.put`` driver-side,
+    ``ray.get`` in ``__init__``) — not re-shipped per batch.
+    """
+
+    def __init__(self, index_ref, point_cols, lat_col="lat", lng_col="lng"):
+        import ray
+
+        self.index: _BroadcastIndex = ray.get(index_ref)
+        self.point_cols = list(point_cols)
+        self.lat_col = lat_col
+        self.lng_col = lng_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch[self.lat_col].to_numpy()
+        lng = batch[self.lng_col].to_numpy()
+        leaf = ck.cell_id_from_latlng(lat, lng)
+        prow, ridx = self.index.candidates(leaf)
+        out_cols = {c: [] for c in self.point_cols}
+        out_rid = []
+        if len(prow):
+            order = np.argsort(ridx, kind="stable")
+            prow, ridx = prow[order], ridx[order]
+            bounds = np.nonzero(np.diff(ridx))[0] + 1
+            groups = np.split(np.arange(len(ridx)), bounds)
+            keep_rows = []
+            for grp in groups:
+                if not len(grp):
+                    continue
+                r = int(ridx[grp[0]])
+                rows = prow[grp]
+                mask = refine_mask(lat[rows], lng[rows], self.index.region_rows[r])
+                kept = rows[mask]
+                keep_rows.append(kept)
+                out_rid.append(
+                    np.full(len(kept), self.index.region_rows[r]["region_id"])
+                )
+            keep = (
+                np.concatenate(keep_rows) if keep_rows else np.array([], np.int64)
+            )
+            rid = np.concatenate(out_rid) if out_rid else np.array([], np.int64)
+        else:
+            keep = np.array([], dtype=np.int64)
+            rid = np.array([], dtype=np.int64)
+        take = pa.array(keep)
+        result = {c: batch[c].take(take) for c in self.point_cols}
+        result["region_id"] = pa.array(rid.astype(np.int64))
+        return pa.table(result)
+
+
+# ---------------------------------------------------------------------------
+# Shuffle strategy (E9)
+# ---------------------------------------------------------------------------
+
+_PARAM_CACHE: dict = {}
+
+
+def _get_params(ref):
+    import ray
+
+    key = ref.hex if hasattr(ref, "hex") else id(ref)
+    if key not in _PARAM_CACHE:
+        _PARAM_CACHE[key] = ray.get(ref)
+    return _PARAM_CACHE[key]
+
+
+def _union_schema(point_cols):
+    fields = [("join_key", pa.int64()), ("side", pa.int8())]
+    fields += [("lat", pa.float64()), ("lng", pa.float64())]
+    fields += [(c, None) for c in point_cols]
+    return fields
+
+
+def spatial_join_shuffle(
+    points_ds,
+    regions: pa.Table,
+    point_cols=("doc_id",),
+    snap_levels=DEFAULT_SNAP_LEVELS,
+    max_cells: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    hot_threshold: int | None = None,
+    split_delta: int = 3,
+):
+    """E9 groupby-shuffle spatial join. Returns Dataset of
+    (``point_cols``…, region_id)."""
+    import ray
+
+    key_table, levels = build_region_keys(regions, snap_levels, max_cells)
+    covers = cover_table(regions, max_cells=max_cells)["cover"].to_pylist()
+    params_ref = ray.put(
+        {
+            "rows": regions.to_pylist(),
+            "levels": levels,
+            "covers": covers,
+        }
+    )
+    point_cols = list(point_cols)
+
+    # --- side P: one row per (point, present level) -----------------------
+    def emit_point_keys(batch: pa.Table) -> pa.Table:
+        lat = batch[lat_col].to_numpy()
+        lng = batch[lng_col].to_numpy()
+        leaf = ck.cell_id_from_latlng(lat, lng)
+        pk = _point_keys(leaf, levels)  # (n, L)
+        n, L = pk.shape
+        idx = np.tile(np.arange(n), L)
+        cols = {
+            "join_key": pa.array(pk.T.reshape(-1), pa.int64()),
+            "side": pa.array(np.zeros(n * L, dtype=np.int8)),
+            "lat": pa.array(np.tile(lat, L)),
+            "lng": pa.array(np.tile(lng, L)),
+            "region_idx": pa.array(
+                np.full(n * L, -1, dtype=np.int32), pa.int32()
+            ),
+        }
+        take = pa.array(idx)
+        for c in point_cols:
+            cols[c] = batch[c].take(take)
+        return pa.table(cols)
+
+    p_side = points_ds.map_batches(emit_point_keys, batch_format="pyarrow")
+
+    # --- side R ----------------------------------------------------------
+    r_cols = {
+        "join_key": key_table["join_key"],
+        "side": pa.array(np.ones(key_table.num_rows, dtype=np.int8)),
+        "lat": pa.nulls(key_table.num_rows, pa.float64()),
+        "lng": pa.nulls(key_table.num_rows, pa.float64()),
+        "region_idx": key_table["region_idx"],
+    }
+    # Need point-col types; read schema lazily from the points dataset.
+    pschema = points_ds.schema()
+    for c in point_cols:
+        t = pschema.base_schema.field(c).type if hasattr(pschema, "base_schema") else pschema.field(c).type
+        r_cols[c] = pa.nulls(key_table.num_rows, t)
+    r_table = pa.table(r_cols)
+
+    # --- optional skew split ---------------------------------------------
+    if hot_threshold is not None:
+        hot = _find_hot_keys(p_side, hot_threshold)
+        if len(hot):
+            hot_set_ref = ray.put(hot)
+            p_side = p_side.map_batches(
+                lambda b: _split_points(b, hot_set_ref, split_delta),
+                batch_format="pyarrow",
+            )
+            r_table = _split_region_keys(
+                r_table, hot, covers, split_delta, point_cols, pschema
+            )
+
+    import ray.data as rd
+
+    r_side = rd.from_arrow(r_table)
+    both = p_side.union(r_side)
+
+    def join_group(group: pa.Table) -> pa.Table:
+        params = _get_params(params_ref)
+        side = group["side"].to_numpy()
+        ridxs = group["region_idx"].to_numpy()[side == 1]
+        out = []
+        n_regions = len(ridxs)
+        if n_regions == 0:
+            return _empty_result(group, point_cols)
+        pmask = side == 0
+        if not pmask.any():
+            return _empty_result(group, point_cols)
+        prows = np.nonzero(pmask)[0]
+        lat = group["lat"].to_numpy()[prows]
+        lng = group["lng"].to_numpy()[prows]
+        takes = []
+        rids = []
+        for r in np.unique(ridxs):
+            row = params["rows"][int(r)]
+            mask = refine_mask(lat, lng, row)
+            kept = prows[mask]
+            takes.append(kept)
+            rids.append(np.full(len(kept), row["region_id"], dtype=np.int64))
+        take = pa.array(np.concatenate(takes)) if takes else pa.array([], pa.int64())
+        cols = {c: group[c].take(take) for c in point_cols}
+        cols["region_id"] = pa.array(
+            np.concatenate(rids) if rids else np.array([], np.int64)
+        )
+        return pa.table(cols)
+
+    return both.groupby("join_key").map_groups(join_group, batch_format="pyarrow")
+
+
+def _empty_result(group: pa.Table, point_cols) -> pa.Table:
+    cols = {c: group[c].slice(0, 0) for c in point_cols}
+    cols["region_id"] = pa.array([], pa.int64())
+    return pa.table(cols)
+
+
+def _find_hot_keys(p_side, threshold: int) -> np.ndarray:
+    """Counting pre-pass: per-batch partial counts, tiny groupby, driver
+    collect of keys whose point count exceeds ``threshold``."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(batch["join_key"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"join_key": pa.array(k, pa.int64()), "n": pa.array(c, pa.int64())}
+        )
+
+    partials = p_side.map_batches(partial_counts, batch_format="pyarrow")
+    totals = partials.groupby("join_key").sum("n")
+
+    def _filt(b: pa.Table) -> pa.Table:
+        col = "sum(n)" if "sum(n)" in b.column_names else b.column_names[-1]
+        return b.filter(pc.greater(b[col], threshold))
+
+    rows = (
+        totals.map_batches(_filt, batch_format="pyarrow")
+        .select_columns(["join_key"])
+        .take_all()
+    )
+    return np.array([r["join_key"] for r in rows], dtype=np.int64)
+
+
+def _split_points(batch: pa.Table, hot_set_ref, delta: int) -> pa.Table:
+    import ray
+
+    hot = _get_params(hot_set_ref)
+    keys = batch["join_key"].to_numpy()
+    is_hot = np.isin(keys, hot)
+    if not is_hot.any():
+        return batch
+    u = keys.view(np.uint64).copy()
+    side = batch["side"].to_numpy()
+    sel = is_hot & (side == 0)
+    lv = ck.level(u[sel])
+    leaf = ck.cell_id_from_latlng(
+        batch["lat"].to_numpy()[sel], batch["lng"].to_numpy()[sel]
+    )
+    new_lv = np.minimum(lv + delta, ck.MAX_LEVEL)
+    u[sel] = ck.parent(leaf, new_lv)
+    return batch.set_column(
+        batch.schema.get_field_index("join_key"),
+        "join_key",
+        pa.array(u.view(np.int64), pa.int64()),
+    )
+
+
+def _split_region_keys(
+    r_table: pa.Table, hot: np.ndarray, covers, delta: int, point_cols, pschema
+) -> pa.Table:
+    """Replace hot region keys with their (level+delta) children that
+    intersect the region's cover."""
+    keys = r_table["join_key"].to_numpy()
+    ridx = r_table["region_idx"].to_numpy()
+    is_hot = np.isin(keys, hot)
+    keep = r_table.filter(pa.array(~is_hot))
+    new_keys = []
+    new_ridx = []
+    for k, r in zip(keys[is_hot], ridx[is_hot]):
+        cell = g.CellId(_i64_to_u64(int(k)))
+        lvl = cell.level()
+        new_lv = min(lvl + delta, ck.MAX_LEVEL)
+        cover_union = g.CellUnion([int(c) for c in covers[int(r)]])
+        child = cell.child_begin(new_lv)
+        end = cell.child_end(new_lv)
+        while child.id != end.id:
+            if cover_union.intersects_cellid(child):
+                new_keys.append(_u64_to_i64(child.id))
+                new_ridx.append(r)
+            child = child.next()
+    n = len(new_keys)
+    cols = {
+        "join_key": pa.array(np.array(new_keys, dtype=np.int64), pa.int64()),
+        "side": pa.array(np.ones(n, dtype=np.int8)),
+        "lat": pa.nulls(n, pa.float64()),
+        "lng": pa.nulls(n, pa.float64()),
+        "region_idx": pa.array(np.array(new_ridx, dtype=np.int32), pa.int32()),
+    }
+    for c in point_cols:
+        t = pschema.base_schema.field(c).type if hasattr(pschema, "base_schema") else pschema.field(c).type
+        cols[c] = pa.nulls(n, t)
+    return pa.concat_tables([keep, pa.table(cols)])
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+
+def spatial_join(
+    points_ds,
+    regions: pa.Table,
+    strategy: str = "broadcast",
+    point_cols=("doc_id",),
+    snap_levels=DEFAULT_SNAP_LEVELS,
+    max_cells: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    concurrency=(1, 8),
+    **kwargs,
+):
+    """Spatial containment join points⋈regions → (point_cols…, region_id)."""
+    if strategy == "shuffle":
+        return spatial_join_shuffle(
+            points_ds,
+            regions,
+            point_cols=point_cols,
+            snap_levels=snap_levels,
+            max_cells=max_cells,
+            lat_col=lat_col,
+            lng_col=lng_col,
+            **kwargs,
+        )
+    import ray
+
+    key_table, levels = build_region_keys(regions, snap_levels, max_cells)
+    index = _BroadcastIndex(key_table, regions, levels)
+    index_ref = ray.put(index)
+    return points_ds.map_batches(
+        BroadcastJoinStage,
+        fn_constructor_kwargs=dict(
+            index_ref=index_ref,
+            point_cols=list(point_cols),
+            lat_col=lat_col,
+            lng_col=lng_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
