@@ -1,0 +1,185 @@
+"""Benchmark harness — prints ONE JSON line (driver contract).
+
+Headline: the flagship pipeline (synthetic CC-style pages at bench scale →
+geocode → leaf cell encode → spatial join vs deterministic regions → tile
+counts at level 8 → consume). Sub-queries time individual operators over
+``$GRAFT_SF_DIR`` testdata.
+
+``--scaling`` runs the plain bench twice in fresh processes
+(``num_cpus=8`` then ``32``) on identical input and reports throughputs +
+scaling efficiency T8/(T32·4) — the sandbox stand-in for the N vs 4N node
+rule (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("GRAFT_BENCH_ROWS", "4000000"))
+# Scaling pair (N vs 4N): this box has 16 physical cores (32 = SMT threads),
+# so the honest linear-scaling window is 4 → 16.
+SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import logging
+
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from s2sphere_ray.pages import synth_pages, geocode_batch
+    from s2sphere_ray.regions import regions_from_sf_dir
+    from s2sphere_ray.stages.encode import cell_encode
+    from s2sphere_ray.stages.join import spatial_join
+    from s2sphere_ray.stages.tiles import tile_counts
+    from s2sphere_ray.queries import (
+        q_knn,
+        q_pricing_summary,
+        q_simsearch,
+        q_minhash_pairs,
+        q_tile_counts_l8,
+    )
+
+    queries: dict[str, float] = {}
+    regions = regions_from_sf_dir(SF_DIR)
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        dt = time.time() - t0
+        queries[name] = round(dt, 3)
+        return out
+
+    # Materialize the deterministic bench input ONCE (untimed input prep —
+    # the engine's job starts at read_parquet, matching real pipelines);
+    # reused across processes/parallelism levels for identical input.
+    pages_path = f"/tmp/graft_bench_pages_{BENCH_ROWS}"
+    if not os.path.isdir(pages_path) or not os.listdir(pages_path):
+        synth_pages(BENCH_ROWS, block_rows=50_000).write_parquet(pages_path)
+
+    # Warm-up (untimed): spawn every Ray worker and import the library in
+    # each (cold worker start + imports otherwise dominate the first timed
+    # stage), and touch the input once for the OS page cache.
+    def _warm(batch):
+        import s2sphere_ray.cells  # noqa: F401
+        import s2sphere_ray.pages  # noqa: F401
+
+        return batch
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _warm, batch_size=1
+    ).count()
+    rd.read_parquet(pages_path, columns=["doc_id"]).count()
+
+    # --- headline: flagship over BENCH_ROWS pages -------------------------
+    t0 = time.time()
+
+    def read_pages_bench(columns=None):
+        return rd.read_parquet(pages_path, columns=columns)
+
+    def headline():
+        pages = read_pages_bench(columns=["url", "doc_id"])
+        pages = pages.map_batches(geocode_batch, batch_format="pyarrow")
+        pages = pages.map_batches(cell_encode, batch_format="pyarrow")
+        joined = spatial_join(
+            pages,
+            regions,
+            strategy="broadcast",
+            point_cols=("doc_id", "lat", "lng"),
+        )
+        tiles = tile_counts(joined, 8)
+        return tiles.count()
+
+    n_tiles = timed("flagship", headline)
+    headline_sec = queries["flagship"]
+
+    # --- operator micro-benches -------------------------------------------
+    timed("encode_only", lambda: read_pages_bench(columns=["doc_id"])
+          .map_batches(geocode_batch, batch_format="pyarrow")
+          .map_batches(cell_encode, batch_format="pyarrow").count())
+    timed("tile_counts", lambda: q_tile_counts_l8(SF_DIR).count())
+    timed("knn", lambda: q_knn(SF_DIR).count())
+    timed("pricing", lambda: q_pricing_summary(SF_DIR).count())
+    timed("simsearch", lambda: q_simsearch(SF_DIR).count())
+    timed("minhash", lambda: q_minhash_pairs(SF_DIR).count())
+
+    total = round(time.time() - t0, 3)
+    result = {
+        "metric": "flagship_pipeline_sec",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_rows": BENCH_ROWS,
+        "rows_per_sec": round(BENCH_ROWS / headline_sec, 1),
+        "n_tiles": n_tiles,
+        "total_sec": total,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    # Larger input than the plain bench: the per-process fixed cost (~6 s of
+    # plan/schedule/finalize latency) must amortize for the ratio to measure
+    # scaling of the *work*, not the constant.
+    scale_rows = os.environ.get("GRAFT_BENCH_ROWS", "16000000")
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_ROWS=scale_rows
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = SCALE_LO, SCALE_HI
+    r_lo = one(lo)
+    r_hi = one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"rows_per_sec_{lo}": r_lo["rows_per_sec"],
+        f"rows_per_sec_{hi}": r_hi["rows_per_sec"],
+        "bench_rows": r_lo["bench_rows"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

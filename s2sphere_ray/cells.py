@@ -338,11 +338,12 @@ def parent(cell_id, level):
 
 
 def child(cell_id, pos):
-    """Child ``pos`` ∈ 0..3 (sphere.py CellId.child)."""
+    """Child ``pos`` ∈ 0..3 (sphere.py CellId.child): id − 3·lsb' + 2·pos·lsb'
+    (id ≥ 4·lsb', so the subtraction never underflows)."""
     cell_id = np.asarray(cell_id, dtype=np.uint64)
     new_lsb = lsb(cell_id) >> _u(2)
     pos = np.asarray(pos).astype(np.uint64)
-    return cell_id + (_u(2) * pos + _u(1) - _u(4)) * new_lsb
+    return cell_id - _u(3) * new_lsb + _u(2) * pos * new_lsb
 
 
 def child_begin(cell_id, level):

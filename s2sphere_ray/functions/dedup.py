@@ -1,0 +1,244 @@
+"""Deduplication operators over the documents/pages tables.
+
+* exact: hash-partition on content → keep min-id per group (E17).
+* MinHash+LSH: shingle → minhash signature → band buckets → groupby
+  (band, hash) → candidate pairs → Jaccard verify.
+* SimHash: 64-bit hyperplane-ish signature from token hashes.
+* n-gram Jaccard verify kernel.
+
+All per-batch bodies are vectorized (numpy / Arrow); signatures are
+data-parallel; the only shuffles are the final small groupbys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_M61 = (1 << 61) - 1
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Whitespace-token 64-bit FNV-1a hashes for one document."""
+    out = np.empty(len(tokens := text.split()), dtype=np.uint64)
+    for i, t in enumerate(tokens):
+        h = np.uint64(14695981039346656037)
+        for b in t.encode():
+            h = np.uint64((int(h) ^ b) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Hashes of word n-gram shingles (vectorized rolling combine)."""
+    toks = _token_hashes(text)
+    if len(toks) < n:
+        return toks if len(toks) else np.array([0], dtype=np.uint64)
+    acc = toks[: len(toks) - n + 1].copy()
+    mult = np.uint64(1099511628211)
+    for k in range(1, n):
+        acc = acc * mult + toks[k : len(toks) - n + 1 + k]
+    return np.unique(acc)
+
+
+def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
+    """E17 exact dedup: one survivor (min id) per distinct key.
+
+    Scale note: the groupby key is the content hash (fixed width) rather
+    than the raw text so shuffle volume stays bounded; survivors of a hash
+    group are min-id per full key within the group (collision-safe).
+    """
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = pc.hash_64(batch[key_col]) if hasattr(pc, "hash_64") else None
+        if h is None:
+            import hashlib
+
+            vals = batch[key_col].to_pylist()
+            h = pa.array(
+                np.frombuffer(
+                    b"".join(
+                        hashlib.blake2b(
+                            (v or "").encode(), digest_size=8
+                        ).digest()
+                        for v in vals
+                    ),
+                    dtype="<i8",
+                )
+            )
+        return batch.append_column("_h", h)
+
+    def first_per_key(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        survivors = df.loc[df.groupby(key_col)[id_col].idxmin()]
+        return pa.Table.from_pandas(
+            survivors.drop(columns=["_h"]), preserve_index=False
+        ).replace_schema_metadata(None)
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(first_per_key, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHashStage:
+    """Actor stage: per-doc minhash signatures (permutations built once)."""
+
+    def __init__(self, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _M61, size=num_hashes, dtype=np.uint64)
+        self.b = rng.integers(0, _M61, size=num_hashes, dtype=np.uint64)
+        self.n = shingle_n
+        self.num = num_hashes
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.n).astype(np.uint64)
+        # (S, H) permuted values via modular affine maps in uint64 (mod 2^61-1)
+        v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_M61)
+        return v.min(axis=0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        sigs = np.stack([self.signature(t or "") for t in texts])
+        return batch.append_column(
+            "minhash",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), pa.uint64()), self.num
+            ),
+        )
+
+
+def minhash_lsh_pairs(
+    ds,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    concurrency=(1, 8),
+):
+    """Near-dup candidate pairs via banded LSH, Jaccard-verified.
+
+    signature → (band_id, band_hash, id) rows → groupby band bucket →
+    within-bucket pairs → exact shingle-Jaccard verify. Returns
+    Dataset(id_a, id_b, jaccard) with id_a < id_b, deduplicated.
+    """
+    rows_per_band = num_hashes // bands
+    sigged = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(num_hashes=num_hashes, shingle_n=shingle_n),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        sig = (
+            batch["minhash"].combine_chunks().flatten().to_numpy().reshape(-1, num_hashes)
+        )
+        n = sig.shape[0]
+        ids = batch[id_col].to_numpy()
+        band_hash = np.empty((n, bands), dtype=np.int64)
+        for bnd in range(bands):
+            seg = sig[:, bnd * rows_per_band : (bnd + 1) * rows_per_band]
+            h = np.zeros(n, dtype=np.uint64)
+            for c in range(rows_per_band):
+                h = h * np.uint64(1099511628211) + seg[:, c]
+            band_hash[:, bnd] = h.view(np.int64)
+        return pa.table(
+            {
+                "band_id": pa.array(
+                    np.repeat(np.arange(bands, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(band_hash.T.reshape(-1)),
+                id_col: pa.array(np.tile(ids, bands)),
+                "text": pa.concat_arrays(
+                    [batch["text"].combine_chunks()] * bands
+                ),
+            }
+        )
+
+    exploded = sigged.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        ids = group[id_col].to_numpy()
+        texts = group["text"].to_pylist()
+        order = np.argsort(ids)
+        out_a, out_b, out_j = [], [], []
+        sh = [None] * len(ids)
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, jdx = order[x], order[y]
+                if sh[i] is None:
+                    sh[i] = _shingle_hashes(texts[i] or "", shingle_n)
+                if sh[jdx] is None:
+                    sh[jdx] = _shingle_hashes(texts[jdx] or "", shingle_n)
+                inter = np.intersect1d(sh[i], sh[jdx]).size
+                union = sh[i].size + sh[jdx].size - inter
+                jac = inter / union if union else 1.0
+                if jac >= jaccard_threshold:
+                    out_a.append(int(ids[i]))
+                    out_b.append(int(ids[jdx]))
+                    out_j.append(jac)
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # The same pair can surface from several bands — dedupe.
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda grp: grp.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """64-bit SimHash per document (token-hash bit voting)."""
+    texts = batch[text_col].to_pylist()
+    out = np.empty(len(texts), dtype=np.uint64)
+    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
+    for i, t in enumerate(texts):
+        th = _token_hashes(t or "")
+        if not len(th):
+            out[i] = 0
+            continue
+        bits = (th[:, None] & bitcols) != 0  # (T, 64)
+        votes = bits.sum(axis=0) * 2 - len(th)
+        out[i] = np.uint64((bitcols[0][votes > 0]).sum())
+    return batch.append_column("simhash", pa.array(out, pa.uint64()))
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact word-n-gram Jaccard similarity (verification kernel)."""
+    a = _shingle_hashes(text_a, n)
+    b = _shingle_hashes(text_b, n)
+    inter = np.intersect1d(a, b).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0

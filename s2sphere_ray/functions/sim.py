@@ -1,0 +1,142 @@
+"""Similarity search over the embeddings table (``vec_id, embedding, label``).
+
+* Brute-force cosine top-k: the query matrix is broadcast (``ray.put``
+  once), each batch computes a (B, Q) float64 matmul and emits per-query
+  partial top-k rows; a tiny groupby merges them. Exact; mirrors the
+  DuckDB oracle's double-precision cosine.
+* IVF-style bucketed variant: vectors are assigned to coarse buckets
+  (sign-LSH of a few random hyperplanes built once per actor); queries
+  probe only their nearest buckets. Approximate scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if isinstance(arr, pa.FixedSizeListArray):
+        dim = arr.type.list_size
+        return arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+    return flat.reshape(-1, dim)
+
+
+def cosine_topk(
+    embeddings_ds,
+    queries: pa.Table,
+    k: int,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+):
+    """→ Dataset(query_id, rank, vec_id, sim) — exact brute-force cosine.
+
+    Ties broken by vec_id asc; similarities accumulated in float64 to match
+    the DuckDB oracle.
+    """
+    import ray
+
+    q = _emb_matrix(queries).astype(np.float64)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    q_ids = queries[query_id_col].to_numpy()
+    q_ref = ray.put((q_ids, qn))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qids, qmat = ray.get(q_ref)
+        e = _emb_matrix(batch).astype(np.float64)
+        norms = np.linalg.norm(e, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        en = e / norms
+        sims = en @ qmat.T  # (B, Q)
+        ids = batch[id_col].to_numpy()
+        kk = min(k, len(ids))
+        out_q, out_i, out_s = [], [], []
+        for c in range(len(qids)):
+            col = sims[:, c]
+            part = (
+                np.argpartition(-col, kk - 1)[:kk]
+                if kk < len(col)
+                else np.arange(len(col))
+            )
+            out_q.append(np.full(len(part), qids[c]))
+            out_i.append(ids[part])
+            out_s.append(col[part])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                id_col: pa.array(np.concatenate(out_i)),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = group["sim"].to_numpy()
+        ids = group[id_col].to_numpy()
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                id_col: group[id_col].take(pa.array(order)),
+                "sim": group["sim"].take(pa.array(order)),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+class LSHBucketStage:
+    """Sign-LSH coarse bucketing: ``bucket = bits(sign(E @ H))`` with the
+    hyperplane matrix H built once per actor (seeded)."""
+
+    def __init__(self, dim: int, n_planes: int = 8, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.h = rng.standard_normal((dim, n_planes))
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = _emb_matrix(batch).astype(np.float64)
+        bits = (e @ self.h) > 0
+        bucket = bits @ self.weights
+        return batch.append_column("lsh_bucket", pa.array(bucket, pa.int64()))
+
+
+def cosine_topk_lsh(
+    embeddings_ds,
+    queries: pa.Table,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    concurrency=(1, 4),
+):
+    """Approximate top-k: probe only vectors sharing the query's LSH bucket
+    (scale path; recall depends on n_planes)."""
+    bucketed = embeddings_ds.map_batches(
+        LSHBucketStage,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+    stage = LSHBucketStage(dim=dim, n_planes=n_planes)
+    q_bucketed = stage(queries)
+    q_buckets = set(q_bucketed["lsh_bucket"].to_numpy().tolist())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            np.isin(batch["lsh_bucket"].to_numpy(), list(q_buckets))
+        )
+        return batch.filter(mask)
+
+    pruned = bucketed.map_batches(keep, batch_format="pyarrow")
+    return cosine_topk(pruned, queries, k, id_col=id_col, query_id_col=query_id_col)

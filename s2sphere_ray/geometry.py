@@ -1902,12 +1902,20 @@ class RegionCoverer:
         self._region = None
         return self._result
 
-    def get_covering(self, region) -> CellUnion:
+    def get_covering(self, region, raw: bool = False):
+        """Exterior cover. Normalized ``CellUnion`` by default; ``raw=True``
+        returns the sorted pre-normalization id list, which is what satisfies
+        the min_level/level_mod constraints exactly (normalization may merge
+        4 siblings into a parent below min_level)."""
         ids = self._get_covering_internal(region, interior=False)
+        if raw:
+            return sorted(ids, key=lambda c: c.id)
         return CellUnion(ids)
 
-    def get_interior_covering(self, region) -> CellUnion:
+    def get_interior_covering(self, region, raw: bool = False):
         ids = self._get_covering_internal(region, interior=True)
+        if raw:
+            return sorted(ids, key=lambda c: c.id)
         return CellUnion(ids)
 
     @staticmethod

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 
 # Geocode constants — documented fixed algorithm (FIXTURES.md §1).
 _H1_MULT = 2654435761  # Knuth multiplicative hash
-_H2_MULT = 1099511628211  # FNV prime
+_H2_MULT = 2246822519  # xxhash 32-bit prime (odd, full-period mod 2^32)
 _H2_ADD = 2654435761
 _MOD32 = 1 << 32
 

@@ -1,0 +1,607 @@
+"""Registered engine queries + matching DuckDB oracle SQL.
+
+Every entry in ``QUERIES`` is a callable ``sf_dir -> Dataset | pa.Table``;
+``ORACLE_SQL`` holds the ANSI-SQL equivalent DuckDB runs on the same
+parquet views (driver contract, __ray_entry__.py). Naming rule: every
+computed column is aliased identically in both. Float-compare strategy:
+integer outputs wherever possible (per-row rounding to integer units before
+aggregation ⇒ exact integer sums on both sides); float outputs only where
+the derivation is bit-exact on both sides (integer-hash geocode).
+
+Queries without an oracle entry are geometry/sketch ops that SQL cannot
+express (cell ids, covers, minhash…) — the driver records rows-only checks
+and pytest covers their invariants (SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import cells as ck
+from .pages import (
+    geocode_batch,
+    geocode_sql,
+    read_pages,
+)
+from .regions import (
+    cap_regions_sql,
+    make_cap_regions,
+    make_poly_regions,
+    make_rect_regions,
+    rect_regions_sql,
+    regions_from_sf_dir,
+)
+from .stages.encode import cell_encode, cell_token, _np
+from .stages.join import CAP_DIST_SQL, spatial_join
+from .stages.knn import knn_points
+from .stages.tiles import tile_counts, top_k_tiles, hilbert_sort
+from .functions.dedup import exact_dedup, minhash_lsh_pairs, simhash_batch
+from .functions.text import token_count_batch, quality_batch, fingerprint_batch
+from .functions.sim import cosine_topk
+from .functions.multimodal import synth_media_table, extract_features
+
+LAT_SQL, LNG_SQL = geocode_sql("doc_id")
+_POINTS_CTE = (
+    f"points AS (SELECT doc_id, {LAT_SQL} AS lat, {LNG_SQL} AS lng"
+    " FROM documents)"
+)
+
+
+def _rd():
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    return rd
+
+
+def _docs(sf_dir: str, columns):
+    return _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _points(sf_dir: str):
+    """Geocoded points dataset (doc_id, lat, lng) — narrow read."""
+    ds = _docs(sf_dir, ["doc_id"])
+    return ds.map_batches(geocode_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Geocode + cell ops
+# ---------------------------------------------------------------------------
+
+
+def q_geocode(sf_dir: str):
+    """(doc_id, lat, lng) — E1, bit-exact vs integer-hash oracle."""
+    return _points(sf_dir)
+
+
+SQL_GEOCODE = (
+    f"SELECT doc_id, {LAT_SQL} AS lat, {LNG_SQL} AS lng FROM documents"
+)
+
+
+def q_cell_tokens_l12(sf_dir: str):
+    """(doc_id, cell_token) at level 12 — E3/E4 (rows-only oracle)."""
+    ds = _points(sf_dir)
+    ds = ds.map_batches(
+        lambda b: cell_token(cell_encode(b, level=12)), batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "cell_token"])
+
+
+def q_cell_roundtrip(sf_dir: str):
+    """(doc_id, ok) leaf encode→decode→encode identity — E3/E5 invariant."""
+
+    def check(batch: pa.Table) -> pa.Table:
+        lat = _np(batch["lat"])
+        lng = _np(batch["lng"])
+        ids = ck.cell_id_from_latlng(lat, lng)
+        lat2, lng2 = ck.cell_id_to_latlng(ids)
+        ids2 = ck.cell_id_from_latlng(lat2, lng2)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "ok": pa.array(ids == ids2),
+            }
+        )
+
+    return _points(sf_dir).map_batches(check, batch_format="pyarrow")
+
+
+def q_cover_regions(sf_dir: str):
+    """(region_id, n_cover_cells, cover_tokens) — E7 (rows-only)."""
+    from .stages.cover import cover_table
+
+    regions = regions_from_sf_dir(sf_dir)
+    covered = cover_table(regions, max_cells=8)
+    toks = []
+    for ids in covered["cover"].to_pylist():
+        toks.append(",".join(ck.token_from_cell_id(np.array(ids, dtype=np.uint64))))
+    return pa.table(
+        {
+            "region_id": covered["region_id"],
+            "n_cover_cells": pa.array(
+                [len(x) for x in covered["cover"].to_pylist()], pa.int64()
+            ),
+            "cover_tokens": pa.array(toks, pa.string()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial joins (E9/E12)
+# ---------------------------------------------------------------------------
+
+
+def q_join_rect(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    regions = make_rect_regions(nation["n_nationkey"].to_numpy().astype(np.int64))
+    return spatial_join(
+        _points(sf_dir), regions, strategy="shuffle", point_cols=("doc_id",)
+    )
+
+
+SQL_JOIN_RECT = (
+    f"WITH {_POINTS_CTE}, rects AS ({rect_regions_sql()})"
+    " SELECT p.doc_id, r.region_id FROM points p JOIN rects r"
+    " ON p.lat >= r.lat_lo AND p.lat <= r.lat_hi"
+    " AND p.lng >= r.lng_lo AND p.lng <= r.lng_hi"
+)
+
+
+def q_join_cap(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    regions = make_cap_regions(supplier["s_suppkey"].to_numpy().astype(np.int64))
+    return spatial_join(
+        _points(sf_dir), regions, strategy="broadcast", point_cols=("doc_id",)
+    )
+
+
+_CAP_DIST = CAP_DIST_SQL.format(
+    lat="p.lat", lng="p.lng", alat="c.axis_lat", alng="c.axis_lng"
+)
+SQL_JOIN_CAP = (
+    f"WITH {_POINTS_CTE}, caps AS ({cap_regions_sql()})"
+    " SELECT p.doc_id, c.region_id + 1000 AS region_id FROM points p"
+    f" JOIN caps c ON {_CAP_DIST} <= radians(c.radius_deg)"
+)
+
+
+def q_join_poly(sf_dir: str):
+    """Polygon containment join — engine-defined semantics (rows-only)."""
+    import pyarrow.parquet as pq
+
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+    regions = make_poly_regions(region["r_regionkey"].to_numpy().astype(np.int64))
+    return spatial_join(
+        _points(sf_dir), regions, strategy="broadcast", point_cols=("doc_id",)
+    )
+
+
+def q_join_rect_skew(sf_dir: str):
+    """Rect join via the shuffle path WITH hot-key splitting — must produce
+    identical rows to q_join_rect (and the same oracle)."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    regions = make_rect_regions(nation["n_nationkey"].to_numpy().astype(np.int64))
+    return spatial_join(
+        _points(sf_dir),
+        regions,
+        strategy="shuffle",
+        point_cols=("doc_id",),
+        hot_threshold=500,
+        split_delta=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN (E11)
+# ---------------------------------------------------------------------------
+
+
+def q_knn(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    keys = supplier["s_suppkey"].to_numpy().astype(np.int64)
+    from .regions import cap_params_from_key
+
+    qlat, qlng, _ = cap_params_from_key(keys)
+    queries = pa.table(
+        {
+            "query_id": pa.array(keys),
+            "lat": pa.array(qlat.astype(np.float64)),
+            "lng": pa.array(qlng.astype(np.float64)),
+        }
+    )
+    out = knn_points(_points(sf_dir), queries, k=5)
+    return out.select_columns(["query_id", "rank", "doc_id"])
+
+
+SQL_KNN = (
+    f"WITH {_POINTS_CTE}, q AS (SELECT CAST(s_suppkey AS BIGINT) AS query_id,"
+    " CAST((s_suppkey*7919)%140-70 AS DOUBLE) AS qlat,"
+    " CAST((s_suppkey*104729)%360-180 AS DOUBLE) AS qlng FROM supplier),"
+    " d AS (SELECT q.query_id, p.doc_id, "
+    + CAP_DIST_SQL.format(lat="p.lat", lng="p.lng", alat="q.qlat", alng="q.qlng")
+    + " AS dist FROM q CROSS JOIN points p)"
+    " SELECT query_id, rank, doc_id FROM (SELECT query_id, doc_id,"
+    " ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank"
+    " FROM d) t WHERE rank <= 5"
+)
+
+
+# ---------------------------------------------------------------------------
+# Tiling (E13–E15)
+# ---------------------------------------------------------------------------
+
+
+def q_tile_counts_l8(sf_dir: str):
+    return tile_counts(_points(sf_dir), 8)
+
+
+def q_top_tiles_l8(sf_dir: str):
+    return top_k_tiles(_points(sf_dir), 8, 20)
+
+
+def q_hilbert_order(sf_dir: str):
+    ds = _points(sf_dir).map_batches(
+        lambda b: cell_token(cell_encode(b)), batch_format="pyarrow"
+    )
+    return (
+        hilbert_sort(ds)
+        .select_columns(["doc_id", "cell_token"])
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / text / similarity over documents & embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = exact_dedup(ds, key_col="text", id_col="doc_id")
+    return out.select_columns(["doc_id"])
+
+
+SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_token_count(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "n_tokens", "n_chars_obs"])
+
+
+SQL_TOKEN_COUNT = (
+    "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,"
+    " CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents"
+)
+
+
+def q_quality(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(quality_batch, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "mean_token_len_x1000", "stopword_hits", "alpha_ratio_x1000"]
+    )
+
+
+_STOP_SQL = "('the','of','and','to','in','is','was','for','on','that','with','as','by','at','from','are','this','be','an','or')"
+SQL_QUALITY = (
+    "SELECT doc_id,"
+    " CAST(length(replace(text,' ','')) AS BIGINT) * 1000"
+    " // CAST(len(string_split(text,' ')) AS BIGINT) AS mean_token_len_x1000,"
+    f" CAST(len(list_filter(string_split(text,' '), x -> x IN {_STOP_SQL})) AS BIGINT)"
+    " AS stopword_hits,"
+    " CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) * 1000"
+    " // CAST(greatest(length(text), 1) AS BIGINT) AS alpha_ratio_x1000"
+    " FROM documents"
+)
+
+
+def q_lang_counts(sf_dir: str):
+    ds = _docs(sf_dir, ["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["lang"].combine_chunks())
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "n_docs": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+SQL_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return minhash_lsh_pairs(ds, jaccard_threshold=0.8)
+
+
+def q_simhash(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def to_i64(batch: pa.Table) -> pa.Table:
+        v = batch["simhash"].to_numpy().view(np.int64)
+        return pa.table(
+            {"doc_id": batch["doc_id"], "simhash_i64": pa.array(v, pa.int64())}
+        )
+
+    return out.map_batches(to_i64, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+    def to_i64(batch: pa.Table) -> pa.Table:
+        v = batch["fingerprint"].to_numpy().view(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint_i64": pa.array(v, pa.int64()),
+            }
+        )
+
+    return out.map_batches(to_i64, batch_format="pyarrow")
+
+
+def q_simsearch(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.less(emb["vec_id"], 3)).rename_columns(
+        ["query_id", "embedding", "label"]
+    )
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(ds, queries, k=10)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+SQL_SIMSEARCH = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
+    " WHERE vec_id < 3), s AS (SELECT q.query_id, e.vec_id,"
+    " list_cosine_similarity(e.embedding, q.qe) AS sim FROM embeddings e"
+    " CROSS JOIN q) SELECT query_id, rank, vec_id FROM (SELECT query_id,"
+    " vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC,"
+    " vec_id) AS rank FROM s) t WHERE rank <= 10"
+)
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing (stubbed decode): feature means per media row."""
+    media = synth_media_table(200)
+    ds = _rd().from_arrow(media)
+    out = extract_features(ds, dim=16)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        f = (
+            batch["features"].combine_chunks().flatten().to_numpy().reshape(-1, 16)
+        )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "feat_sum_x1000": pa.array(
+                    np.round(f.sum(axis=1) * 1000).astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Relational ops (E19) — shuffle scaffolding with exact oracles
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style: per (returnflag, linestatus) integer-exact sums."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qty = _np(batch["l_quantity"]).astype(np.int64)
+        rev_cents = np.floor(
+            _np(batch["l_extendedprice"]) * (1.0 - _np(batch["l_discount"])) * 100
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty": qty,
+                "sum_rev_cents": rev_cents,
+                "n_rows": 1,
+            }
+        )
+        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_rev_cents", alias_name="sum_rev_cents"),
+            Sum("n_rows", alias_name="n_rows"),
+        )
+    )
+
+
+SQL_PRICING = (
+    "SELECT l_returnflag, l_linestatus,"
+    " SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,"
+    " SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))"
+    " AS sum_rev_cents, COUNT(*) AS n_rows"
+    " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+def q_orders_by_segment(sf_dir: str):
+    """orders ⋈ customer (broadcast small side) → per-segment totals."""
+    import ray
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg_by_key = dict(
+        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
+    )
+    ref = ray.put(seg_by_key)
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lookup = ray.get(ref)
+        keys = batch["o_custkey"].to_pylist()
+        segs = [lookup.get(k) for k in keys]
+        cents = np.floor(_np(batch["o_totalprice"]) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {"c_mktsegment": segs, "sum_total_cents": cents, "n_orders": 1}
+        )
+        agg = df.groupby("c_mktsegment", as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("sum_total_cents", alias_name="sum_total_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+SQL_ORDERS_SEG = (
+    "SELECT c.c_mktsegment, SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))"
+    " AS sum_total_cents, COUNT(*) AS n_orders FROM orders o"
+    " JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
+)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window per event_type (streaming-shaped op)."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        cents = np.floor(_np(batch["value"]) * 100 + 0.5).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "hour": hour.to_pandas(),
+                "n_events": 1,
+                "sum_value_cents": cents,
+            }
+        )
+        agg = df.groupby(["event_type", "hour"], as_index=False).sum()
+        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"),
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = (
+    "SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,"
+    " SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents"
+    " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q_geocode": q_geocode,
+    "q_cell_tokens_l12": q_cell_tokens_l12,
+    "q_cell_roundtrip": q_cell_roundtrip,
+    "q_cover_regions": q_cover_regions,
+    "q_join_rect": q_join_rect,
+    "q_join_rect_skew": q_join_rect_skew,
+    "q_join_cap": q_join_cap,
+    "q_join_poly": q_join_poly,
+    "q_knn": q_knn,
+    "q_tile_counts_l8": q_tile_counts_l8,
+    "q_top_tiles_l8": q_top_tiles_l8,
+    "q_hilbert_order": q_hilbert_order,
+    "q_dedup_exact": q_dedup_exact,
+    "q_token_count": q_token_count,
+    "q_quality": q_quality,
+    "q_lang_counts": q_lang_counts,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_fingerprint": q_fingerprint,
+    "q_simsearch": q_simsearch,
+    "q_media_features": q_media_features,
+    "q_pricing_summary": q_pricing_summary,
+    "q_orders_by_segment": q_orders_by_segment,
+    "q_events_hourly": q_events_hourly,
+}
+
+ORACLE_SQL = {
+    "q_geocode": SQL_GEOCODE,
+    "q_join_rect": SQL_JOIN_RECT,
+    "q_join_rect_skew": SQL_JOIN_RECT,
+    "q_join_cap": SQL_JOIN_CAP,
+    "q_knn": SQL_KNN,
+    "q_dedup_exact": SQL_DEDUP_EXACT,
+    "q_token_count": SQL_TOKEN_COUNT,
+    "q_quality": SQL_QUALITY,
+    "q_lang_counts": SQL_LANG_COUNTS,
+    "q_simsearch": SQL_SIMSEARCH,
+    "q_pricing_summary": SQL_PRICING,
+    "q_orders_by_segment": SQL_ORDERS_SEG,
+    "q_events_hourly": SQL_EVENTS_HOURLY,
+}

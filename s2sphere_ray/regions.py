@@ -139,7 +139,7 @@ def make_poly_regions(keys: np.ndarray, id_offset: int = 2000) -> pa.Table:
         rng = np.random.default_rng(42 + int(k))
         clat = float((k * 7919) % 100 - 50)
         clng = float((k * 104729) % 320 - 160)
-        r = 1.0 + float(k % 5)
+        r = 10.0 + 3.0 * float(k % 5)
         nv = 4 + int(k % 5)
         verts = []
         # CCW seen from outside the sphere = counterclockwise in the local

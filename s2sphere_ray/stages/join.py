@@ -200,6 +200,8 @@ class _BroadcastIndex:
 
     def candidates(self, leaf_ids: np.ndarray):
         """→ (point_row_indices, region_idx) candidate pair arrays."""
+        if not len(self.keys) or not self.levels:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int32)
         pk = _point_keys(leaf_ids, self.levels)  # (n, L)
         prows = []
         rregs = []
@@ -211,13 +213,18 @@ class _BroadcastIndex:
             hit_pos = pos[hit_rows]
             counts = self.starts[hit_pos + 1] - self.starts[hit_pos]
             prows.append(np.repeat(hit_rows, counts))
-            if len(hit_rows):
-                gather = np.concatenate(
-                    [
-                        self.ridx[self.starts[p] : self.starts[p + 1]]
-                        for p in hit_pos
-                    ]
+            # Vectorized CSR gather: element j of hit h maps to
+            # ridx[starts[hit_pos[h]] + j].
+            total = int(counts.sum())
+            if total:
+                ends = np.cumsum(counts)
+                begins = ends - counts
+                offs = (
+                    np.arange(total)
+                    - np.repeat(begins, counts)
+                    + np.repeat(self.starts[hit_pos], counts)
                 )
+                gather = self.ridx[offs]
             else:
                 gather = np.array([], dtype=np.int32)
             rregs.append(gather)
@@ -225,19 +232,24 @@ class _BroadcastIndex:
 
 
 class BroadcastJoinStage:
-    """Actor-pool stage: candidate lookup + exact refinement per batch.
+    """Stateless broadcast-join stage: candidate lookup + exact refinement.
 
-    The index object ref is fetched once per actor (``ray.put`` driver-side,
-    ``ray.get`` in ``__init__``) — not re-shipped per batch.
+    The index is ``ray.put`` once driver-side; each worker *process* fetches
+    it once (zero-copy plasma read, cached in ``_PARAM_CACHE``) — it is
+    never re-shipped per batch. Plain tasks rather than an actor pool: the
+    stage holds no mutable state, so tasks scale elastically with no pool
+    ramp-up.
     """
 
     def __init__(self, index_ref, point_cols, lat_col="lat", lng_col="lng"):
-        import ray
-
-        self.index: _BroadcastIndex = ray.get(index_ref)
+        self.index_ref = index_ref
         self.point_cols = list(point_cols)
         self.lat_col = lat_col
         self.lng_col = lng_col
+
+    @property
+    def index(self) -> "_BroadcastIndex":
+        return _get_params(self.index_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch[self.lat_col].to_numpy()
@@ -540,15 +552,7 @@ def spatial_join(
     key_table, levels = build_region_keys(regions, snap_levels, max_cells)
     index = _BroadcastIndex(key_table, regions, levels)
     index_ref = ray.put(index)
-    return points_ds.map_batches(
-        BroadcastJoinStage,
-        fn_constructor_kwargs=dict(
-            index_ref=index_ref,
-            point_cols=list(point_cols),
-            lat_col=lat_col,
-            lng_col=lng_col,
-        ),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
+    stage = BroadcastJoinStage(
+        index_ref, list(point_cols), lat_col=lat_col, lng_col=lng_col
     )
+    return points_ds.map_batches(stage, batch_format="pyarrow")

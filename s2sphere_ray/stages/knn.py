@@ -1,0 +1,110 @@
+"""E11 — k-nearest-neighbors of query points over the points dataset.
+
+Exact kNN with a broadcast query side (queries ≪ corpus, the practical
+case): each corpus batch computes haversine distances to all queries
+(vectorized (B,Q) trig), keeps a per-query partial top-k (``argpartition``),
+and a tiny ``groupby(query_id)`` merges partials into the global top-k.
+Shuffle volume is O(Q·k·#batches) partial rows — never the corpus.
+
+Tie rule (FIXTURES.md §6): order by (distance, point id asc). The distance
+expression mirrors the oracle SQL op-for-op (stages/join.py
+``_haversine_oracle``).
+
+The cell-ring expansion variant (start cell → E10 neighbor rings until the
+k-th candidate distance is covered by the guaranteed ring radius) is the
+scale path when Q grows large; ``knn_cell_candidates`` provides the ring
+pruning used there.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import cells as ck
+from .join import _haversine_oracle
+from .encode import _np
+
+
+def knn_points(
+    points_ds,
+    queries: pa.Table,
+    k: int,
+    point_id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    query_id_col: str = "query_id",
+):
+    """→ Dataset(query_id, rank, <point_id_col>, dist_rad); exact."""
+    import ray
+
+    q_id = queries[query_id_col].to_numpy()
+    q_lat = queries["lat"].to_numpy()
+    q_lng = queries["lng"].to_numpy()
+    q_ref = ray.put((q_id, q_lat, q_lng))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qid, qlat, qlng = ray.get(q_ref)
+        lat = _np(batch[lat_col])
+        lng = _np(batch[lng_col])
+        pid = _np(batch[point_id_col])
+        # (B, Q) distances; Q is small so this stays cache-friendly.
+        d = _haversine_oracle(
+            lat[:, None], lng[:, None], qlat[None, :], qlng[None, :]
+        )
+        kk = min(k, len(lat))
+        out_q, out_p, out_d = [], [], []
+        for c in range(len(qid)):
+            col = d[:, c]
+            if kk < len(col):
+                part = np.argpartition(col, kk - 1)[:kk]
+            else:
+                part = np.arange(len(col))
+            out_q.append(np.full(len(part), qid[c]))
+            out_p.append(pid[part])
+            out_d.append(col[part])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                point_id_col: pa.array(np.concatenate(out_p)),
+                "dist_rad": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = points_ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        d = group["dist_rad"].to_numpy()
+        pid = group[point_id_col].to_numpy()
+        order = np.lexsort((pid, d))[:k]  # (dist, id asc) tie rule
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                point_id_col: group[point_id_col].take(pa.array(order)),
+                "dist_rad": group["dist_rad"].take(pa.array(order)),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(
+        merge_topk, batch_format="pyarrow"
+    )
+
+
+def knn_cell_candidates(
+    query_lat: np.ndarray, query_lng: np.ndarray, level: int, rings: int = 1
+) -> np.ndarray:
+    """Candidate cell ids at ``level`` within ``rings`` neighbor rings of each
+    query (E10 expansion) — the pruning set for the cell-based kNN variant.
+
+    Returns (Q, ≤1+8·rings) uint64 (duplicates possible at face corners).
+    """
+    start = ck.parent(ck.cell_id_from_latlng(query_lat, query_lng), level)
+    frontier = start[:, None]
+    layers = [frontier]
+    seen = frontier
+    for _ in range(rings):
+        nbrs = ck.all_neighbors(seen.reshape(-1)).reshape(seen.shape[0], -1)
+        layers.append(nbrs)
+        seen = np.concatenate([seen, nbrs], axis=1)
+    return np.concatenate(layers, axis=1)

@@ -1,0 +1,231 @@
+"""E13–E15, E18 — tiling, tile aggregates, hilbert sort, resumable sink.
+
+Tile aggregation follows the pre-aggregate pattern (SURVEY §4, ray_guide):
+partial per-batch combine inside ``map_batches`` (one row per tile per
+batch) before the small ``groupby`` — the all-to-all shuffle moves partials,
+not rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import cells as ck
+from .encode import _np, tile_assign
+
+
+def add_tile_column(ds, level: int, lat_col="lat", lng_col="lng", leaf_col=None):
+    """Append ``tile_id``/``tile_id_token`` at ``level`` (encoding leaves on
+    the fly when no leaf column exists)."""
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        if leaf_col and leaf_col in batch.column_names:
+            leaf = _np(batch[leaf_col])
+        else:
+            leaf = ck.cell_id_from_latlng(_np(batch[lat_col]), _np(batch[lng_col]))
+            batch = batch.append_column("cell_id", pa.array(leaf, pa.uint64()))
+        tiles = ck.parent(leaf, level)
+        batch = batch.append_column("tile_id", pa.array(tiles, pa.uint64()))
+        toks = ck.token_from_cell_id(tiles)
+        return batch.append_column("tile_token", pa.array(toks, pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def tile_counts(
+    ds,
+    level: int,
+    lat_col="lat",
+    lng_col="lng",
+    sum_cols=(),
+    tree_reduce_max_level: int = 10,
+    fanin: int = 8,
+):
+    """E13: per-tile row counts (+ optional sums), partial-aggregated.
+
+    Partial combine runs per block inside ``map_batches`` (one row per tile
+    per block), so the exchange moves partials, not rows. The final merge is
+    a **tree reduce** (coalesce → combine → coalesce → combine) when the
+    group cardinality is bounded (level ≤ ``tree_reduce_max_level``:
+    ≤ 6·4^10 ≈ 6.3M tiles — one final task holds at most
+    cardinality × row-width bytes); deeper levels have unbounded cardinality
+    and fall back to the hash groupby shuffle.
+
+    Returns a Dataset with columns ``tile_token, n_rows[, sum_<col>…]``.
+    """
+    sum_cols = list(sum_cols)
+    value_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        leaf = ck.cell_id_from_latlng(_np(batch[lat_col]), _np(batch[lng_col]))
+        tiles = ck.parent(leaf, level)
+        order = np.argsort(tiles, kind="stable")
+        tiles_sorted = tiles[order]
+        uniq, starts, counts = np.unique(
+            tiles_sorted, return_index=True, return_counts=True
+        )
+        cols = {
+            "tile_id": pa.array(uniq.view(np.int64), pa.int64()),
+            "n_rows": pa.array(counts.astype(np.int64)),
+        }
+        for c in sum_cols:
+            vals = _np(batch[c])[order]
+            sums = np.add.reduceat(vals.astype(np.float64), starts)
+            cols[f"sum_{c}"] = pa.array(sums)
+        return pa.table(cols)
+
+    def combine(batch: pa.Table) -> pa.Table:
+        t = batch["tile_id"].to_numpy()
+        order = np.argsort(t, kind="stable")
+        t = t[order]
+        uniq, starts = np.unique(t, return_index=True)
+        cols = {"tile_id": pa.array(uniq, pa.int64())}
+        for c in value_cols:
+            v = _np(batch[c])[order]
+            cols[c] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    if level <= tree_reduce_max_level:
+        lvl1 = partials.repartition(fanin).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
+        out = lvl1.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        from ray.data.aggregate import Sum
+
+        out = partials.groupby("tile_id").aggregate(
+            *[Sum(c, alias_name=c) for c in value_cols]
+        )
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        tiles = batch["tile_id"].to_numpy().view(np.uint64)
+        toks = ck.token_from_cell_id(tiles)
+        batch = batch.append_column("tile_token", pa.array(toks, pa.string()))
+        return batch.drop_columns(["tile_id"])
+
+    return out.map_batches(tokenize, batch_format="pyarrow")
+
+
+def hilbert_sort(ds, id_col: str = "cell_id"):
+    """E14: global sort in Hilbert (cell id) order.
+
+    uint64 ids sort identically as int64 because valid ids are < 2^63
+    (face ≤ 5 ⇒ top bit 0 ⇒ the int64 view preserves order).
+    """
+
+    def _widen(batch: pa.Table) -> pa.Table:
+        ids = _np(batch[id_col]).view(np.int64)
+        return batch.append_column("_sort_key", pa.array(ids, pa.int64()))
+
+    return ds.map_batches(_widen, batch_format="pyarrow").sort("_sort_key")
+
+
+def top_k_tiles(ds, level: int, k: int, lat_col="lat", lng_col="lng"):
+    """E14: densest k tiles = tile_counts → sort desc → limit."""
+    counts = tile_counts(ds, level, lat_col=lat_col, lng_col=lng_col)
+    return counts.sort("n_rows", descending=True).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# E18 — resumable partitioned parquet sink with per-partition manifests
+# ---------------------------------------------------------------------------
+
+
+def write_tiles(
+    ds,
+    out_dir: str,
+    level: int,
+    lat_col="lat",
+    lng_col="lng",
+    fingerprint: str = "",
+    tile_prefix_len: int = 4,
+):
+    """Write pages partitioned by tile-token prefix with lineage manifests.
+
+    Layout: ``{out_dir}/tile={prefix}/part-*.parquet`` plus
+    ``{out_dir}/_manifests/{prefix}.json`` holding
+    ``{partition, rows, op_fingerprint, wall_ms, written_at}``. A rerun with
+    the same fingerprint skips partitions whose manifest already exists —
+    that is the checkpoint/resume contract (SURVEY §4).
+
+    Partitioning by token *prefix* (first ``tile_prefix_len`` hex chars ≈
+    level ~6 granularity) bounds the directory count while keeping
+    restart granularity useful.
+    """
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    done = {
+        f[: -len(".json")]
+        for f in os.listdir(os.path.join(out_dir, "_manifests"))
+        if f.endswith(".json")
+    }
+
+    ds = add_tile_column(ds, level, lat_col=lat_col, lng_col=lng_col)
+
+    def add_prefix(batch: pa.Table) -> pa.Table:
+        pref = pc.utf8_slice_codeunits(batch["tile_token"], 0, tile_prefix_len)
+        return batch.append_column("tile_prefix", pref)
+
+    ds = ds.map_batches(add_prefix, batch_format="pyarrow")
+    if done:
+        done_list = sorted(done)
+
+        def _skip(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch["tile_prefix"], pa.array(done_list)))
+            return batch.filter(mask)
+
+        ds = ds.map_batches(_skip, batch_format="pyarrow")
+
+    t0 = time.time()
+    ds.write_parquet(out_dir, partition_cols=["tile_prefix"])
+    wall_ms = int((time.time() - t0) * 1000)
+
+    # Manifest pass: record per-partition row counts from the written files.
+    import pyarrow.parquet as pq
+
+    for entry in os.listdir(out_dir):
+        if not entry.startswith("tile_prefix="):
+            continue
+        prefix = entry.split("=", 1)[1]
+        if prefix in done:
+            continue
+        part_dir = os.path.join(out_dir, entry)
+        rows = 0
+        frags = []
+        for f in os.listdir(part_dir):
+            if f.endswith(".parquet"):
+                rows += pq.read_metadata(os.path.join(part_dir, f)).num_rows
+                frags.append(f)
+        manifest = {
+            "partition": prefix,
+            "rows": rows,
+            "fragments": sorted(frags),
+            "op_fingerprint": fingerprint,
+            "wall_ms": wall_ms,
+            "written_at": time.time(),
+        }
+        with open(
+            os.path.join(out_dir, "_manifests", f"{prefix}.json"), "w"
+        ) as fh:
+            json.dump(manifest, fh)
+    return out_dir
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    mdir = os.path.join(out_dir, "_manifests")
+    out = []
+    if not os.path.isdir(mdir):
+        return out
+    for f in sorted(os.listdir(mdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                out.append(json.load(fh))
+    return out

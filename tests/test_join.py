@@ -1,0 +1,101 @@
+"""Spatial join: all strategies equal brute force, skew split preserved,
+candidate generation duplicate-free."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from s2sphere_ray import regions as R
+from s2sphere_ray import cells as ck
+from s2sphere_ray.pages import geocode_from_doc_id
+from s2sphere_ray.stages import join as J
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    regions = R.regions_from_sf_dir(SF)
+    doc_id = np.arange(1500, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    expected = set()
+    for row in regions.to_pylist():
+        m = J.refine_mask(lat, lng, row)
+        for d in doc_id[m]:
+            expected.add((int(d), int(row["region_id"])))
+    return regions, doc_id, lat, lng, expected
+
+
+def test_key_algebra_no_duplicates(setup):
+    regions, doc_id, lat, lng, expected = setup
+    key_table, levels = J.build_region_keys(regions)
+    idx = J._BroadcastIndex(key_table, regions, levels)
+    leaf = ck.cell_id_from_latlng(lat, lng)
+    prow, ridx = idx.candidates(leaf)
+    pairs = list(zip(prow.tolist(), ridx.tolist()))
+    assert len(pairs) == len(set(pairs))
+    rows = regions.to_pylist()
+    got = set()
+    for p, r in zip(prow, ridx):
+        if J.refine_mask(lat[p : p + 1], lng[p : p + 1], rows[int(r)])[0]:
+            got.add((int(doc_id[p]), int(rows[int(r)]["region_id"])))
+    assert got == expected
+
+
+def _pairs(ds):
+    return set((r["doc_id"], r["region_id"]) for r in ds.take_all())
+
+
+def _points_ds(doc_id, lat, lng):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({"doc_id": doc_id, "lat": lat, "lng": lng})
+    ).repartition(4)
+
+
+def test_broadcast_equals_brute(ray_session, setup):
+    regions, doc_id, lat, lng, expected = setup
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng), regions, strategy="broadcast"
+    )
+    assert _pairs(out) == expected
+
+
+def test_shuffle_equals_brute(ray_session, setup):
+    regions, doc_id, lat, lng, expected = setup
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng), regions, strategy="shuffle"
+    )
+    assert _pairs(out) == expected
+
+
+def test_shuffle_skew_split_equals_brute(ray_session, setup):
+    regions, doc_id, lat, lng, expected = setup
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng),
+        regions,
+        strategy="shuffle",
+        hot_threshold=40,
+        split_delta=3,
+    )
+    assert _pairs(out) == expected
+
+
+def test_snap_levels_variation(ray_session, setup):
+    # Different canonical level sets must not change results.
+    regions, doc_id, lat, lng, expected = setup
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng),
+        regions,
+        strategy="broadcast",
+        snap_levels=(6, 10),
+    )
+    assert _pairs(out) == expected
+
+
+def test_empty_regions(ray_session, setup):
+    regions, doc_id, lat, lng, _ = setup
+    empty = regions.slice(0, 0)
+    out = J.spatial_join(_points_ds(doc_id, lat, lng), empty, strategy="broadcast")
+    assert out.count() == 0
