@@ -93,6 +93,66 @@ def cosine_topk(
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
+def embedding_neardup_pairs(
+    embeddings_ds,
+    threshold: float = 0.99,
+    n_planes: int = 12,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+):
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
+
+    bucket (actor stage, hyperplanes built once) → groupby bucket →
+    within-bucket exact float64 cosine ≥ threshold → (id_a, id_b) pairs,
+    id_a < id_b. Exact for duplicates (identical vectors always share a
+    bucket); approximate recall for merely-similar pairs (tunable via
+    n_planes).
+    """
+    import numpy as np
+
+    if dim is None:
+        first = embeddings_ds.take(1)[0]["embedding"]
+        dim = len(first)
+    bucketed = embeddings_ds.map_batches(
+        LSHBucketStage,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows < 2:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
+        e = _emb_matrix(group).astype(np.float64)
+        norms = np.linalg.norm(e, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        en = e / norms
+        sims = en @ en.T
+        ids = group[id_col].to_numpy()
+        a_idx, b_idx = np.nonzero(np.triu(sims >= threshold, 1))
+        id_a = np.minimum(ids[a_idx], ids[b_idx])
+        id_b = np.maximum(ids[a_idx], ids[b_idx])
+        return pa.table(
+            {
+                "id_a": pa.array(id_a, pa.int64()),
+                "id_b": pa.array(id_b, pa.int64()),
+            }
+        )
+
+    pairs = bucketed.groupby("lsh_bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda grp: grp.slice(0, 1), batch_format="pyarrow"
+    )
+
+
 class LSHBucketStage:
     """Sign-LSH coarse bucketing: ``bucket = bits(sign(E @ H))`` with the
     hyperplane matrix H built once per actor (seeded)."""

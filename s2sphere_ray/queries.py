@@ -82,12 +82,24 @@ SQL_GEOCODE = (
 
 
 def q_cell_tokens_l12(sf_dir: str):
-    """(doc_id, cell_token) at level 12 — E3/E4 (rows-only oracle)."""
+    """(doc_id, cell_token) at level 12 — E3/E4, exact-checked against the
+    generated in-SQL Hilbert encode (oracle_sql.py)."""
     ds = _points(sf_dir)
     ds = ds.map_batches(
         lambda b: cell_token(cell_encode(b, level=12)), batch_format="pyarrow"
     )
     return ds.select_columns(["doc_id", "cell_token"])
+
+
+def _sql_cell_tokens(level: int, with_order_key: bool = False) -> str:
+    from .oracle_sql import s2_token_sql
+
+    inner = s2_token_sql(
+        level, f"SELECT doc_id, {LAT_SQL} AS lat, {LNG_SQL} AS lng FROM documents"
+    )
+    if with_order_key:
+        return inner  # exposes the Hilbert order key ``n``
+    return f"SELECT doc_id, cell_token FROM ({inner})"
 
 
 def q_cell_roundtrip(sf_dir: str):
@@ -243,19 +255,26 @@ SQL_KNN = (
 
 
 def q_tile_counts_l8(sf_dir: str):
-    return tile_counts(_points(sf_dir), 8)
+    """Per-tile page counts at level 8 — E13/E15, exact-checked: the oracle
+    recomputes tile tokens wholly in SQL (oracle_sql.py) and groups."""
+    out = tile_counts(_points(sf_dir), 8)
+    return out.select_columns(["tile_token", "n_rows"])
 
 
 def q_top_tiles_l8(sf_dir: str):
-    return top_k_tiles(_points(sf_dir), 8, 20)
+    """Densest 20 level-8 tiles (ties by token) — exact-checked in SQL."""
+    out = top_k_tiles(_points(sf_dir), 8, 20)
+    return out.select_columns(["tile_token", "n_rows"])
 
 
 def q_hilbert_order(sf_dir: str):
+    """First 100 pages in Hilbert (leaf cell id) order, ties by doc_id —
+    exact-checked against the in-SQL encode's order key."""
     ds = _points(sf_dir).map_batches(
         lambda b: cell_token(cell_encode(b)), batch_format="pyarrow"
     )
     return (
-        hilbert_sort(ds)
+        hilbert_sort(ds, tiebreak_cols=("doc_id",))
         .select_columns(["doc_id", "cell_token"])
         .limit(100)
     )
@@ -559,6 +578,101 @@ SQL_EVENTS_HOURLY = (
 )
 
 
+def q_sessions(sf_dir: str):
+    """Session windows (30-min gap) per user — streaming-shaped op."""
+    from .functions.sessions import sessionize
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return sessionize(ds, gap_minutes=30)
+
+
+from .functions.sessions import SESSIONS_SQL as SQL_SESSIONS  # noqa: E402
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs. The embeddings table has no natural
+    near-dups (random vectors), so deterministic duplicates are injected
+    (every 50th vector re-appears as vec_id+100000) and must all be found
+    (LSH guarantees identical vectors collide)."""
+    import pyarrow.parquet as pq
+
+    from .functions.sim import embedding_neardup_pairs
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    vid = emb["vec_id"].to_numpy()
+    dups = emb.filter(pa.array(vid % 50 == 0))
+    dups = dups.set_column(
+        0, "vec_id", pc.add(dups["vec_id"], 100000)
+    )
+    both = pa.concat_tables([emb, dups])
+    ds = _rd().from_arrow(both)
+    return embedding_neardup_pairs(ds, threshold=0.99)
+
+
+def q_langid_counts(sf_dir: str):
+    """Language-ID guesses (marker heuristic, actor pool) vs corpus."""
+    from .functions.text import LangIdStage
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    guessed = ds.map_batches(
+        LangIdStage, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["lang_guess"].combine_chunks())
+        return pa.table(
+            {
+                "lang_guess": vc.field("values"),
+                "n_docs": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        guessed.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang_guess")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+def q_cellset_ops(sf_dir: str):
+    """CellUnion set algebra (G4): for every (rect, cap) region pair with
+    intersecting covers, the intersection/union/difference cell counts."""
+    from . import geometry as g
+    from .stages.cover import cover_table
+
+    rects = regions_from_sf_dir(sf_dir, kinds=("rect",))
+    caps = regions_from_sf_dir(sf_dir, kinds=("cap",))
+    rc = cover_table(rects, max_cells=8)
+    cc = cover_table(caps, max_cells=8)
+    rows = []
+    for ri, rcover in zip(rc["region_id"].to_pylist(), rc["cover"].to_pylist()):
+        ru = g.CellUnion([int(x) for x in rcover])
+        for ci, ccover in zip(
+            cc["region_id"].to_pylist(), cc["cover"].to_pylist()
+        ):
+            cu = g.CellUnion([int(x) for x in ccover])
+            inter = g.CellUnion.get_intersection(ru, cu)
+            if not inter.num_cells():
+                continue
+            union = g.CellUnion.get_union(ru, cu)
+            diff = g.CellUnion.get_difference(ru, cu)
+            rows.append(
+                (ri, ci, inter.num_cells(), union.num_cells(), diff.num_cells())
+            )
+    return pa.table(
+        {
+            "rect_id": pa.array([r[0] for r in rows], pa.int64()),
+            "cap_id": pa.array([r[1] for r in rows], pa.int64()),
+            "n_inter": pa.array([r[2] for r in rows], pa.int64()),
+            "n_union": pa.array([r[3] for r in rows], pa.int64()),
+            "n_diff": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -588,10 +702,30 @@ QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_orders_by_segment": q_orders_by_segment,
     "q_events_hourly": q_events_hourly,
+    "q_sessions": q_sessions,
+    "q_embed_neardup": q_embed_neardup,
+    "q_langid_counts": q_langid_counts,
+    "q_cellset_ops": q_cellset_ops,
 }
 
 ORACLE_SQL = {
     "q_geocode": SQL_GEOCODE,
+    "q_cell_tokens_l12": _sql_cell_tokens(12),
+    "q_tile_counts_l8": (
+        "SELECT cell_token AS tile_token, COUNT(*) AS n_rows FROM ("
+        + _sql_cell_tokens(8)
+        + ") GROUP BY cell_token"
+    ),
+    "q_top_tiles_l8": (
+        "SELECT cell_token AS tile_token, COUNT(*) AS n_rows FROM ("
+        + _sql_cell_tokens(8)
+        + ") GROUP BY cell_token ORDER BY n_rows DESC, tile_token LIMIT 20"
+    ),
+    "q_hilbert_order": (
+        "SELECT doc_id, cell_token FROM ("
+        + _sql_cell_tokens(30, with_order_key=True)
+        + ") ORDER BY n, doc_id LIMIT 100"
+    ),
     "q_join_rect": SQL_JOIN_RECT,
     "q_join_rect_skew": SQL_JOIN_RECT,
     "q_join_cap": SQL_JOIN_CAP,
@@ -604,4 +738,5 @@ ORACLE_SQL = {
     "q_pricing_summary": SQL_PRICING,
     "q_orders_by_segment": SQL_ORDERS_SEG,
     "q_events_hourly": SQL_EVENTS_HOURLY,
+    "q_sessions": SQL_SESSIONS,
 }

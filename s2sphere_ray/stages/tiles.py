@@ -115,24 +115,28 @@ def tile_counts(
     return out.map_batches(tokenize, batch_format="pyarrow")
 
 
-def hilbert_sort(ds, id_col: str = "cell_id"):
+def hilbert_sort(ds, id_col: str = "cell_id", tiebreak_cols=()):
     """E14: global sort in Hilbert (cell id) order.
 
-    uint64 ids sort identically as int64 because valid ids are < 2^63
-    (face ≤ 5 ⇒ top bit 0 ⇒ the int64 view preserves order).
+    Cell ids for faces 4-5 set bit 63 (face << 61), so a plain int64
+    reinterpretation misorders them; XOR with 2^63 is the order-preserving
+    uint64 -> int64 map.
     """
 
     def _widen(batch: pa.Table) -> pa.Table:
-        ids = _np(batch[id_col]).view(np.int64)
+        ids = (_np(batch[id_col]) ^ np.uint64(1 << 63)).view(np.int64)
         return batch.append_column("_sort_key", pa.array(ids, pa.int64()))
 
-    return ds.map_batches(_widen, batch_format="pyarrow").sort("_sort_key")
+    keys = ["_sort_key", *tiebreak_cols]
+    return ds.map_batches(_widen, batch_format="pyarrow").sort(keys)
 
 
 def top_k_tiles(ds, level: int, k: int, lat_col="lat", lng_col="lng"):
-    """E14: densest k tiles = tile_counts → sort desc → limit."""
+    """E14: densest k tiles = tile_counts → sort desc → limit.
+
+    Deterministic tie rule: (n_rows desc, tile_token asc)."""
     counts = tile_counts(ds, level, lat_col=lat_col, lng_col=lng_col)
-    return counts.sort("n_rows", descending=True).limit(k)
+    return counts.sort(["n_rows", "tile_token"], descending=[True, False]).limit(k)
 
 
 # ---------------------------------------------------------------------------
