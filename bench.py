@@ -6,9 +6,11 @@ counts at level 8 → consume). Sub-queries time individual operators over
 ``$GRAFT_SF_DIR`` testdata.
 
 ``--scaling`` runs the plain bench twice in fresh processes
-(``num_cpus=8`` then ``32``) on identical input and reports throughputs +
-scaling efficiency T8/(T32·4) — the sandbox stand-in for the N vs 4N node
-rule (BASELINE.md protocol).
+(``num_cpus=SCALE_LO`` then ``SCALE_HI``; default 4 → 16, the box's honest
+linear window — 32 "CPUs" are SMT threads on 16 physical cores) on
+identical pre-materialized input and reports throughputs + scaling
+efficiency T_lo/(T_hi·4) — the sandbox stand-in for the N vs 4N node rule
+(BASELINE.md protocol).
 """
 
 from __future__ import annotations
@@ -143,7 +145,21 @@ def run_scaling() -> dict:
     # Larger input than the plain bench: the per-process fixed cost (~6 s of
     # plan/schedule/finalize latency) must amortize for the ratio to measure
     # scaling of the *work*, not the constant.
-    scale_rows = os.environ.get("GRAFT_BENCH_ROWS", "16000000")
+    scale_rows = os.environ.get("GRAFT_BENCH_ROWS", "32000000")
+
+    # Prep pass (untimed, discarded): materializes the input parquet and
+    # warms the page cache so both timed runs see identical conditions.
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(SCALE_HI),
+            GRAFT_BENCH_ROWS=scale_rows,
+        ),
+        capture_output=True,
+        text=True,
+        check=True,
+    )
 
     def one(ncpu: int) -> dict:
         env = dict(

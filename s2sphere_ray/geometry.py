@@ -733,6 +733,32 @@ class CellId:
     def prev(self) -> "CellId":
         return CellId(self.id - (self.lsb() << 1))
 
+    _WRAP_OFFSET = 6 << POS_BITS
+
+    def next_wrap(self) -> "CellId":
+        """next() wrapping face 5 → face 0 (sphere.py CellId.next_wrap)."""
+        n = self.next()
+        if n.id < CellId._WRAP_OFFSET:
+            return n
+        return CellId(n.id - CellId._WRAP_OFFSET)
+
+    def prev_wrap(self) -> "CellId":
+        p = self.prev()
+        if p.id < CellId._WRAP_OFFSET:
+            return p
+        return CellId(p.id + CellId._WRAP_OFFSET)
+
+    def advance(self, n: int) -> "CellId":
+        step = self.lsb() << 1
+        return CellId(self.id + n * step)
+
+    def advance_wrap(self, n: int) -> "CellId":
+        """advance() with modular wrap across the 6-face id space."""
+        step = self.lsb() << 1
+        num = CellId._WRAP_OFFSET // step
+        pos = (self.id // step + n) % num
+        return CellId(pos * step + (self.id % step))
+
     def children(self):
         out = []
         new_lsb = self.lsb() >> 2
@@ -1147,6 +1173,15 @@ class Cap:
         return cls(axis, height)
 
     @classmethod
+    def from_axis_area(cls, axis, area: float) -> "Cap":
+        """Cap of given solid-angle area: h = area / 2π (sphere.py
+        Cap.from_axis_area)."""
+        return cls(axis, area / (2.0 * math.pi))
+
+    def area(self) -> float:
+        return 2.0 * math.pi * max(0.0, self.height)
+
+    @classmethod
     def empty(cls) -> "Cap":
         return cls((1.0, 0.0, 0.0), -1.0)
 
@@ -1327,6 +1362,18 @@ class LatLngRect:
         )
         lng = self.lng.expanded(margin.lng)
         return LatLngRect(lat, lng)
+
+    def convolve_with_cap(self, angle_rad: float) -> "LatLngRect":
+        """Minkowski sum with a cap of radius ``angle_rad``: union of the
+        rect with cap bounds centered on each vertex (sphere.py
+        LatLngRect.convolve_with_cap)."""
+        r = LatLngRect(self.lat, self.lng)
+        for k in range(4):
+            vertex_cap = Cap.from_axis_angle(
+                self.get_vertex(k).to_point(), angle_rad
+            )
+            r = r.union(vertex_cap.get_rect_bound())
+        return r
 
     # --- Region interface (SURVEY §2.1 D4) ---
 

@@ -91,6 +91,133 @@ def knn_points(
     )
 
 
+def knn_points_pruned(
+    points_ds,
+    queries: pa.Table,
+    k: int,
+    level: int,
+    point_id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    query_id_col: str = "query_id",
+):
+    """E11 scale path: cell-ring-pruned exact kNN.
+
+    Candidate cells = each query's level-``level`` cell + its 8 neighbors
+    (E10 ring); the corpus is filtered to candidates before the distance
+    pass, so the per-batch work is O(|batch ∩ rings| · Q) instead of
+    O(|batch| · Q). Exactness guarantee: the 3×3 block covers at least a
+    disc of radius MIN_WIDTH(level) around the query, so a query whose
+    k-th candidate distance exceeds that bound (or with < k candidates)
+    falls back to the brute pass — the result always equals
+    :func:`knn_points`.
+    """
+    import ray
+
+    from .. import geometry as g
+
+    q_id = queries[query_id_col].to_numpy()
+    q_lat = queries["lat"].to_numpy()
+    q_lng = queries["lng"].to_numpy()
+    cand_cells = np.unique(knn_cell_candidates(q_lat, q_lng, level).reshape(-1))
+    guarantee_rad = g.MIN_WIDTH.get_value(level)
+    cand_ref = ray.put((cand_cells, q_id, q_lat, q_lng))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        cells, qids, qlat, qlng = ray.get(cand_ref)
+        lat = _np(batch[lat_col])
+        lng = _np(batch[lng_col])
+        pid = _np(batch[point_id_col])
+        anc = ck.parent(ck.cell_id_from_latlng(lat, lng), level)
+        keep = np.isin(anc, cells)
+        lat, lng, pid = lat[keep], lng[keep], pid[keep]
+        if not len(lat):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    point_id_col: pa.array([], pa.int64()),
+                    "dist_rad": pa.array([], pa.float64()),
+                }
+            )
+        d = _haversine_oracle(
+            lat[:, None], lng[:, None], qlat[None, :], qlng[None, :]
+        )
+        kk = min(k, len(lat))
+        out_q, out_p, out_d = [], [], []
+        for c in range(len(qids)):
+            col = d[:, c]
+            part = (
+                np.argpartition(col, kk - 1)[:kk]
+                if kk < len(col)
+                else np.arange(len(col))
+            )
+            out_q.append(np.full(len(part), qids[c]))
+            out_p.append(pid[part])
+            out_d.append(col[part])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                point_id_col: pa.array(np.concatenate(out_p)),
+                "dist_rad": pa.array(np.concatenate(out_d), pa.float64()),
+            }
+        )
+
+    partials = points_ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def merge_topk(group: pa.Table) -> pa.Table:
+        dd = group["dist_rad"].to_numpy()
+        pid = group[point_id_col].to_numpy()
+        order = np.lexsort((pid, dd))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                point_id_col: group[point_id_col].take(pa.array(order)),
+                "dist_rad": group["dist_rad"].take(pa.array(order)),
+            }
+        )
+
+    pruned = (
+        partials.groupby("query_id")
+        .map_groups(merge_topk, batch_format="pyarrow")
+        .take_all()
+    )
+    # Guarantee check (driver-side, |Q|·k rows): a query is exact iff it has
+    # k rows and its k-th distance fits inside the covered disc.
+    by_q: dict = {}
+    for row in pruned:
+        by_q.setdefault(row["query_id"], []).append(row)
+    failed = [
+        int(q)
+        for q in q_id
+        if int(q) not in by_q
+        or len(by_q[int(q)]) < k
+        or max(r["dist_rad"] for r in by_q[int(q)]) > guarantee_rad
+    ]
+    rows = [r for q, rs in by_q.items() if q not in set(failed) for r in rs]
+    if failed:
+        fmask = np.isin(q_id, failed)
+        fallback_queries = pa.table(
+            {
+                query_id_col: pa.array(q_id[fmask]),
+                "lat": pa.array(q_lat[fmask]),
+                "lng": pa.array(q_lng[fmask]),
+            }
+        )
+        rows += knn_points(
+            points_ds,
+            fallback_queries,
+            k,
+            point_id_col=point_id_col,
+            lat_col=lat_col,
+            lng_col=lng_col,
+            query_id_col=query_id_col,
+        ).take_all()
+    import ray.data as rd
+
+    return rd.from_items(rows)
+
+
 def knn_cell_candidates(
     query_lat: np.ndarray, query_lng: np.ndarray, level: int, rings: int = 1
 ) -> np.ndarray:

@@ -273,3 +273,30 @@ def test_latlng_distance():
     p = g.LatLng.from_degrees(0, 0)
     assert abs(p.get_distance(g.LatLng.from_degrees(0, 180)) - math.pi) < 1e-12
     assert abs(p.get_distance(g.LatLng.from_degrees(90, 0)) - math.pi / 2) < 1e-12
+
+
+def test_wrap_iteration():
+    # next_wrap from the last cell of face 5 lands on the first of face 0
+    # (reference test_wrapping).
+    for level in (0, 3, 11):
+        first = g.CellId.from_face_pos_level(0, 0, level)
+        last = g.CellId.from_face_pos_level(5, 0, 0).child_end(level).prev()
+        assert last.next_wrap() == first
+        assert first.prev_wrap() == last
+        n_cells = 6 * (1 << (2 * level))
+        assert first.advance_wrap(n_cells) == first
+        assert first.advance_wrap(-1) == last
+
+
+def test_cap_from_axis_area():
+    cap = g.Cap.from_axis_area((1.0, 0.0, 0.0), math.pi)  # quarter sphere
+    assert abs(cap.height - 0.5) < 1e-15
+    assert abs(cap.area() - math.pi) < 1e-12
+
+
+def test_convolve_with_cap():
+    r = g.LatLngRect.from_degrees(10, 10, 20, 20)
+    grown = r.convolve_with_cap(math.radians(5.0))
+    assert grown.contains_rect(r)
+    assert grown.contains_latlng(g.LatLng.from_degrees(24.0, 15.0))
+    assert not grown.contains_latlng(g.LatLng.from_degrees(40.0, 15.0))

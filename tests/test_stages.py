@@ -247,3 +247,31 @@ def test_write_tiles_resume(ray_session, tmp_path):
     # data is readable and partitioned
     ds = rd.read_parquet(out_dir)
     assert ds.count() == 500
+
+
+def test_knn_pruned_equals_brute(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.pages import geocode_from_doc_id
+    from s2sphere_ray.stages.knn import knn_points, knn_points_pruned
+
+    doc_id = np.arange(20000, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    ds = rd.from_arrow(pa.table({"doc_id": doc_id, "lat": lat, "lng": lng}))
+    queries = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2, 3], pa.int64()),
+            # two dense (hot-city) queries, two sparse ones
+            "lat": pa.array([48.85, 40.71, -60.0, 5.0]),
+            "lng": pa.array([2.35, -74.0, 100.0, -170.0]),
+        }
+    )
+    brute = {
+        (r["query_id"], r["rank"]): r["doc_id"]
+        for r in knn_points(ds, queries, k=5).take_all()
+    }
+    for level in (6, 10):
+        pruned = {
+            (r["query_id"], r["rank"]): r["doc_id"]
+            for r in knn_points_pruned(ds, queries, k=5, level=level).take_all()
+        }
+        assert pruned == brute, level
