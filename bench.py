@@ -100,13 +100,13 @@ def run_bench() -> dict:
 
     def headline():
         pages = read_pages_bench(columns=["url", "doc_id"])
-        pages = pages.map_batches(geocode_batch, batch_format="pyarrow")
-        pages = pages.map_batches(cell_encode, batch_format="pyarrow")
+        pages = pages.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
+        pages = pages.map_batches(cell_encode, batch_format="pyarrow", batch_size=None)
         joined = spatial_join(
             pages,
             regions,
             strategy="broadcast",
-            point_cols=("doc_id", "lat", "lng"),
+            point_cols=("doc_id", "cell_id"),
         )
         tiles = tile_counts(joined, 8)
         return tiles.count()
@@ -116,8 +116,8 @@ def run_bench() -> dict:
 
     # --- operator micro-benches -------------------------------------------
     timed("encode_only", lambda: read_pages_bench(columns=["doc_id"])
-          .map_batches(geocode_batch, batch_format="pyarrow")
-          .map_batches(cell_encode, batch_format="pyarrow").count())
+          .map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
+          .map_batches(cell_encode, batch_format="pyarrow", batch_size=None).count())
     timed("tile_counts", lambda: q_tile_counts_l8(SF_DIR).count())
     timed("knn", lambda: q_knn(SF_DIR).count())
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())

@@ -182,7 +182,9 @@ def read_pages(sf_dir: str, columns: list[str] | None = None):
     if "lang" in need:
         doc_cols.add("lang")
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=sorted(doc_cols))
-    ds = ds.map_batches(pages_from_documents_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        pages_from_documents_batch, batch_format="pyarrow", batch_size=None
+    )
     if columns:
         ds = ds.select_columns(columns)
     return ds

@@ -20,7 +20,7 @@ from ..stages.tiles import tile_counts, write_tiles
 def geocoded_pages(sf_dir: str, with_html: bool = True):
     cols = None if with_html else ["url", "warc_ts", "text", "lang", "doc_id"]
     ds = read_pages(sf_dir, columns=cols)
-    return ds.map_batches(geocode_batch, batch_format="pyarrow")
+    return ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
 
 
 def flagship(sf_dir: str, tile_level: int = 8, join_strategy: str = "broadcast"):
@@ -35,7 +35,7 @@ def flagship(sf_dir: str, tile_level: int = 8, join_strategy: str = "broadcast")
         pages,
         regions,
         strategy=join_strategy,
-        point_cols=("doc_id", "lat", "lng"),
+        point_cols=("doc_id", "cell_id"),
     )
     return tile_counts(joined, tile_level)
 
@@ -45,7 +45,7 @@ def flagship_write(
 ):
     """Full write path: encoded pages partitioned by tile with manifests."""
     pages = geocoded_pages(sf_dir, with_html=True)
-    pages = pages.map_batches(cell_encode, batch_format="pyarrow")
+    pages = pages.map_batches(cell_encode, batch_format="pyarrow", batch_size=None)
     pages = pages.map_batches(cell_token, batch_format="pyarrow")
     return write_tiles(
         pages, out_dir, tile_level, fingerprint=fingerprint

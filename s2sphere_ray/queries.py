@@ -63,7 +63,7 @@ def _docs(sf_dir: str, columns):
 def _points(sf_dir: str):
     """Geocoded points dataset (doc_id, lat, lng) — narrow read."""
     ds = _docs(sf_dir, ["doc_id"])
-    return ds.map_batches(geocode_batch, batch_format="pyarrow")
+    return ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -359,7 +359,9 @@ def spatial_join_shuffle(
             cols[c] = batch[c].take(take)
         return pa.table(cols)
 
-    p_side = points_ds.map_batches(emit_point_keys, batch_format="pyarrow")
+    p_side = points_ds.map_batches(
+        emit_point_keys, batch_format="pyarrow", batch_size=None
+    )
 
     # --- side R ----------------------------------------------------------
     r_cols = {
@@ -442,7 +444,9 @@ def _find_hot_keys(p_side, threshold: int) -> np.ndarray:
             {"join_key": pa.array(k, pa.int64()), "n": pa.array(c, pa.int64())}
         )
 
-    partials = p_side.map_batches(partial_counts, batch_format="pyarrow")
+    partials = p_side.map_batches(
+        partial_counts, batch_format="pyarrow", batch_size=None
+    )
     totals = partials.groupby("join_key").sum("n")
 
     def _filt(b: pa.Table) -> pa.Table:
@@ -555,4 +559,4 @@ def spatial_join(
     stage = BroadcastJoinStage(
         index_ref, list(point_cols), lat_col=lat_col, lng_col=lng_col
     )
-    return points_ds.map_batches(stage, batch_format="pyarrow")
+    return points_ds.map_batches(stage, batch_format="pyarrow", batch_size=None)

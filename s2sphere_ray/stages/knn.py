@@ -71,7 +71,9 @@ def knn_points(
             }
         )
 
-    partials = points_ds.map_batches(partial_topk, batch_format="pyarrow")
+    partials = points_ds.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=None
+    )
 
     def merge_topk(group: pa.Table) -> pa.Table:
         d = group["dist_rad"].to_numpy()
@@ -162,7 +164,9 @@ def knn_points_pruned(
             }
         )
 
-    partials = points_ds.map_batches(partial_topk, batch_format="pyarrow")
+    partials = points_ds.map_batches(
+        partial_topk, batch_format="pyarrow", batch_size=None
+    )
 
     def merge_topk(group: pa.Table) -> pa.Table:
         dd = group["dist_rad"].to_numpy()

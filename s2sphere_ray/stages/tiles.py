@@ -43,9 +43,9 @@ def tile_counts(
     level: int,
     lat_col="lat",
     lng_col="lng",
+    leaf_col: str | None = "cell_id",
     sum_cols=(),
     tree_reduce_max_level: int = 10,
-    fanin: int = 8,
 ):
     """E13: per-tile row counts (+ optional sums), partial-aggregated.
 
@@ -63,7 +63,12 @@ def tile_counts(
     value_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
 
     def partial(batch: pa.Table) -> pa.Table:
-        leaf = ck.cell_id_from_latlng(_np(batch[lat_col]), _np(batch[lng_col]))
+        if leaf_col and leaf_col in batch.column_names:
+            leaf = _np(batch[leaf_col])  # reuse upstream encode (no re-trig)
+        else:
+            leaf = ck.cell_id_from_latlng(
+                _np(batch[lat_col]), _np(batch[lng_col])
+            )
         tiles = ck.parent(leaf, level)
         order = np.argsort(tiles, kind="stable")
         tiles_sorted = tiles[order]
@@ -93,10 +98,10 @@ def tile_counts(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     if level <= tree_reduce_max_level:
-        lvl1 = partials.repartition(fanin).map_batches(
-            combine, batch_format="pyarrow", batch_size=None
-        )
-        out = lvl1.repartition(1).map_batches(
+        # Single coalesce barrier: the final combine handles at most
+        # (cardinality × blocks-compressed) partial rows in one task —
+        # bounded for level ≤ tree_reduce_max_level.
+        out = partials.repartition(1).map_batches(
             combine, batch_format="pyarrow", batch_size=None
         )
     else:
