@@ -31,6 +31,7 @@ def flagship(sf_dir: str, tile_level: int = 8, join_strategy: str = "broadcast")
     """
     regions = regions_from_sf_dir(sf_dir)
     pages = geocoded_pages(sf_dir, with_html=False)
+    pages = pages.map_batches(cell_encode, batch_format="pyarrow", batch_size=None)
     joined = spatial_join(
         pages,
         regions,
