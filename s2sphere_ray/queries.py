@@ -195,6 +195,68 @@ def q_join_poly(sf_dir: str):
     )
 
 
+_POINTS_XYZ_CTE = (
+    _POINTS_CTE + ", pxyz AS (SELECT doc_id,"
+    " cos(radians(lng)) * cos(radians(lat)) AS x,"
+    " sin(radians(lng)) * cos(radians(lat)) AS y,"
+    " sin(radians(lat)) AS z FROM points)"
+)
+
+# Convex-polygon containment in SQL: regenerate the deterministic vertices
+# (regions.make_poly_regions) from r_regionkey, build edge normals via cross
+# products, and keep points whose minimum edge dot-product is ≥ 0 — the
+# identical predicate to stages/join.refine_mask (kind='poly').
+SQL_JOIN_POLY = (
+    f"WITH {_POINTS_XYZ_CTE},"
+    " par AS (SELECT CAST(r_regionkey AS BIGINT) AS k,"
+    " CAST(r_regionkey AS BIGINT) + 2000 AS region_id,"
+    " CAST((CAST(r_regionkey AS BIGINT)*7919) % 100 - 50 AS DOUBLE) AS clat,"
+    " CAST((CAST(r_regionkey AS BIGINT)*104729) % 320 - 160 AS DOUBLE) AS clng,"
+    " 10.0 + 3.0 * CAST(CAST(r_regionkey AS BIGINT) % 5 AS DOUBLE) AS r,"
+    " 4 + CAST(r_regionkey AS BIGINT) % 5 AS nv FROM region),"
+    " verts AS (SELECT p.region_id, a.a AS idx, p.nv,"
+    " p.clat + p.r * sin(2 * pi() * a.a / p.nv) AS vlat,"
+    " p.clng + p.r * cos(2 * pi() * a.a / p.nv)"
+    " / greatest(0.2, cos(radians(p.clat))) AS vlng"
+    " FROM par p JOIN generate_series(0, 8) AS a(a) ON a.a < p.nv),"
+    " vxyz AS (SELECT region_id, idx, nv,"
+    " cos(radians(vlng)) * cos(radians(vlat)) AS vx,"
+    " sin(radians(vlng)) * cos(radians(vlat)) AS vy,"
+    " sin(radians(vlat)) AS vz FROM verts),"
+    " edges AS (SELECT a.region_id, a.idx,"
+    " a.vy * b.vz - a.vz * b.vy AS nx,"
+    " a.vz * b.vx - a.vx * b.vz AS ny,"
+    " a.vx * b.vy - a.vy * b.vx AS nz"
+    " FROM vxyz a JOIN vxyz b ON a.region_id = b.region_id"
+    " AND b.idx = (a.idx + 1) % a.nv),"
+    " checks AS (SELECT pt.doc_id, e.region_id,"
+    " min(e.nx * pt.x + e.ny * pt.y + e.nz * pt.z) AS mindot"
+    " FROM pxyz pt CROSS JOIN edges e GROUP BY pt.doc_id, e.region_id)"
+    " SELECT doc_id, region_id FROM checks WHERE mindot >= 0.0"
+)
+
+
+def q_knn_pruned(sf_dir: str):
+    """Cell-ring-pruned exact kNN (E11 scale path) — same oracle as q_knn."""
+    import pyarrow.parquet as pq
+
+    from .regions import cap_params_from_key
+    from .stages.knn import knn_points_pruned
+
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    keys = supplier["s_suppkey"].to_numpy().astype(np.int64)
+    qlat, qlng, _ = cap_params_from_key(keys)
+    queries = pa.table(
+        {
+            "query_id": pa.array(keys),
+            "lat": pa.array(qlat.astype(np.float64)),
+            "lng": pa.array(qlng.astype(np.float64)),
+        }
+    )
+    out = knn_points_pruned(_points(sf_dir), queries, k=5, level=6)
+    return out.select_columns(["query_id", "rank", "doc_id"])
+
+
 def q_join_rect_skew(sf_dir: str):
     """Rect join via the shuffle path WITH hot-key splitting — must produce
     identical rows to q_join_rect (and the same oracle)."""
@@ -687,6 +749,7 @@ QUERIES = {
     "q_join_cap": q_join_cap,
     "q_join_poly": q_join_poly,
     "q_knn": q_knn,
+    "q_knn_pruned": q_knn_pruned,
     "q_tile_counts_l8": q_tile_counts_l8,
     "q_top_tiles_l8": q_top_tiles_l8,
     "q_hilbert_order": q_hilbert_order,
@@ -730,6 +793,8 @@ ORACLE_SQL = {
     "q_join_rect_skew": SQL_JOIN_RECT,
     "q_join_cap": SQL_JOIN_CAP,
     "q_knn": SQL_KNN,
+    "q_knn_pruned": SQL_KNN,
+    "q_join_poly": SQL_JOIN_POLY,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_token_count": SQL_TOKEN_COUNT,
     "q_quality": SQL_QUALITY,
@@ -739,4 +804,33 @@ ORACLE_SQL = {
     "q_orders_by_segment": SQL_ORDERS_SEG,
     "q_events_hourly": SQL_EVENTS_HOURLY,
     "q_sessions": SQL_SESSIONS,
+    # Round-trip invariant: engine must produce ok=true for every row.
+    "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",
+    # Injected duplicates are the only pairs ≥ 0.99 (natural max sim ≈ 0.2),
+    # and identical vectors always share an LSH bucket → output is exactly
+    # the injected set.
+    "q_embed_neardup": (
+        "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings"
+        " WHERE vec_id % 50 = 0"
+    ),
+    "q_langid_counts": (
+        "WITH toks AS (SELECT doc_id, text,"
+        " list_distinct(string_split(lower(text), ' ')) AS tl FROM documents),"
+        " sc AS (SELECT doc_id, text,"
+        " len(list_filter(tl, x -> x IN ('the','and','of','is','was'))) AS se,"
+        " len(list_filter(tl, x -> x IN ('el','la','de','que','los'))) AS ss,"
+        " len(list_filter(tl, x -> x IN ('der','die','und','das','ist'))) AS sd,"
+        " len(list_filter(tl, x -> x IN ('le','la','les','des','est'))) AS sf"
+        " FROM toks),"
+        " pick AS (SELECT doc_id, text,"
+        " CASE WHEN greatest(se, ss, sd, sf) = 0 THEN 'und'"
+        " WHEN sd = greatest(se, ss, sd, sf) THEN 'de'"
+        " WHEN se = greatest(se, ss, sd, sf) THEN 'en'"
+        " WHEN ss = greatest(se, ss, sd, sf) THEN 'es'"
+        " ELSE 'fr' END AS lang0 FROM sc),"
+        " final AS (SELECT doc_id, CASE WHEN"
+        " regexp_matches(substr(text, 1, 200), '[一-鿿]')"
+        " THEN 'zh' ELSE lang0 END AS lang_guess FROM pick)"
+        " SELECT lang_guess, COUNT(*) AS n_docs FROM final GROUP BY lang_guess"
+    ),
 }
