@@ -118,6 +118,19 @@ def run_bench() -> dict:
     timed("encode_only", lambda: read_pages_bench(columns=["doc_id"])
           .map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
           .map_batches(cell_encode, batch_format="pyarrow", batch_size=None).count())
+    def shuffle_join():
+        pages = read_pages_bench(columns=["doc_id"]).limit(BENCH_ROWS // 4)
+        pages = pages.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
+        return spatial_join(
+            pages,
+            regions,
+            strategy="shuffle",
+            point_cols=("doc_id",),
+            hot_threshold=max(10_000, BENCH_ROWS // 100),
+            split_delta=3,
+        ).count()
+
+    timed("shuffle_join_quarter", shuffle_join)
     timed("tile_counts", lambda: q_tile_counts_l8(SF_DIR).count())
     timed("knn", lambda: q_knn(SF_DIR).count())
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())

@@ -335,23 +335,39 @@ def spatial_join_shuffle(
             "covers": covers,
         }
     )
+    # Semi-join pushdown: broadcast the sorted distinct region key set so
+    # point rows that cannot match any region never enter the shuffle (and
+    # the groupby only sees region-key groups, not every point cell).
+    # At extreme region-table sizes this array becomes a Bloom filter.
+    region_key_set = np.unique(key_table["join_key"].to_numpy())
+    keys_ref = ray.put(region_key_set)
     point_cols = list(point_cols)
 
-    # --- side P: one row per (point, present level) -----------------------
+    # --- side P: one row per (point, matching region key) -----------------
     def emit_point_keys(batch: pa.Table) -> pa.Table:
+        keys = _get_params(keys_ref)
         lat = batch[lat_col].to_numpy()
         lng = batch[lng_col].to_numpy()
         leaf = ck.cell_id_from_latlng(lat, lng)
         pk = _point_keys(leaf, levels)  # (n, L)
         n, L = pk.shape
+        flat = pk.T.reshape(-1)
         idx = np.tile(np.arange(n), L)
+        if len(keys):
+            pos = np.searchsorted(keys, flat)
+            hit = (pos < len(keys)) & (
+                keys[np.minimum(pos, len(keys) - 1)] == flat
+            )
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        flat, idx = flat[hit], idx[hit]
         cols = {
-            "join_key": pa.array(pk.T.reshape(-1), pa.int64()),
-            "side": pa.array(np.zeros(n * L, dtype=np.int8)),
-            "lat": pa.array(np.tile(lat, L)),
-            "lng": pa.array(np.tile(lng, L)),
+            "join_key": pa.array(flat, pa.int64()),
+            "side": pa.array(np.zeros(len(flat), dtype=np.int8)),
+            "lat": pa.array(lat[idx]),
+            "lng": pa.array(lng[idx]),
             "region_idx": pa.array(
-                np.full(n * L, -1, dtype=np.int32), pa.int32()
+                np.full(len(flat), -1, dtype=np.int32), pa.int32()
             ),
         }
         take = pa.array(idx)
