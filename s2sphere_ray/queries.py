@@ -544,8 +544,8 @@ def q_pricing_summary(sf_dir: str):
 
 SQL_PRICING = (
     "SELECT l_returnflag, l_linestatus,"
-    " SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,"
-    " SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))"
+    " CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,"
+    " CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)"
     " AS sum_rev_cents, COUNT(*) AS n_rows"
     " FROM lineitem GROUP BY l_returnflag, l_linestatus"
 )
@@ -593,7 +593,7 @@ def q_orders_by_segment(sf_dir: str):
 
 
 SQL_ORDERS_SEG = (
-    "SELECT c.c_mktsegment, SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))"
+    "SELECT c.c_mktsegment, CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
     " AS sum_total_cents, COUNT(*) AS n_orders FROM orders o"
     " JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY c.c_mktsegment"
 )
@@ -635,7 +635,7 @@ def q_events_hourly(sf_dir: str):
 
 SQL_EVENTS_HOURLY = (
     "SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,"
-    " SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS sum_value_cents"
+    " CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_cents"
     " FROM events GROUP BY event_type, date_trunc('hour', ts)"
 )
 

@@ -300,3 +300,19 @@ def test_convolve_with_cap():
     assert grown.contains_rect(r)
     assert grown.contains_latlng(g.LatLng.from_degrees(24.0, 15.0))
     assert not grown.contains_latlng(g.LatLng.from_degrees(40.0, 15.0))
+
+
+def test_sphere_compat_surface():
+    # Reference-style import surface (s2sphere drop-in names).
+    from s2sphere_ray import sphere
+
+    a = sphere.Angle.from_degrees(90.0)
+    assert abs(a.radians - math.pi / 2) < 1e-15
+    ll = sphere.LatLng.from_degrees(48.8584, 2.2945)
+    cid = sphere.CellId.from_latlng(ll)
+    assert cid.to_token() == "47e66fe1f36a36a5"
+    cov = sphere.RegionCoverer()
+    cap = sphere.Cap.from_axis_angle(ll.to_point(), 0.01)
+    union = cov.get_covering(cap)
+    assert isinstance(union, sphere.CellUnion) and 0 < len(union) <= 8
+    assert sphere.MIN_WIDTH.get_value(0) == 2 * math.sqrt(2) / 3
