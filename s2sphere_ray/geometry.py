@@ -935,7 +935,7 @@ _MAX_CELL_BOUND_ERROR = 1.0 / (1 << 51)
 
 
 class Cell:
-    __slots__ = ("cell_id", "face", "level", "orientation", "uv")
+    __slots__ = ("cell_id", "face", "level", "orientation", "uv", "_ij_lo", "_verts")
 
     def __init__(self, cell_id: CellId):
         self.cell_id = cell_id
@@ -946,10 +946,30 @@ class Cell:
         size = cell_id.get_size_ij(self.level)
         i_lo = i & -size
         j_lo = j & -size
+        self._ij_lo = (i_lo, j_lo)
+        self._verts = None
         self.uv = (
             (st_to_uv(i_lo / MAX_SIZE), st_to_uv((i_lo + size) / MAX_SIZE)),
             (st_to_uv(j_lo / MAX_SIZE), st_to_uv((j_lo + size) / MAX_SIZE)),
         )
+
+    @classmethod
+    def _from_parts(cls, cell_id, face, level, orientation, i_lo, j_lo):
+        """Child construction without re-decoding the Hilbert id (the hot
+        path of RegionCoverer expansion)."""
+        self = cls.__new__(cls)
+        self.cell_id = cell_id
+        self.face = face
+        self.level = level
+        self.orientation = orientation
+        self._ij_lo = (i_lo, j_lo)
+        self._verts = None
+        size = 1 << (MAX_LEVEL - level)
+        self.uv = (
+            (st_to_uv(i_lo / MAX_SIZE), st_to_uv((i_lo + size) / MAX_SIZE)),
+            (st_to_uv(j_lo / MAX_SIZE), st_to_uv((j_lo + size) / MAX_SIZE)),
+        )
+        return self
 
     @classmethod
     def from_latlng(cls, ll: LatLng) -> "Cell":
@@ -968,7 +988,16 @@ class Cell:
         return face_uv_to_xyz(self.face, u, v)
 
     def get_vertex(self, k: int):
-        return normalize(self.get_vertex_raw(k))
+        return self.vertices()[k]
+
+    def vertices(self):
+        """All 4 normalized vertices, computed once per Cell (the coverer
+        evaluates several region predicates against the same cell)."""
+        if self._verts is None:
+            self._verts = tuple(
+                normalize(self.get_vertex_raw(k)) for k in range(4)
+            )
+        return self._verts
 
     def get_edge_raw(self, k: int):
         """Inward-facing normal of edge k (sphere.py Cell.get_edge_raw)."""
@@ -990,7 +1019,26 @@ class Cell:
         return normalize(self.get_center_raw())
 
     def subdivide(self):
-        return [Cell(child) for child in self.cell_id.children()]
+        """4 children in traversal order; each child's ij quadrant follows
+        the Hilbert sub-cell tables (POS_TO_IJ / POS_TO_ORIENTATION), so no
+        per-child id decode is needed."""
+        half = 1 << (MAX_LEVEL - self.level - 1)
+        i_lo, j_lo = self._ij_lo
+        r = ck.POS_TO_IJ[self.orientation]
+        out = []
+        for pos, child_id in enumerate(self.cell_id.children()):
+            ij = r[pos]
+            out.append(
+                Cell._from_parts(
+                    child_id,
+                    self.face,
+                    self.level + 1,
+                    self.orientation ^ ck.POS_TO_ORIENTATION[pos],
+                    i_lo + (ij >> 1) * half,
+                    j_lo + (ij & 1) * half,
+                )
+            )
+        return out
 
     def exact_area(self) -> float:
         v0, v1, v2, v3 = (self.get_vertex(k) for k in range(4))
@@ -1279,14 +1327,14 @@ class Cap:
         return False
 
     def contains_cell(self, cell: Cell) -> bool:
-        vertices = [cell.get_vertex(k) for k in range(4)]
+        vertices = cell.vertices()
         for v in vertices:
             if not self.contains_point(v):
                 return False
         return not self.complement()._intersects(cell, vertices)
 
     def may_intersect_cell(self, cell: Cell) -> bool:
-        vertices = [cell.get_vertex(k) for k in range(4)]
+        vertices = cell.vertices()
         for v in vertices:
             if self.contains_point(v):
                 return True
@@ -1411,7 +1459,7 @@ class LatLngRect:
             return True
         if not self.intersects_rect(cell.get_rect_bound()):
             return False
-        cell_v = [cell.get_vertex(k) for k in range(4)]
+        cell_v = cell.vertices()
         cell_ll = [LatLng.from_point(v) for v in cell_v]
         for k in range(4):
             edge_lng = SphereInterval.from_point_pair(
@@ -1513,7 +1561,7 @@ class ConvexPolygon:
 
     def contains_cell(self, cell: Cell) -> bool:
         # All 4 vertices inside AND no polygon edge crosses a cell edge.
-        cell_v = [cell.get_vertex(k) for k in range(4)]
+        cell_v = cell.vertices()
         for v in cell_v:
             if not self.contains_point(v):
                 return False
@@ -1527,7 +1575,7 @@ class ConvexPolygon:
         return True
 
     def may_intersect_cell(self, cell: Cell) -> bool:
-        cell_v = [cell.get_vertex(k) for k in range(4)]
+        cell_v = cell.vertices()
         for v in cell_v:
             if self.contains_point(v):
                 return True
