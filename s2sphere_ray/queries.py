@@ -122,11 +122,15 @@ def q_cell_roundtrip(sf_dir: str):
 
 
 def q_cover_regions(sf_dir: str):
-    """(region_id, n_cover_cells, cover_tokens) — E7 (rows-only)."""
+    """(region_id, n_cover_cells, cover_tokens, n_interior_cells) — E7
+    exterior + interior coverings (rows-only)."""
     from .stages.cover import cover_table
 
     regions = regions_from_sf_dir(sf_dir)
     covered = cover_table(regions, max_cells=8)
+    interior = cover_table(
+        regions, max_cells=8, interior=True, interior_work_budget=400
+    )
     toks = []
     for ids in covered["cover"].to_pylist():
         toks.append(",".join(ck.token_from_cell_id(np.array(ids, dtype=np.uint64))))
@@ -137,6 +141,9 @@ def q_cover_regions(sf_dir: str):
                 [len(x) for x in covered["cover"].to_pylist()], pa.int64()
             ),
             "cover_tokens": pa.array(toks, pa.string()),
+            "n_interior_cells": pa.array(
+                [len(x) for x in interior["cover"].to_pylist()], pa.int64()
+            ),
         }
     )
 
@@ -735,6 +742,80 @@ def q_cellset_ops(sf_dir: str):
     )
 
 
+def q_curation(sf_dir: str):
+    """End-to-end training-data curation: quality gate (≥10 tokens, ≥30%
+    ASCII-alpha) → exact dedup by text → per-language survivor counts.
+    Chains E17 + text analysis + aggregation in one streaming pipeline."""
+    from .functions.dedup import exact_dedup
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["n_tokens"], 10),
+            pc.greater_equal(batch["alpha_ratio_x1000"], 300),
+        )
+        return batch.filter(m)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow")
+    deduped = exact_dedup(ds, key_col="text", id_col="doc_id")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["lang"].combine_chunks())
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "n_docs": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    return (
+        deduped.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+SQL_CURATION = (
+    "WITH q AS (SELECT doc_id, text, lang FROM documents"
+    " WHERE CAST(len(string_split(text,' ')) AS BIGINT) >= 10"
+    " AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+    " * 1000 // CAST(greatest(length(text), 1) AS BIGINT) >= 300),"
+    " d AS (SELECT min(doc_id) AS doc_id, any_value(lang) AS lang FROM q"
+    " GROUP BY text)"
+    " SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY lang"
+)
+
+
+def q_neighbors_l8(sf_dir: str):
+    """E10 as a pipeline op: 1→4 edge-neighbor expansion of each page's
+    level-8 cell (rows-only; symmetry/parity covered by pytest)."""
+    from .stages.encode import neighbors_expand
+
+    ds = _points(sf_dir)
+    ds = ds.map_batches(
+        lambda b: cell_encode(b, level=8), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: neighbors_expand(b, keep_cols=["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+    def tokenize(batch: pa.Table) -> pa.Table:
+        toks = ck.token_from_cell_id(_np(batch["neighbor_id"]))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "neighbor_token": pa.array(toks, pa.string()),
+            }
+        )
+
+    return ds.map_batches(tokenize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -769,6 +850,8 @@ QUERIES = {
     "q_embed_neardup": q_embed_neardup,
     "q_langid_counts": q_langid_counts,
     "q_cellset_ops": q_cellset_ops,
+    "q_curation": q_curation,
+    "q_neighbors_l8": q_neighbors_l8,
 }
 
 ORACLE_SQL = {
@@ -804,6 +887,7 @@ ORACLE_SQL = {
     "q_orders_by_segment": SQL_ORDERS_SEG,
     "q_events_hourly": SQL_EVENTS_HOURLY,
     "q_sessions": SQL_SESSIONS,
+    "q_curation": SQL_CURATION,
     # Round-trip invariant: engine must produce ok=true for every row.
     "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",
     # Injected duplicates are the only pairs ≥ 0.99 (natural max sim ≈ 0.2),

@@ -31,12 +31,14 @@ class CovererStage:
         level_mod: int = 1,
         interior: bool = False,
         tokens: bool = False,
+        interior_work_budget: int = 4000,
     ):
         self.coverer = g.RegionCoverer(
             min_level=min_level,
             max_level=max_level,
             level_mod=level_mod,
             max_cells=max_cells,
+            interior_work_budget=interior_work_budget,
         )
         self.interior = interior
         self.tokens = tokens
@@ -103,6 +105,7 @@ def cover_table(
     max_level: int = g.MAX_LEVEL,
     level_mod: int = 1,
     interior: bool = False,
+    interior_work_budget: int = 4000,
 ) -> pa.Table:
     """Driver-side covering of a small regions table (broadcast-index path)."""
     stage = CovererStage(
@@ -111,5 +114,6 @@ def cover_table(
         max_level=max_level,
         level_mod=level_mod,
         interior=interior,
+        interior_work_budget=interior_work_budget,
     )
     return stage(regions)
