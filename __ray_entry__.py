@@ -13,8 +13,12 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def entry() -> Any:

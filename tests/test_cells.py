@@ -148,3 +148,29 @@ def test_empty_batch():
     empty = ck.cell_id_from_latlng(np.array([]), np.array([]))
     assert empty.shape == (0,)
     assert ck.token_from_cell_id(empty) == []
+
+
+def test_face_centers_and_corners():
+    # Face center directions map to the 6 face cells; corner-adjacent
+    # points (u,v → ±1) stay valid and round-trip (FIXTURES.md §2 edge rows).
+    centers = np.array(
+        [
+            [1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0],
+            [-1.0, 0, 0], [0, -1.0, 0], [0, 0, -1.0],
+        ]
+    )
+    ids = ck.cell_id_from_point(centers[:, 0], centers[:, 1], centers[:, 2])
+    assert ck.is_valid(ids).all()
+    assert (ck.face(ids) == np.arange(6)).all()
+    eps = 1e-12
+    for face_idx in range(6):
+        for u in (-1.0 + eps, 0.0, 1.0 - eps):
+            for v in (-1.0 + eps, 0.0, 1.0 - eps):
+                x, y, z = ck.face_uv_to_xyz(np.array([face_idx]), np.array([u]), np.array([v]))
+                n = np.sqrt(x * x + y * y + z * z)
+                cid = ck.cell_id_from_point(x / n, y / n, z / n)
+                assert ck.is_valid(cid).all()
+                assert int(ck.face(cid)[0]) == face_idx
+                lat2, lng2 = ck.cell_id_to_latlng(cid)
+                cid2 = ck.cell_id_from_latlng(lat2, lng2)
+                assert int(cid2[0]) == int(cid[0])
