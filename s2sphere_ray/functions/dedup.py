@@ -30,6 +30,115 @@ def _token_hashes(text: str) -> np.ndarray:
     return out
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv_over_offsets(
+    data: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """FNV-1a of ``lens[i]`` bytes at ``data[starts[i]:]`` for every i —
+    vectorized over the batch (one masked pass per byte position)."""
+    h = np.full(len(starts), _FNV_OFFSET)
+    maxlen = int(lens.max()) if len(lens) else 0
+    for c in range(maxlen):
+        live = lens > c
+        idx = starts[live] + c
+        h[live] = (h[live] ^ data[idx].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _token_hash_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized batch tokenizer+hasher: FNV-1a per whitespace token for a
+    whole batch at once (no per-row Python).
+
+    Returns (token_hashes uint64 over all docs concatenated,
+    doc_offsets int64[n_docs+1]). Matches :func:`_token_hashes` per doc.
+    """
+    arr = pa.array([t or "" for t in texts], pa.string())
+    toks = pc.utf8_split_whitespace(arr)
+    flat = pc.list_flatten(toks).cast(pa.string())
+    counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    n_tok = len(flat)
+    if n_tok:
+        str_offsets = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+            flat.offset : flat.offset + n_tok + 1
+        ].astype(np.int64)
+        data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+        lengths = np.diff(str_offsets)
+    else:
+        str_offsets = np.zeros(1, dtype=np.int64)
+        data = np.zeros(0, dtype=np.uint8)
+        lengths = np.zeros(0, dtype=np.int64)
+    # Python str.split() drops empty tokens; utf8_split_whitespace can emit
+    # them at string edges — filter and adjust per-doc counts.
+    keep = lengths > 0
+    doc_of = np.repeat(np.arange(len(texts)), counts)
+    counts = np.bincount(doc_of[keep], minlength=len(texts)).astype(np.int64)
+    starts = str_offsets[:-1][keep]
+    lens = lengths[keep]
+    h = fnv_over_offsets(data, starts, lens)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return h, offsets
+
+
+def _shingle_batch(
+    texts: list[str], n: int = 3
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-n-gram shingle hashes for a whole batch.
+
+    Returns (shingles uint64 concatenated, offsets int64[n_docs+1]);
+    per-doc shingle multisets match :func:`_shingle_hashes` up to
+    within-doc dedup (min-hashing is dedup-invariant)."""
+    th, toff = _token_hash_batch(texts)
+    counts = np.diff(toff)
+    n_docs = len(texts)
+    doc_of = np.repeat(np.arange(n_docs), counts)
+    if len(th) >= n:
+        acc = th[: len(th) - n + 1].copy()
+        for k in range(1, n):
+            acc = acc * _FNV_PRIME + th[k : len(th) - n + 1 + k]
+        valid = doc_of[: len(th) - n + 1] == doc_of[n - 1 :]
+    else:
+        acc = np.zeros(0, dtype=np.uint64)
+        valid = np.zeros(0, dtype=bool)
+    sh_counts = np.maximum(counts - n + 1, 0)
+    # Docs with fewer than n tokens fall back to their token hashes
+    # (empty docs contribute the sentinel 0), matching the scalar path.
+    short = counts < n
+    parts = [acc[valid]]
+    part_counts = sh_counts.copy()
+    if short.any():
+        # Rare path: assemble short-doc contributions.
+        extra = []
+        for d in np.nonzero(short)[0]:
+            seg = th[toff[d] : toff[d + 1]]
+            if not len(seg):
+                seg = np.array([0], dtype=np.uint64)
+            extra.append(seg)
+            part_counts[d] = len(seg)
+        # Interleave in doc order: rebuild full array.
+        out = np.empty(int(part_counts.sum()), dtype=np.uint64)
+        offs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(part_counts, out=offs[1:])
+        main = acc[valid]
+        moffs = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(sh_counts * (~short), out=moffs[1:])
+        ei = 0
+        for d in range(n_docs):
+            if short[d]:
+                out[offs[d] : offs[d + 1]] = extra[ei]
+                ei += 1
+            else:
+                out[offs[d] : offs[d + 1]] = main[moffs[d] : moffs[d + 1]]
+        return out, offs
+    offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(part_counts, out=offs[1:])
+    return parts[0], offs
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """Hashes of word n-gram shingles (vectorized rolling combine)."""
     toks = _token_hashes(text)
@@ -108,7 +217,11 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()
-        sigs = np.stack([self.signature(t or "") for t in texts])
+        # Vectorized across the whole batch: shingles for all docs at once,
+        # permutations applied globally, per-doc mins via segment reduce.
+        sh, offs = _shingle_batch(texts, self.n)
+        v = (sh[:, None] * self.a[None, :] + self.b[None, :]) % np.uint64(_M61)
+        sigs = np.minimum.reduceat(v, offs[:-1], axis=0)
         return batch.append_column(
             "minhash",
             pa.FixedSizeListArray.from_arrays(
@@ -220,18 +333,23 @@ def minhash_lsh_pairs(
 
 
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit SimHash per document (token-hash bit voting)."""
+    """64-bit SimHash per document (token-hash bit voting), vectorized:
+    all token hashes for the batch at once, per-doc votes via segment sum."""
     texts = batch[text_col].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
-    bitcols = (np.uint64(1) << np.arange(64, dtype=np.uint64))[None, :]
-    for i, t in enumerate(texts):
-        th = _token_hashes(t or "")
-        if not len(th):
-            out[i] = 0
-            continue
-        bits = (th[:, None] & bitcols) != 0  # (T, 64)
-        votes = bits.sum(axis=0) * 2 - len(th)
-        out[i] = np.uint64((bitcols[0][votes > 0]).sum())
+    n = len(texts)
+    bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    th, offs = _token_hash_batch(texts)
+    counts = np.diff(offs)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(th):
+        bits = (th[:, None] & bitcols[None, :]) != 0  # (T, 64)
+        starts = np.minimum(offs[:-1], len(th) - 1)
+        votes = np.add.reduceat(bits, starts, axis=0)
+        # reduceat artifacts for empty segments are masked out below.
+        nonempty = counts > 0
+        maj = (votes * 2 - counts[:, None]) > 0
+        maj &= nonempty[:, None]
+        out = (maj * bitcols[None, :]).sum(axis=1).astype(np.uint64)
     return batch.append_column("simhash", pa.array(out, pa.uint64()))
 
 

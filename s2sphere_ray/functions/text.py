@@ -96,22 +96,19 @@ class LangIdStage:
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit rolling-hash document fingerprint (FNV-1a over UTF-8 bytes),
-    vectorized over a padded byte matrix — no per-row Python loop."""
+    computed straight off the Arrow value buffer — zero per-row Python."""
+    from .dedup import fnv_over_offsets
+
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     arr = col.cast(pa.binary())
     n = len(arr)
-    lengths = pc.binary_length(arr).to_numpy(zero_copy_only=False)
-    maxlen = int(lengths.max()) if n else 0
-    mat = np.zeros((n, maxlen), dtype=np.uint8)
-    for i in range(n):  # buffer copy only; hashing below is vectorized
-        v = arr[i].as_py() or b""
-        mat[i, : len(v)] = np.frombuffer(v, dtype=np.uint8)
-    h = np.full(n, np.uint64(14695981039346656037))
-    prime = np.uint64(1099511628211)
-    live = np.arange(maxlen)[None, :] < lengths[:, None]
-    for c in range(maxlen):
-        m = live[:, c]
-        h[m] = (h[m] ^ mat[m, c].astype(np.uint64)) * prime
+    if not n:
+        return batch.append_column("fingerprint", pa.array([], pa.uint64()))
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    h = fnv_over_offsets(data, offsets[:-1], np.diff(offsets))
     return batch.append_column("fingerprint", pa.array(h, pa.uint64()))
