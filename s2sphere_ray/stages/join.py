@@ -412,36 +412,65 @@ def spatial_join_shuffle(
     r_side = rd.from_arrow(r_table)
     both = p_side.union(r_side)
 
-    def join_group(group: pa.Table) -> pa.Table:
+    # Bucketed hash join: grouping on (hashed) buckets instead of raw keys
+    # keeps the group count fixed (≈4·CPUs) and the per-group body fully
+    # vectorized (sort-merge on join_key inside the bucket) — no per-key
+    # Python dispatch. The multiplicative hash mixes the key because raw
+    # cell ids share trailing lsb patterns per level.
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        k = batch["join_key"].to_numpy().view(np.uint64)
+        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(
+            np.int32
+        )
+        return batch.append_column("bucket", pa.array(b))
+
+    both = both.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+
+    def join_bucket(group: pa.Table) -> pa.Table:
         params = _get_params(params_ref)
         side = group["side"].to_numpy()
-        ridxs = group["region_idx"].to_numpy()[side == 1]
-        out = []
-        n_regions = len(ridxs)
-        if n_regions == 0:
+        keys = group["join_key"].to_numpy()
+        rmask = side == 1
+        if not rmask.any() or rmask.all():
             return _empty_result(group, point_cols)
-        pmask = side == 0
-        if not pmask.any():
-            return _empty_result(group, point_cols)
-        prows = np.nonzero(pmask)[0]
-        lat = group["lat"].to_numpy()[prows]
-        lng = group["lng"].to_numpy()[prows]
+        rkeys = keys[rmask]
+        ridxs = group["region_idx"].to_numpy()[rmask]
+        prows = np.nonzero(~rmask)[0]
+        pkeys = keys[prows]
+        order = np.argsort(pkeys, kind="stable")
+        pkeys_s = pkeys[order]
+        prows_s = prows[order]
+        lat = group["lat"].to_numpy()[prows_s]
+        lng = group["lng"].to_numpy()[prows_s]
+        # Candidate point ranges per region key (equality on the snapped
+        # cell key), accumulated per region then refined once per region.
+        per_region: dict[int, list[np.ndarray]] = {}
+        lo = np.searchsorted(pkeys_s, rkeys, side="left")
+        hi = np.searchsorted(pkeys_s, rkeys, side="right")
+        for rk_lo, rk_hi, r in zip(lo, hi, ridxs):
+            if rk_hi > rk_lo:
+                per_region.setdefault(int(r), []).append(
+                    np.arange(rk_lo, rk_hi)
+                )
         takes = []
         rids = []
-        for r in np.unique(ridxs):
-            row = params["rows"][int(r)]
-            mask = refine_mask(lat, lng, row)
-            kept = prows[mask]
+        for r, ranges in per_region.items():
+            sel = np.concatenate(ranges)
+            row = params["rows"][r]
+            mask = refine_mask(lat[sel], lng[sel], row)
+            kept = prows_s[sel[mask]]
             takes.append(kept)
             rids.append(np.full(len(kept), row["region_id"], dtype=np.int64))
-        take = pa.array(np.concatenate(takes)) if takes else pa.array([], pa.int64())
+        if not takes:
+            return _empty_result(group, point_cols)
+        take = pa.array(np.concatenate(takes))
         cols = {c: group[c].take(take) for c in point_cols}
-        cols["region_id"] = pa.array(
-            np.concatenate(rids) if rids else np.array([], np.int64)
-        )
+        cols["region_id"] = pa.array(np.concatenate(rids))
         return pa.table(cols)
 
-    return both.groupby("join_key").map_groups(join_group, batch_format="pyarrow")
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
 def _empty_result(group: pa.Table, point_cols) -> pa.Table:
