@@ -32,7 +32,6 @@ Output: one row per (point, region) containment pair.
 
 from __future__ import annotations
 
-import math
 
 import numpy as np
 import pyarrow as pa
