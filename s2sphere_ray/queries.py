@@ -790,6 +790,44 @@ SQL_CURATION = (
 )
 
 
+def q_asof_orders(sf_dir: str):
+    """As-of join: latest event of the same user at or before each order."""
+    from .functions.asof import asof_last_event
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    events = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return asof_last_event(orders, events)
+
+
+def q_band_join(sf_dir: str):
+    """Range/band join lineitem⋈part on quantity within ±2 of p_size."""
+    from .functions.asof import band_join_counts
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_size", "p_brand"]
+    )
+    lineitem = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
+    )
+    return band_join_counts(lineitem, part, band=2)
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding 60-min windows every 30 min per event_type."""
+    from .functions.asof import sliding_window_counts
+
+    events = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+    return sliding_window_counts(events)
+
+
 def q_neighbors_l8(sf_dir: str):
     """E10 as a pipeline op: 1→4 edge-neighbor expansion of each page's
     level-8 cell (rows-only; symmetry/parity covered by pytest)."""
@@ -852,7 +890,16 @@ QUERIES = {
     "q_cellset_ops": q_cellset_ops,
     "q_curation": q_curation,
     "q_neighbors_l8": q_neighbors_l8,
+    "q_asof_orders": q_asof_orders,
+    "q_band_join": q_band_join,
+    "q_events_sliding": q_events_sliding,
 }
+
+from .functions.asof import (  # noqa: E402
+    ASOF_SQL as SQL_ASOF,
+    BAND_JOIN_SQL as SQL_BAND_JOIN,
+    SLIDING_SQL as SQL_SLIDING,
+)
 
 ORACLE_SQL = {
     "q_geocode": SQL_GEOCODE,
@@ -888,6 +935,9 @@ ORACLE_SQL = {
     "q_events_hourly": SQL_EVENTS_HOURLY,
     "q_sessions": SQL_SESSIONS,
     "q_curation": SQL_CURATION,
+    "q_asof_orders": SQL_ASOF,
+    "q_band_join": SQL_BAND_JOIN,
+    "q_events_sliding": SQL_SLIDING,
     # Round-trip invariant: engine must produce ok=true for every row.
     "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",
     # Injected duplicates are the only pairs ≥ 0.99 (natural max sim ≈ 0.2),
