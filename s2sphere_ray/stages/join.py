@@ -395,6 +395,10 @@ def spatial_join_shuffle(
 
     # --- optional skew split ---------------------------------------------
     if hot_threshold is not None:
+        # The counting pre-pass and the join both consume the key stream;
+        # materialize it once (narrow rows) so the upstream read/geocode/
+        # encode pipeline does not execute twice.
+        p_side = p_side.materialize()
         hot = _find_hot_keys(p_side, hot_threshold)
         if len(hot):
             hot_set_ref = ray.put(hot)

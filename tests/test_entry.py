@@ -12,11 +12,19 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.001"
 SAMPLE = [
     "q_geocode",
+    "q_cell_tokens_l12",
     "q_join_rect",
     "q_join_cap",
+    "q_join_poly",
     "q_knn",
     "q_token_count",
     "q_pricing_summary",
+    "q_sessions",
+    "q_curation",
+    "q_band_join",
+    "q_events_sliding",
+    "q_asof_orders",
+    "q_simsearch",
 ]
 
 
