@@ -790,6 +790,33 @@ SQL_CURATION = (
 )
 
 
+def q_distinct_sources(sf_dir: str):
+    """Distinct source values (E14-adjacent unique op; Dataset.unique
+    returns a plain list, so the distinct is expressed as a groupby)."""
+    ds = _docs(sf_dir, ["source"])
+    return ds.groupby("source").count().select_columns(["source"])
+
+
+SQL_DISTINCT_SOURCES = "SELECT DISTINCT source FROM documents"
+
+
+def q_sample_hash(sf_dir: str):
+    """Deterministic 10% sample by id hash (resumable sampling — the scale
+    substitute for random_sample when reruns must see the same rows)."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array((d * 2654435761) % 10 == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+SQL_SAMPLE_HASH = (
+    "SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 10 = 0"
+)
+
+
 def q_asof_orders(sf_dir: str):
     """As-of join: latest event of the same user at or before each order."""
     from .functions.asof import asof_last_event
@@ -893,6 +920,8 @@ QUERIES = {
     "q_asof_orders": q_asof_orders,
     "q_band_join": q_band_join,
     "q_events_sliding": q_events_sliding,
+    "q_distinct_sources": q_distinct_sources,
+    "q_sample_hash": q_sample_hash,
 }
 
 from .functions.asof import (  # noqa: E402
@@ -938,6 +967,8 @@ ORACLE_SQL = {
     "q_asof_orders": SQL_ASOF,
     "q_band_join": SQL_BAND_JOIN,
     "q_events_sliding": SQL_SLIDING,
+    "q_distinct_sources": SQL_DISTINCT_SOURCES,
+    "q_sample_hash": SQL_SAMPLE_HASH,
     # Round-trip invariant: engine must produce ok=true for every row.
     "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",
     # Injected duplicates are the only pairs ≥ 0.99 (natural max sim ≈ 0.2),
