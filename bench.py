@@ -133,6 +133,26 @@ def run_bench() -> dict:
         ).count()
 
     timed("shuffle_join_quarter", shuffle_join)
+
+    def write_tiles_bench():
+        import shutil
+
+        from s2sphere_ray.stages.tiles import write_tiles
+
+        out_dir = "/tmp/graft_bench_tiles"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        pages = read_pages_bench(columns=["url", "doc_id"]).limit(BENCH_ROWS // 4)
+        pages = pages.map_batches(
+            geocode_batch, batch_format="pyarrow", batch_size=None
+        )
+        write_tiles(pages, out_dir, level=4, fingerprint="bench", tile_prefix_len=2)
+        from s2sphere_ray.stages.tiles import read_manifests
+
+        n = sum(m["rows"] for m in read_manifests(out_dir))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return n
+
+    timed("write_tiles_quarter", write_tiles_bench)
     timed("tile_counts", lambda: q_tile_counts_l8(SF_DIR).count())
     timed("knn", lambda: q_knn(SF_DIR).count())
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())

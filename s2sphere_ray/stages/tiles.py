@@ -197,26 +197,36 @@ def write_tiles(
     ds.write_parquet(out_dir, partition_cols=["tile_prefix"])
     wall_ms = int((time.time() - t0) * 1000)
 
-    # Manifest pass: record per-partition row counts from the written files.
-    import pyarrow.parquet as pq
+    # Manifest pass: per-partition row counts from the written file footers,
+    # fanned out as Ray tasks (serial footer reads dominate otherwise).
+    import ray
 
-    for entry in os.listdir(out_dir):
-        if not entry.startswith("tile_prefix="):
-            continue
-        prefix = entry.split("=", 1)[1]
-        if prefix in done:
-            continue
-        part_dir = os.path.join(out_dir, entry)
+    @ray.remote(num_cpus=0.25)
+    def _partition_manifest(part_dir: str) -> tuple[int, list[str]]:
+        import pyarrow.parquet as pq
+
         rows = 0
         frags = []
         for f in os.listdir(part_dir):
             if f.endswith(".parquet"):
                 rows += pq.read_metadata(os.path.join(part_dir, f)).num_rows
                 frags.append(f)
+        return rows, sorted(frags)
+
+    todo = []
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("tile_prefix="):
+            continue
+        prefix = entry.split("=", 1)[1]
+        if prefix in done:
+            continue
+        todo.append((prefix, os.path.join(out_dir, entry)))
+    results = ray.get([_partition_manifest.remote(d) for _, d in todo])
+    for (prefix, _), (rows, frags) in zip(todo, results):
         manifest = {
             "partition": prefix,
             "rows": rows,
-            "fragments": sorted(frags),
+            "fragments": frags,
             "op_fingerprint": fingerprint,
             "wall_ms": wall_ms,
             "written_at": time.time(),

@@ -275,3 +275,21 @@ def test_knn_pruned_equals_brute(ray_session):
             for r in knn_points_pruned(ds, queries, k=5, level=level).take_all()
         }
         assert pruned == brute, level
+
+
+def test_write_tiles_text_byte_identical_roundtrip(ray_session, tmp_path):
+    """The per-row invariant holds through the partitioned sink: text read
+    back from the tile layout is byte-identical per url."""
+    import ray.data as rd
+    from s2sphere_ray.pages import read_pages, geocode_batch
+    from s2sphere_ray.stages.tiles import write_tiles
+
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    want = dict(zip(src["doc_id"].to_pylist(), src["text"].to_pylist()))
+    pages = read_pages(SF).map_batches(geocode_batch, batch_format="pyarrow")
+    out_dir = str(tmp_path / "tiles")
+    write_tiles(pages, out_dir, level=6, fingerprint="t")
+    back = rd.read_parquet(out_dir).take_all()
+    assert len(back) == len(want)
+    for row in back:
+        assert row["text"] == want[row["doc_id"]]
