@@ -101,7 +101,8 @@ def run_bench() -> dict:
         return rd.read_parquet(pages_path, columns=columns)
 
     def headline():
-        pages = read_pages_bench(columns=["url", "doc_id"])
+        # Pure input_hint shape: geocode parses the page id from the url.
+        pages = read_pages_bench(columns=["url"])
         pages = pages.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
         pages = pages.map_batches(cell_encode, batch_format="pyarrow", batch_size=None)
         joined = spatial_join(

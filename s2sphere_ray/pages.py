@@ -99,10 +99,10 @@ def geocode_sql(id_expr: str) -> tuple[str, str]:
 
 
 def doc_id_from_url(url: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Parse the trailing integer of ``https://{source}.example/{doc_id}``."""
-    parts = pc.split_pattern(url, "/")
-    tail = pc.list_element(parts, -1)
-    return pc.cast(tail, pa.int64())
+    """Parse the trailing integer of ``https://{source}.example/{doc_id}``
+    (vectorized regex extract)."""
+    m = pc.extract_regex(url, r"(?P<doc_id>[0-9]+)$")
+    return pc.cast(pc.struct_field(m, "doc_id"), pa.int64())
 
 
 def pages_from_documents_batch(batch: pa.Table) -> pa.Table:
@@ -152,14 +152,14 @@ def geocode_batch(batch: pa.Table) -> pa.Table:
     """
     if "doc_id" in batch.column_names:
         doc_id = batch["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        out = batch
     else:
-        doc_id = (
-            doc_id_from_url(batch["url"])
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
-        )
+        parsed = doc_id_from_url(batch["url"])
+        if isinstance(parsed, pa.ChunkedArray):
+            parsed = parsed.combine_chunks()
+        doc_id = parsed.to_numpy(zero_copy_only=False)
+        out = batch.append_column("doc_id", parsed)
     lat, lng = geocode_from_doc_id(doc_id)
-    out = batch
     out = out.append_column("lat", pa.array(lat, pa.float64()))
     out = out.append_column("lng", pa.array(lng, pa.float64()))
     return out
