@@ -153,6 +153,70 @@ def embedding_neardup_pairs(
     )
 
 
+def train_ivf_centroids(
+    sample: np.ndarray, n_centroids: int = 16, iters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Deterministic mini k-means (fixed seed/iterations) for IVF coarse
+    quantization; trained driver-side on a sample, broadcast to workers."""
+    rng = np.random.default_rng(seed)
+    x = sample.astype(np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_topk(
+    embeddings_ds,
+    queries: pa.Table,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    train_sample: int = 4096,
+):
+    """IVF approximate top-k: vectors are assigned to their nearest coarse
+    centroid; each query scans only the ``nprobe`` closest inverted lists.
+
+    The centroid table is trained once driver-side on a sample and
+    broadcast; per batch the assignment is one matmul. Scale path
+    complement to :func:`cosine_topk_lsh` (recall grows with nprobe)."""
+    import ray
+
+    sample_rows = embeddings_ds.limit(train_sample).take_all()
+    sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
+    cent = train_ivf_centroids(sample, n_centroids=n_centroids)
+    q = _emb_matrix(queries).astype(np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probe_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    probe_set = set(int(c) for c in probe_lists.reshape(-1))
+    cent_ref = ray.put((cent, sorted(probe_set)))
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        centroids, probed = ray.get(cent_ref)
+        e = _emb_matrix(batch).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        assign = ((e / norms) @ centroids.T).argmax(axis=1)
+        return batch.filter(pa.array(np.isin(assign, probed)))
+
+    pruned = embeddings_ds.map_batches(
+        keep_probed, batch_format="pyarrow", batch_size=None
+    )
+    return cosine_topk(
+        pruned, queries, k, id_col=id_col, query_id_col=query_id_col
+    )
+
+
 class LSHBucketStage:
     """Sign-LSH coarse bucketing: ``bucket = bits(sign(E @ H))`` with the
     hyperplane matrix H built once per actor (seeded)."""

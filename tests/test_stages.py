@@ -293,3 +293,45 @@ def test_write_tiles_text_byte_identical_roundtrip(ray_session, tmp_path):
     assert len(back) == len(want)
     for row in back:
         assert row["text"] == want[row["doc_id"]]
+
+
+def test_ivf_topk_finds_self_and_recall(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.sim import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((400, 32)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.reshape(-1), pa.float32()), 32
+            ),
+        }
+    )
+    queries = pa.table(
+        {
+            "query_id": pa.array([3, 77], pa.int64()),
+            "embedding": pa.concat_arrays(
+                [
+                    t["embedding"].slice(3, 1).combine_chunks(),
+                    t["embedding"].slice(77, 1).combine_chunks(),
+                ]
+            ),
+        }
+    )
+    approx = ivf_topk(rd.from_arrow(t), queries, k=10, nprobe=6)
+    rows = approx.take_all()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], {})[r["rank"]] = r["vec_id"]
+    # exact self-match always survives pruning (its list is always probed)
+    assert by_q[3][1] == 3 and by_q[77][1] == 77
+    # decent recall vs brute force
+    brute = cosine_topk(rd.from_arrow(t), queries, k=10).take_all()
+    bq = {}
+    for r in brute:
+        bq.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qid in (3, 77):
+        got = set(by_q[qid].values())
+        assert len(got & bq[qid]) >= 5, (qid, got, bq[qid])
