@@ -151,46 +151,45 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
-def exact_dedup(ds, key_col: str = "text", id_col: str = "doc_id"):
+def exact_dedup(
+    ds, key_col: str = "text", id_col: str = "doc_id", n_buckets: int = 256
+):
     """E17 exact dedup: one survivor (min id) per distinct key.
 
-    Scale note: the groupby key is the content hash (fixed width) rather
-    than the raw text so shuffle volume stays bounded; survivors of a hash
-    group are min-id per full key within the group (collision-safe).
+    Scale design: rows shuffle on a *bucket* of the content hash (fixed
+    group count — one vectorized pandas dedup per bucket, never a Python
+    call per key), and the in-bucket survivor is min-id per full key
+    (collision-safe); shuffle volume carries the 8-byte hash, not the key,
+    for bucketing.
     """
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = pc.hash_64(batch[key_col]) if hasattr(pc, "hash_64") else None
-        if h is None:
-            import hashlib
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_pylist()
+        import hashlib
 
-            vals = batch[key_col].to_pylist()
-            h = pa.array(
-                np.frombuffer(
-                    b"".join(
-                        hashlib.blake2b(
-                            (v or "").encode(), digest_size=8
-                        ).digest()
-                        for v in vals
-                    ),
-                    dtype="<i8",
-                )
-            )
-        return batch.append_column("_h", h)
+        h = np.frombuffer(
+            b"".join(
+                hashlib.blake2b((v or "").encode(), digest_size=8).digest()
+                for v in vals
+            ),
+            dtype="<u8",
+        ) if vals else np.zeros(0, dtype=np.uint64)
+        b = (h % np.uint64(n_buckets)).astype(np.int32)
+        return batch.append_column("_hb", pa.array(b))
 
-    def first_per_key(group: pa.Table) -> pa.Table:
+    def dedup_bucket(group: pa.Table) -> pa.Table:
         import pandas as pd
 
         df = group.to_pandas()
         survivors = df.loc[df.groupby(key_col)[id_col].idxmin()]
         return pa.Table.from_pandas(
-            survivors.drop(columns=["_h"]), preserve_index=False
+            survivors.drop(columns=["_hb"]), preserve_index=False
         ).replace_schema_metadata(None)
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_h")
-        .map_groups(first_per_key, batch_format="pyarrow")
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_hb")
+        .map_groups(dedup_bucket, batch_format="pyarrow")
     )
 
 
@@ -282,34 +281,53 @@ def minhash_lsh_pairs(
 
     exploded = sigged.map_batches(explode_bands, batch_format="pyarrow")
 
+    # Shuffle on a fixed bucket count (hash of the band key), not on raw
+    # band keys — one vectorized group body per bucket; only genuine
+    # collision runs (same band_id AND band_hash, ≥2 docs) pay the
+    # pairwise Jaccard verification.
+    n_buckets = 1024
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bid = batch["band_id"].to_numpy().astype(np.uint64)
+        bh = batch["band_hash"].to_numpy().view(np.uint64)
+        mixed = (bh ^ (bid * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        return batch.append_column(
+            "_cb", pa.array((mixed % np.uint64(n_buckets)).astype(np.int32))
+        )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
         ids = group[id_col].to_numpy()
-        texts = group["text"].to_pylist()
-        order = np.argsort(ids)
+        bid = group["band_id"].to_numpy()
+        bh = group["band_hash"].to_numpy()
+        order = np.lexsort((ids, bh, bid))
+        bid, bh, ids_s = bid[order], bh[order], ids[order]
+        texts = group["text"].take(pa.array(order)).to_pylist()
+        boundary = np.nonzero((np.diff(bid) != 0) | (np.diff(bh) != 0))[0] + 1
         out_a, out_b, out_j = [], [], []
-        sh = [None] * len(ids)
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, jdx = order[x], order[y]
-                if sh[i] is None:
-                    sh[i] = _shingle_hashes(texts[i] or "", shingle_n)
-                if sh[jdx] is None:
-                    sh[jdx] = _shingle_hashes(texts[jdx] or "", shingle_n)
-                inter = np.intersect1d(sh[i], sh[jdx]).size
-                union = sh[i].size + sh[jdx].size - inter
-                jac = inter / union if union else 1.0
-                if jac >= jaccard_threshold:
-                    out_a.append(int(ids[i]))
-                    out_b.append(int(ids[jdx]))
-                    out_j.append(jac)
+        sh_cache: dict[int, np.ndarray] = {}
+
+        def shingles(pos):
+            key = int(ids_s[pos])
+            if key not in sh_cache:
+                sh_cache[key] = _shingle_hashes(texts[pos] or "", shingle_n)
+            return sh_cache[key]
+
+        for run in np.split(np.arange(len(ids_s)), boundary):
+            if len(run) < 2:
+                continue
+            for a in range(len(run)):
+                for b in range(a + 1, len(run)):
+                    i, j = run[a], run[b]
+                    sa, sb = shingles(i), shingles(j)
+                    inter = np.intersect1d(sa, sb).size
+                    union = sa.size + sb.size - inter
+                    jac = inter / union if union else 1.0
+                    if jac >= jaccard_threshold:
+                        out_a.append(int(min(ids_s[i], ids_s[j])))
+                        out_b.append(int(max(ids_s[i], ids_s[j])))
+                        out_j.append(jac)
         return pa.table(
             {
                 "id_a": pa.array(out_a, pa.int64()),
@@ -318,10 +336,10 @@ def minhash_lsh_pairs(
             }
         )
 
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
-    # The same pair can surface from several bands — dedupe.
+    pairs = exploded.map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=None
+    ).groupby("_cb").map_groups(bucket_pairs, batch_format="pyarrow")
+    # The same pair can surface from several bands — dedupe (pairs are few).
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda grp: grp.slice(0, 1), batch_format="pyarrow"
     )

@@ -320,6 +320,7 @@ def spatial_join_shuffle(
     lng_col: str = "lng",
     hot_threshold: int | None = None,
     split_delta: int = 3,
+    max_split_rounds: int = 3,
 ):
     """E9 groupby-shuffle spatial join. Returns Dataset of
     (``point_cols``…, region_id)."""
@@ -393,19 +394,26 @@ def spatial_join_shuffle(
         r_cols[c] = pa.nulls(key_table.num_rows, t)
     r_table = pa.table(r_cols)
 
-    # --- optional skew split ---------------------------------------------
+    # --- optional skew split (recursive) ----------------------------------
     if hot_threshold is not None:
         # The counting pre-pass and the join both consume the key stream;
         # materialize it once (narrow rows) so the upstream read/geocode/
-        # encode pipeline does not execute twice.
+        # encode pipeline does not execute twice. Splitting repeats until
+        # no key exceeds the threshold (each round divides hot groups by
+        # up to 4^split_delta) or the depth cap is reached.
         p_side = p_side.materialize()
-        hot = _find_hot_keys(p_side, hot_threshold)
-        if len(hot):
+        for _round in range(max_split_rounds):
+            hot = _find_hot_keys(p_side, hot_threshold)
+            hot = hot[
+                ck.level(hot.view(np.uint64)) < ck.MAX_LEVEL
+            ]  # leaf keys cannot split further
+            if not len(hot):
+                break
             hot_set_ref = ray.put(hot)
             p_side = p_side.map_batches(
-                lambda b: _split_points(b, hot_set_ref, split_delta),
+                lambda b, ref=hot_set_ref: _split_points(b, ref, split_delta),
                 batch_format="pyarrow",
-            )
+            ).materialize()
             r_table = _split_region_keys(
                 r_table, hot, covers, split_delta, point_cols, pschema
             )
