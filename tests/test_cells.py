@@ -174,3 +174,11 @@ def test_face_centers_and_corners():
                 lat2, lng2 = ck.cell_id_to_latlng(cid)
                 cid2 = ck.cell_id_from_latlng(lat2, lng2)
                 assert int(cid2[0]) == int(cid[0])
+
+
+def test_coverage_half_leaf_diag():
+    # Reference test_coverage: every point is within half a leaf diagonal
+    # of its cell's center.
+    lat2, lng2 = ck.cell_id_to_latlng(IDS[:2000])
+    d = ck.haversine_rad(LAT[:2000], LNG[:2000], lat2, lng2)
+    assert d.max() <= 0.5 * g.MAX_DIAG.get_value(30) * (1 + 1e-9)
