@@ -20,16 +20,21 @@ from .. import cells as ck
 from .encode import _np, tile_assign
 
 
-def add_tile_column(ds, level: int, lat_col="lat", lng_col="lng", leaf_col=None):
-    """Append ``tile_id``/``tile_id_token`` at ``level`` (encoding leaves on
-    the fly when no leaf column exists)."""
+def add_tile_column(
+    ds, level: int, lat_col="lat", lng_col="lng", leaf_col="cell_id"
+):
+    """Append ``tile_id``/``tile_token`` at ``level`` (reusing an existing
+    leaf-cell column, else encoding on the fly)."""
 
     def _assign(batch: pa.Table) -> pa.Table:
         if leaf_col and leaf_col in batch.column_names:
             leaf = _np(batch[leaf_col])
         else:
             leaf = ck.cell_id_from_latlng(_np(batch[lat_col]), _np(batch[lng_col]))
-            batch = batch.append_column("cell_id", pa.array(leaf, pa.uint64()))
+            if "cell_id" not in batch.column_names:
+                batch = batch.append_column(
+                    "cell_id", pa.array(leaf, pa.uint64())
+                )
         tiles = ck.parent(leaf, level)
         batch = batch.append_column("tile_id", pa.array(tiles, pa.uint64()))
         toks = ck.token_from_cell_id(tiles)
