@@ -335,3 +335,45 @@ def test_ivf_topk_finds_self_and_recall(ray_session):
     for qid in (3, 77):
         got = set(by_q[qid].values())
         assert len(got & bq[qid]) >= 5, (qid, got, bq[qid])
+
+
+def test_tile_counts_deep_level_groupby_fallback(ray_session):
+    # level > tree_reduce_max_level exercises the hash-groupby branch.
+    import collections
+
+    import ray.data as rd
+    from s2sphere_ray import cells as ck
+    from s2sphere_ray.pages import geocode_from_doc_id
+    from s2sphere_ray.stages.tiles import tile_counts
+
+    doc_id = np.arange(3000, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    ds = rd.from_arrow(pa.table({"doc_id": doc_id, "lat": lat, "lng": lng}))
+    out = {
+        r["tile_token"]: r["n_rows"]
+        for r in tile_counts(ds, 14, tree_reduce_max_level=10).take_all()
+    }
+    toks = ck.token_from_cell_id(ck.parent(ck.cell_id_from_latlng(lat, lng), 14))
+    assert out == dict(collections.Counter(toks))
+
+
+def test_cover_regions_actor_pool(ray_session):
+    # The E7 actor-pool stage must match driver-side covering exactly.
+    import ray.data as rd
+    from s2sphere_ray.regions import regions_from_sf_dir
+    from s2sphere_ray.stages.cover import cover_regions, cover_table
+
+    regions = regions_from_sf_dir(SF)
+    want = {
+        r: c
+        for r, c in zip(
+            cover_table(regions)["region_id"].to_pylist(),
+            cover_table(regions)["cover"].to_pylist(),
+        )
+    }
+    ds = rd.from_arrow(regions).repartition(4)
+    got = {
+        row["region_id"]: list(row["cover"])
+        for row in cover_regions(ds, concurrency=(1, 2), batch_size=16).take_all()
+    }
+    assert got == {k: list(v) for k, v in want.items()}
