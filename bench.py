@@ -154,6 +154,24 @@ def run_bench() -> dict:
         return n
 
     timed("write_tiles_quarter", write_tiles_bench)
+    def cover_1k():
+        import numpy as np
+
+        from s2sphere_ray.regions import make_cap_regions, make_rect_regions
+        import pyarrow as pa
+
+        regions = pa.concat_tables(
+            [
+                make_rect_regions(np.arange(500, dtype=np.int64)),
+                make_cap_regions(np.arange(500, dtype=np.int64)),
+            ]
+        )
+        from s2sphere_ray.stages.cover import cover_regions
+
+        ds = rd.from_arrow(regions).repartition(16)
+        return cover_regions(ds, concurrency=(1, NUM_CPUS), batch_size=64).count()
+
+    timed("cover_1k_regions", cover_1k)
     timed("tile_counts", lambda: q_tile_counts_l8(SF_DIR).count())
     timed("knn", lambda: q_knn(SF_DIR).count())
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())

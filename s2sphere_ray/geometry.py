@@ -759,6 +759,24 @@ class CellId:
         pos = (self.id // step + n) % num
         return CellId(pos * step + (self.id % step))
 
+    @staticmethod
+    def begin(level: int) -> "CellId":
+        """First cell at ``level`` in Hilbert order (sphere.py CellId.begin)."""
+        return CellId.from_face_pos_level(0, 0, 0).child_begin(level)
+
+    @staticmethod
+    def end(level: int) -> "CellId":
+        """One past the last cell at ``level`` (sphere.py CellId.end)."""
+        return CellId.from_face_pos_level(5, 0, 0).child_end(level)
+
+    @staticmethod
+    def none() -> "CellId":
+        return CellId(0)
+
+    @staticmethod
+    def sentinel() -> "CellId":
+        return CellId(_U64)
+
     def children(self):
         out = []
         new_lsb = self.lsb() >> 2

@@ -316,3 +316,20 @@ def test_sphere_compat_surface():
     union = cov.get_covering(cap)
     assert isinstance(union, sphere.CellUnion) and 0 < len(union) <= 8
     assert sphere.MIN_WIDTH.get_value(0) == 2 * math.sqrt(2) / 3
+
+
+def test_cellid_begin_end_iteration():
+    # begin/end iterate all 6*4^L cells at level L (reference CellId.begin/end).
+    level = 2
+    count = 0
+    c = g.CellId.begin(level)
+    end = g.CellId.end(level)
+    seen_faces = set()
+    while c.id != end.id:
+        assert c.is_valid() and c.level() == level
+        seen_faces.add(c.face())
+        c = c.next()
+        count += 1
+    assert count == 6 * 4 ** level
+    assert seen_faces == set(range(6))
+    assert g.CellId.none().id == 0
