@@ -368,6 +368,16 @@ class LineInterval:
             return LineInterval(self.lo, self.hi)
         return LineInterval(self.lo - radius, self.hi + radius)
 
+    def approx_equals(self, other: "LineInterval", max_error: float = 1e-15) -> bool:
+        if self.is_empty():
+            return other.get_length() <= 2 * max_error
+        if other.is_empty():
+            return self.get_length() <= 2 * max_error
+        return (
+            abs(other.lo - self.lo) <= max_error
+            and abs(other.hi - self.hi) <= max_error
+        )
+
 
 class SphereInterval:
     """Interval on the circle of longitudes; may wrap (lo > hi ⇒ inverted)."""
@@ -542,6 +552,22 @@ class SphereInterval:
         if lo <= -math.pi:
             lo = math.pi
         return SphereInterval(lo, hi)
+
+    def get_complement(self) -> "SphereInterval":
+        """The complement interval (sphere.py SphereInterval.get_complement)."""
+        if self.lo == self.hi:
+            return SphereInterval.full() if self.is_empty() else SphereInterval.empty()
+        return SphereInterval(self.hi, self.lo)
+
+    def approx_equals(self, other: "SphereInterval", max_error: float = 1e-15) -> bool:
+        if self.is_empty():
+            return other.get_length() <= max_error
+        if other.is_empty():
+            return self.get_length() <= max_error
+        return (
+            abs(math.remainder(other.lo - self.lo, 2 * math.pi)) <= max_error
+            and abs(math.remainder(other.hi - self.hi, 2 * math.pi)) <= max_error
+        )
 
     def add_point(self, p: float) -> "SphereInterval":
         if p == -math.pi:
@@ -1278,6 +1304,8 @@ class Cap:
         d = sub(self.axis, p)
         return self.is_full() or dot(d, d) < 2.0 * self.height
 
+    interior_contains = interior_contains_point
+
     def add_point(self, p) -> "Cap":
         if self.is_empty():
             return Cap(p, 0.0)
@@ -1408,6 +1436,21 @@ class LatLngRect:
 
     def contains_rect(self, other: "LatLngRect") -> bool:
         return self.lat.contains(other.lat) and self.lng.contains(other.lng)
+
+    def interior_contains_latlng(self, ll: LatLng) -> bool:
+        return self.lat.interior_contains(ll.lat) and self.lng.interior_contains(
+            ll.lng
+        )
+
+    def interior_contains_rect(self, other: "LatLngRect") -> bool:
+        return self.lat.interior_contains(other.lat) and self.lng.interior_contains(
+            other.lng
+        )
+
+    def interior_intersects(self, other: "LatLngRect") -> bool:
+        return self.lat.interior_intersects(
+            other.lat
+        ) and self.lng.interior_intersects(other.lng)
 
     def intersects_rect(self, other: "LatLngRect") -> bool:
         return self.lat.intersects(other.lat) and self.lng.intersects(other.lng)

@@ -333,3 +333,18 @@ def test_cellid_begin_end_iteration():
     assert count == 6 * 4 ** level
     assert seen_faces == set(range(6))
     assert g.CellId.none().id == 0
+
+
+def test_interval_complement_and_interior():
+    s = g.SphereInterval(0.5, 1.5)
+    comp = s.get_complement()
+    assert comp.contains(2.0) and not comp.contains(1.0)
+    assert s.approx_equals(g.SphereInterval(0.5, 1.5 + 1e-16))
+    assert g.LineInterval(1, 2).approx_equals(g.LineInterval(1, 2 + 1e-16))
+    r = g.LatLngRect.from_degrees(10, 10, 20, 20)
+    assert r.interior_contains_latlng(g.LatLng.from_degrees(15, 15))
+    assert not r.interior_contains_latlng(g.LatLng.from_degrees(10, 15))
+    assert r.interior_intersects(g.LatLngRect.from_degrees(15, 15, 25, 25))
+    assert not r.interior_intersects(g.LatLngRect.from_degrees(20, 10, 30, 20))
+    cap = g.Cap.from_axis_angle((1.0, 0.0, 0.0), 0.5)
+    assert cap.interior_contains((1.0, 0.0, 0.0))
