@@ -554,9 +554,11 @@ class SphereInterval:
         return SphereInterval(lo, hi)
 
     def get_complement(self) -> "SphereInterval":
-        """The complement interval (sphere.py SphereInterval.get_complement)."""
+        """The complement interval (sphere.py SphereInterval.get_complement).
+        A singleton's complement is Full (it has empty interior); swapping
+        endpoints handles every other case (full↔empty included)."""
         if self.lo == self.hi:
-            return SphereInterval.full() if self.is_empty() else SphereInterval.empty()
+            return SphereInterval.full()
         return SphereInterval(self.hi, self.lo)
 
     def approx_equals(self, other: "SphereInterval", max_error: float = 1e-15) -> bool:

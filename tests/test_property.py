@@ -1,0 +1,89 @@
+"""Hypothesis property fuzzing over the kernel layer (beyond the fixed-seed
+suites): encode/decode/token round trips, hierarchy algebra, interval and
+cell-union invariants hold for arbitrary inputs."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from s2sphere_ray import cells as ck
+from s2sphere_ray import geometry as g
+
+lat_st = st.floats(min_value=-89.999, max_value=89.999, allow_nan=False)
+lng_st = st.floats(min_value=-180.0, max_value=179.999, allow_nan=False)
+level_st = st.integers(min_value=0, max_value=30)
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_st, lng=lng_st)
+def test_leaf_roundtrip_any_point(lat, lng):
+    ids = ck.cell_id_from_latlng(np.array([lat]), np.array([lng]))
+    assert bool(ck.is_valid(ids)[0]) and bool(ck.is_leaf(ids)[0])
+    la, lo = ck.cell_id_to_latlng(ids)
+    ids2 = ck.cell_id_from_latlng(la, lo)
+    assert int(ids[0]) == int(ids2[0])
+    tok = ck.token_from_cell_id(ids)
+    assert int(ck.token_to_cell_id_array(tok)[0]) == int(ids[0])
+
+
+@settings(max_examples=200, deadline=None)
+@given(lat=lat_st, lng=lng_st, level=level_st)
+def test_parent_algebra_any_level(lat, lng, level):
+    leaf = ck.cell_id_from_latlng(np.array([lat]), np.array([lng]))
+    p = ck.parent(leaf, level)
+    assert int(ck.level(p)[0]) == level
+    assert bool(ck.contains(p, leaf)[0])
+    cid = g.CellId(int(p[0]))
+    assert cid.to_token() == ck.token_from_cell_id(p)[0]
+    if level < 30:
+        children = cid.children()
+        assert len(children) == 4
+        assert children[0].id == cid.child_begin().id
+        for ch in children:
+            assert cid.contains(ch)
+        # children ranges tile the parent range exactly
+        assert children[0].range_min().id == cid.range_min().id
+        assert children[3].range_max().id == cid.range_max().id
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    lo=st.floats(-math.pi, math.pi, allow_nan=False),
+    hi=st.floats(-math.pi, math.pi, allow_nan=False),
+    p=st.floats(-math.pi, math.pi, allow_nan=False),
+)
+def test_sphere_interval_complement_partition(lo, hi, p):
+    s = g.SphereInterval(lo, hi)
+    if not s.is_valid():
+        return
+    comp = s.get_complement()
+    if s.is_empty() or s.is_full():
+        assert comp.is_full() or comp.is_empty()
+        return
+    # every point is in s or its complement (boundaries in both)
+    assert s.contains(p) or comp.contains(p)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lat=lat_st,
+    lng=lng_st,
+    level=st.integers(min_value=1, max_value=28),
+    data=st.data(),
+)
+def test_union_normalize_contains_members(lat, lng, level, data):
+    base = g.CellId.from_latlng(g.LatLng.from_degrees(lat, lng)).parent(level)
+    members = [base]
+    # random descendants/neighbors
+    for _ in range(data.draw(st.integers(0, 4))):
+        deeper = data.draw(st.integers(level, min(30, level + 4)))
+        members.append(base.child_begin(deeper))
+    members += base.get_edge_neighbors()
+    union = g.CellUnion(members)
+    for m in members:
+        assert union.contains_cellid(m)
+    ids = union.cell_ids
+    for a in range(len(ids) - 1):
+        assert ids[a].id < ids[a + 1].id
+        assert not ids[a].contains(ids[a + 1])
