@@ -139,17 +139,51 @@ def snap_cover_keys(cover_ids: list[int], snap_levels) -> list[int]:
     return [c.id for c in g.CellUnion(keys).cell_ids]
 
 
+def covers_for_regions(
+    regions: pa.Table, max_cells: int = 8, ray_threshold: int = 2000
+) -> pa.Table:
+    """Covered regions table; small tables cover driver-side, larger ones
+    through the E7 actor pool (the driver must not serialize on covering
+    a 10⁵+-region table)."""
+    if regions.num_rows <= ray_threshold:
+        return cover_table(regions, max_cells=max_cells)
+    import ray.data as rd
+
+    from .cover import cover_regions
+
+    ds = rd.from_arrow(regions).repartition(
+        max(1, regions.num_rows // 512)
+    )
+    covered_ds = cover_regions(ds, max_cells=max_cells, concurrency=(1, 16))
+    tables = [
+        b for b in covered_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    out = pa.concat_tables(tables)
+    # Restore the input row order (region_idx keys positions downstream).
+    import pyarrow.compute as _pc
+
+    order = _pc.sort_indices(out["region_id"])
+    want = _pc.sort_indices(regions["region_id"])
+    # map: out sorted by id → positions of regions sorted by id
+    inv = pa.array(
+        np.argsort(want.to_numpy(zero_copy_only=False), kind="stable")
+    )
+    return out.take(order).take(inv)
+
+
 def build_region_keys(
     regions: pa.Table,
     snap_levels=DEFAULT_SNAP_LEVELS,
     max_cells: int = 8,
+    covered: pa.Table | None = None,
 ) -> tuple[pa.Table, list[int]]:
     """Cover + snap a regions table.
 
     Returns (key table with columns ``join_key:int64, region_idx:int32``,
     sorted list of snap levels actually present).
     """
-    covered = cover_table(regions, max_cells=max_cells)
+    if covered is None:
+        covered = covers_for_regions(regions, max_cells=max_cells)
     keys = []
     idxs = []
     levels_present: set[int] = set()
@@ -326,8 +360,11 @@ def spatial_join_shuffle(
     (``point_cols``…, region_id)."""
     import ray
 
-    key_table, levels = build_region_keys(regions, snap_levels, max_cells)
-    covers = cover_table(regions, max_cells=max_cells)["cover"].to_pylist()
+    covered = covers_for_regions(regions, max_cells=max_cells)
+    key_table, levels = build_region_keys(
+        regions, snap_levels, max_cells, covered=covered
+    )
+    covers = covered["cover"].to_pylist()
     params_ref = ray.put(
         {
             "rows": regions.to_pylist(),
