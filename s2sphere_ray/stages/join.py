@@ -217,7 +217,8 @@ def _point_keys(leaf_ids: np.ndarray, levels: list[int]) -> np.ndarray:
 
 
 class _BroadcastIndex:
-    """Sorted-key lookup: join_key → region row indexes (CSR layout)."""
+    """Sorted-key lookup: join_key → region row indexes (CSR layout), plus
+    columnar region params so refinement vectorizes across regions."""
 
     def __init__(self, key_table: pa.Table, regions: pa.Table, levels):
         key = key_table["join_key"].to_numpy()
@@ -230,6 +231,59 @@ class _BroadcastIndex:
         self.ridx = ridx
         self.levels = levels
         self.region_rows = regions.to_pylist()
+        kinds = regions["kind"].to_pylist()
+        self.kind_code = np.array(
+            [{"rect": 0, "cap": 1, "poly": 2}[k] for k in kinds], dtype=np.int8
+        )
+        def _col(name):
+            return regions[name].to_numpy(zero_copy_only=False).astype(np.float64)
+
+        self.lat_lo = _col("lat_lo")
+        self.lat_hi = _col("lat_hi")
+        self.lng_lo = _col("lng_lo")
+        self.lng_hi = _col("lng_hi")
+        self.axis_lat = _col("axis_lat")
+        self.axis_lng = _col("axis_lng")
+        self.radius_rad = np.deg2rad(_col("radius_deg"))
+        self.region_id = regions["region_id"].to_numpy().astype(np.int64)
+
+    def refine(self, lat, lng, prow, ridx):
+        """Vectorized exact refinement of candidate pairs: rect and cap
+        candidates evaluate in one pass over all pairs; only polygon
+        candidates loop (per distinct polygon region)."""
+        ok = np.zeros(len(prow), dtype=bool)
+        kc = self.kind_code[ridx]
+        # rects: closed degree intervals (wrap-aware)
+        rsel = kc == 0
+        if rsel.any():
+            r = ridx[rsel]
+            la = lat[prow[rsel]]
+            lo_ = lng[prow[rsel]]
+            lo_b, hi_b = self.lng_lo[r], self.lng_hi[r]
+            lng_ok = np.where(
+                lo_b <= hi_b,
+                (lo_ >= lo_b) & (lo_ <= hi_b),
+                (lo_ >= lo_b) | (lo_ <= hi_b),
+            )
+            ok[rsel] = (
+                (la >= self.lat_lo[r]) & (la <= self.lat_hi[r]) & lng_ok
+            )
+        csel = kc == 1
+        if csel.any():
+            r = ridx[csel]
+            d = _haversine_oracle(
+                lat[prow[csel]], lng[prow[csel]], self.axis_lat[r],
+                self.axis_lng[r],
+            )
+            ok[csel] = d <= self.radius_rad[r]
+        psel = kc == 2
+        if psel.any():
+            for r in np.unique(ridx[psel]):
+                sel = psel & (ridx == r)
+                ok[sel] = refine_mask(
+                    lat[prow[sel]], lng[prow[sel]], self.region_rows[int(r)]
+                )
+        return ok
 
     def candidates(self, leaf_ids: np.ndarray):
         """→ (point_row_indices, region_idx) candidate pair arrays."""
@@ -289,29 +343,10 @@ class BroadcastJoinStage:
         lng = batch[self.lng_col].to_numpy()
         leaf = ck.cell_id_from_latlng(lat, lng)
         prow, ridx = self.index.candidates(leaf)
-        out_cols = {c: [] for c in self.point_cols}
-        out_rid = []
         if len(prow):
-            order = np.argsort(ridx, kind="stable")
-            prow, ridx = prow[order], ridx[order]
-            bounds = np.nonzero(np.diff(ridx))[0] + 1
-            groups = np.split(np.arange(len(ridx)), bounds)
-            keep_rows = []
-            for grp in groups:
-                if not len(grp):
-                    continue
-                r = int(ridx[grp[0]])
-                rows = prow[grp]
-                mask = refine_mask(lat[rows], lng[rows], self.index.region_rows[r])
-                kept = rows[mask]
-                keep_rows.append(kept)
-                out_rid.append(
-                    np.full(len(kept), self.index.region_rows[r]["region_id"])
-                )
-            keep = (
-                np.concatenate(keep_rows) if keep_rows else np.array([], np.int64)
-            )
-            rid = np.concatenate(out_rid) if out_rid else np.array([], np.int64)
+            mask = self.index.refine(lat, lng, prow, ridx)
+            keep = prow[mask]
+            rid = self.index.region_id[ridx[mask]]
         else:
             keep = np.array([], dtype=np.int64)
             rid = np.array([], dtype=np.int64)
