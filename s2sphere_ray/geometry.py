@@ -1040,9 +1040,14 @@ class Cell:
         """All 4 normalized vertices, computed once per Cell (the coverer
         evaluates several region predicates against the same cell)."""
         if self._verts is None:
-            self._verts = tuple(
-                normalize(self.get_vertex_raw(k)) for k in range(4)
-            )
+            (u0, u1), (v0, v1) = self.uv
+            face = self.face
+            out = []
+            for u, v in ((u0, v0), (u1, v0), (u1, v1), (u0, v1)):
+                x, y, z = face_uv_to_xyz(face, u, v)
+                n = math.sqrt(x * x + y * y + z * z)
+                out.append((x / n, y / n, z / n))
+            self._verts = tuple(out)
         return self._verts
 
     def get_edge_raw(self, k: int):
@@ -1299,8 +1304,12 @@ class Cap:
         return Cap(neg(self.axis), h)
 
     def contains_point(self, p) -> bool:
-        d = sub(self.axis, p)
-        return dot(d, d) <= 2.0 * self.height
+        # Inlined chord test — the hottest predicate in the coverer loop.
+        a = self.axis
+        d0 = a[0] - p[0]
+        d1 = a[1] - p[1]
+        d2 = a[2] - p[2]
+        return d0 * d0 + d1 * d1 + d2 * d2 <= 2.0 * self.height
 
     def interior_contains_point(self, p) -> bool:
         d = sub(self.axis, p)
