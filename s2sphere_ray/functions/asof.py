@@ -43,7 +43,18 @@ def asof_last_event(orders_ds, events_ds):
     e = events_ds.map_batches(event_rows, batch_format="pyarrow")
     both = o.union(e)
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+    # Bucket on a user hash (fixed group count); inside a bucket one
+    # pd.merge_asof(by="user_id") resolves every user at once.
+    n_buckets = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy().astype(np.uint64)
+        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(
+            np.int32
+        ) % n_buckets
+        return batch.append_column("_ub", pa.array(b))
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         orders = group[group["is_order"]].sort_values(["ts", "o_orderkey"])
         events = group[~group["is_order"]].sort_values("ts")
         if not len(orders):
@@ -52,16 +63,21 @@ def asof_last_event(orders_ds, events_ds):
                  "last_event_ts": pd.Series([], dtype="datetime64[us]")}
             )
         merged = pd.merge_asof(
-            orders[["ts", "o_orderkey"]],
-            events[["ts"]].rename(columns={"ts": "last_event_ts"}),
+            orders[["ts", "user_id", "o_orderkey"]],
+            events[["ts", "user_id"]].rename(columns={"ts": "last_event_ts"}),
             left_on="ts",
             right_on="last_event_ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
         return merged[["o_orderkey", "last_event_ts"]]
 
-    return both.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return (
+        both.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_ub")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 ASOF_SQL = (

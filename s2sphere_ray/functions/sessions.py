@@ -6,31 +6,48 @@ ordering). Session windows: a new session starts after a gap >
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
-def sessionize(events_ds, gap_minutes: int = 30):
+def sessionize(events_ds, gap_minutes: int = 30, n_buckets: int = 64):
     """→ Dataset(user_id, session_start, n_events).
 
     Ordering contract: events within a user are ordered by (ts, event_id)
-    — the same total order the oracle SQL's window uses.
+    — the same total order the oracle SQL's window uses. Rows shuffle on a
+    user-hash bucket (fixed group count); inside a bucket one vectorized
+    pandas pass sessionizes every user at once (a session break is a user
+    change or a gap > ``gap_minutes``).
     """
+    import pyarrow as pa
+
     gap = pd.Timedelta(minutes=gap_minutes)
 
-    def sess(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        brk = g["ts"].diff() > gap
-        sid = brk.cumsum()
-        out = (
-            g.groupby(sid)
-            .agg(session_start=("ts", "min"), n_events=("ts", "size"))
-            .reset_index(drop=True)
-        )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy().astype(np.uint64)
+        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(
+            np.int32
+        ) % n_buckets
+        return batch.append_column("_ub", pa.array(b))
 
-    return events_ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    def sess_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        new_user = g["user_id"].ne(g["user_id"].shift())
+        brk = new_user | (g["ts"].diff() > gap)
+        sid = brk.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        events_ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_ub")
+        .map_groups(sess_bucket, batch_format="pandas")
+    )
 
 
 SESSIONS_SQL = (
