@@ -1,0 +1,48 @@
+"""Data-proportional shuffle bucket sizing.
+
+Round-1 used fixed bucket counts (64/256/1024) for the hash-bucketed
+``groupby().map_groups`` shuffles (sessionize, as-of join, exact dedup,
+LSH band pairs).  A fixed group count means per-group size grows linearly
+with the input — at 100 TB one ``map_groups`` task would have to hold
+~1/64 of the table.  Instead the bucket count is derived from the input
+size so the expected rows-per-bucket stays bounded, with a floor of
+4 x cluster CPUs so small inputs still parallelise.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def derive_buckets(
+    num_rows: int | None = None,
+    *,
+    target_rows: int = 250_000,
+    floor: int | None = None,
+    cap: int = 1 << 20,
+) -> int:
+    """Bucket count for a hash-bucketed shuffle.
+
+    ``max(4 * cluster CPUs, ceil(num_rows / target_rows))`` capped at
+    ``cap``.  ``num_rows`` is a hint (parquet metadata count is cheap);
+    when unknown the CPU floor alone is used.
+    """
+    if floor is None:
+        floor = 4 * _cluster_cpus()
+    n = floor
+    if num_rows is not None and num_rows > 0:
+        n = max(n, math.ceil(num_rows / target_rows))
+    return max(1, min(n, cap))
+
+
+def _cluster_cpus() -> int:
+    try:
+        import ray
+
+        if ray.is_initialized():
+            return int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        pass
+    import os
+
+    return os.cpu_count() or 8

@@ -1,20 +1,27 @@
 """As-of and range/band joins (ray_guide patterns: per-key-bucket
-``merge_asof``; broadcast band lookup)."""
+backward search; broadcast band lookup)."""
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
+from ._buckets import derive_buckets
 
-def asof_last_event(orders_ds, events_ds):
+_ASOF_SCHEMA = pa.schema(
+    [("o_orderkey", pa.int64()), ("last_event_ts", pa.timestamp("us"))]
+)
+
+
+def asof_last_event(orders_ds, events_ds, num_rows: int | None = None):
     """For every order, the latest event of the same user at or before the
     order date: (o_orderkey, last_event_ts).
 
-    Both sides are keyed by user, unioned, and grouped; within a user the
-    pandas ``merge_asof`` does the ordered backward search — the engine
-    equivalent of DuckDB's ``ASOF LEFT JOIN``.
+    Both sides are keyed by user, unioned, and hash-bucketed; inside a
+    bucket a fully vectorized numpy backward search resolves every user at
+    once — the engine equivalent of DuckDB's ``ASOF LEFT JOIN``.  Output is
+    Arrow with an explicit ``timestamp[us]`` column (NULL when the user has
+    no event at or before the order date).
     """
 
     def order_rows(batch: pa.Table) -> pa.Table:
@@ -43,40 +50,63 @@ def asof_last_event(orders_ds, events_ds):
     e = events_ds.map_batches(event_rows, batch_format="pyarrow")
     both = o.union(e)
 
-    # Bucket on a user hash (fixed group count); inside a bucket one
-    # pd.merge_asof(by="user_id") resolves every user at once.
-    n_buckets = 64
+    # Bucket on a user hash; bucket count scales with input size so
+    # rows-per-bucket stays bounded at any corpus scale.
+    n_buckets = derive_buckets(num_rows)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy().astype(np.uint64)
-        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(
-            np.int32
-        ) % n_buckets
-        return batch.append_column("_ub", pa.array(b))
+        b = (
+            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ).astype(np.int64) % n_buckets
+        return batch.append_column("_ub", pa.array(b.astype(np.int32)))
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        orders = group[group["is_order"]].sort_values(["ts", "o_orderkey"])
-        events = group[~group["is_order"]].sort_values("ts")
-        if not len(orders):
-            return pd.DataFrame(
-                {"o_orderkey": pd.Series([], dtype="int64"),
-                 "last_event_ts": pd.Series([], dtype="datetime64[us]")}
-            )
-        merged = pd.merge_asof(
-            orders[["ts", "user_id", "o_orderkey"]],
-            events[["ts", "user_id"]].rename(columns={"ts": "last_event_ts"}),
-            left_on="ts",
-            right_on="last_event_ts",
-            by="user_id",
-            direction="backward",
-            allow_exact_matches=True,
+    def per_bucket(group: pa.Table) -> pa.Table:
+        user = group["user_id"].to_numpy(zero_copy_only=False)
+        ts = group["ts"].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").view(np.int64)
+        is_order = group["is_order"].to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        okey = pc.fill_null(group["o_orderkey"], 0).to_numpy(
+            zero_copy_only=False
         )
-        return merged[["o_orderkey", "last_event_ts"]]
+        n = len(user)
+        if not n or not is_order.any():
+            return _ASOF_SCHEMA.empty_table()
+        # Sort by (user, ts, is_order): at equal ts events precede the
+        # order so an exact-timestamp event counts (allow_exact_matches).
+        order = np.lexsort((is_order, ts, user))
+        user = user[order]
+        ts = ts[order]
+        is_order = is_order[order]
+        okey = okey[order]
+        # Last event index at-or-before each row: running max of event
+        # positions.  Sorted by user, so if the winning event belongs to a
+        # different user the current user has no prior event -> NULL.
+        idx = np.arange(n, dtype=np.int64)
+        ev_idx = np.where(is_order, np.int64(-1), idx)
+        last = np.maximum.accumulate(ev_idx)
+        o_mask = is_order
+        last_o = last[o_mask]
+        valid = last_o >= 0
+        same_user = np.zeros(int(o_mask.sum()), dtype=bool)
+        same_user[valid] = user[last_o[valid]] == user[o_mask][valid]
+        out_ts = np.zeros(int(o_mask.sum()), dtype=np.int64)
+        out_ts[same_user] = ts[last_o[same_user]]
+        return pa.Table.from_arrays(
+            [
+                pa.array(okey[o_mask].astype(np.int64)),
+                pa.array(out_ts, type=pa.timestamp("us"), mask=~same_user),
+            ],
+            schema=_ASOF_SCHEMA,
+        )
 
     return (
         both.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_ub")
-        .map_groups(per_bucket, batch_format="pandas")
+        .map_groups(per_bucket, batch_format="pyarrow")
     )
 
 

@@ -48,6 +48,22 @@ def fnv_over_offsets(
     return h
 
 
+def fnv_hash_strings(col) -> np.ndarray:
+    """64-bit FNV-1a of every string/binary in an Arrow column, computed
+    straight off the value buffer (no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.binary())
+    n = len(arr)
+    if not n:
+        return np.zeros(0, dtype=np.uint64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return fnv_over_offsets(data, offsets[:-1], np.diff(offsets))
+
+
 def _token_hash_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch tokenizer+hasher: FNV-1a per whitespace token for a
     whole batch at once (no per-row Python).
@@ -152,28 +168,27 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
 
 
 def exact_dedup(
-    ds, key_col: str = "text", id_col: str = "doc_id", n_buckets: int = 256
+    ds,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int | None = None,
+    num_rows: int | None = None,
 ):
     """E17 exact dedup: one survivor (min id) per distinct key.
 
-    Scale design: rows shuffle on a *bucket* of the content hash (fixed
-    group count — one vectorized pandas dedup per bucket, never a Python
-    call per key), and the in-bucket survivor is min-id per full key
-    (collision-safe); shuffle volume carries the 8-byte hash, not the key,
-    for bucketing.
+    Scale design: rows shuffle on a *bucket* of the content hash (bucket
+    count derived from input size so rows-per-bucket stays bounded — one
+    vectorized pandas dedup per bucket, never a Python call per key), and
+    the in-bucket survivor is min-id per full key (collision-safe).  The
+    bucket hash is a vectorized FNV over the Arrow value buffer.
     """
+    from ._buckets import derive_buckets
+
+    if n_buckets is None:
+        n_buckets = derive_buckets(num_rows)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        vals = batch[key_col].to_pylist()
-        import hashlib
-
-        h = np.frombuffer(
-            b"".join(
-                hashlib.blake2b((v or "").encode(), digest_size=8).digest()
-                for v in vals
-            ),
-            dtype="<u8",
-        ) if vals else np.zeros(0, dtype=np.uint64)
+        h = fnv_hash_strings(batch[key_col])
         b = (h % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("_hb", pa.array(b))
 
@@ -237,13 +252,28 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
     concurrency=(1, 8),
+    num_rows: int | None = None,
 ):
-    """Near-dup candidate pairs via banded LSH, Jaccard-verified.
+    """Near-dup pairs via banded LSH, exact-Jaccard-verified.
+
+    Scale design: the band all-to-all carries ONLY ``(band_id, band_hash,
+    id)`` — 20 B/row — never the corpus text or even the signature.  The
+    candidate pair set that falls out of the band buckets is tiny relative
+    to the corpus (true near-dups + hash collisions), so exact shingle
+    verification re-reads just the candidate docs from the input dataset
+    (semi-join by broadcast id set) and broadcasts their shingle sets to a
+    final vectorized verify stage.
 
     signature → (band_id, band_hash, id) rows → groupby band bucket →
-    within-bucket pairs → exact shingle-Jaccard verify. Returns
-    Dataset(id_a, id_b, jaccard) with id_a < id_b, deduplicated.
+    candidate pairs → dedupe → gather candidate shingles → exact
+    shingle-Jaccard verify. Returns Dataset(id_a, id_b, jaccard) with
+    id_a < id_b, deduplicated.
     """
+    import ray
+    import ray.data as rd
+
+    from ._buckets import derive_buckets
+
     rows_per_band = num_hashes // bands
     sigged = ds.map_batches(
         MinHashStage,
@@ -273,19 +303,19 @@ def minhash_lsh_pairs(
                 ),
                 "band_hash": pa.array(band_hash.T.reshape(-1)),
                 id_col: pa.array(np.tile(ids, bands)),
-                "text": pa.concat_arrays(
-                    [batch["text"].combine_chunks()] * bands
-                ),
             }
         )
 
-    exploded = sigged.map_batches(explode_bands, batch_format="pyarrow")
+    exploded = sigged.select_columns([id_col, "minhash"]).map_batches(
+        explode_bands, batch_format="pyarrow"
+    )
 
-    # Shuffle on a fixed bucket count (hash of the band key), not on raw
+    # Shuffle on a derived bucket count (hash of the band key), not on raw
     # band keys — one vectorized group body per bucket; only genuine
-    # collision runs (same band_id AND band_hash, ≥2 docs) pay the
-    # pairwise Jaccard verification.
-    n_buckets = 1024
+    # collision runs (same band_id AND band_hash, ≥2 docs) emit pairs.
+    n_buckets = derive_buckets(
+        num_rows * bands if num_rows else None, target_rows=100_000
+    )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         bid = batch["band_id"].to_numpy().astype(np.uint64)
@@ -303,45 +333,121 @@ def minhash_lsh_pairs(
         bh = group["band_hash"].to_numpy()
         order = np.lexsort((ids, bh, bid))
         bid, bh, ids_s = bid[order], bh[order], ids[order]
-        texts = group["text"].take(pa.array(order)).to_pylist()
         boundary = np.nonzero((np.diff(bid) != 0) | (np.diff(bh) != 0))[0] + 1
-        out_a, out_b, out_j = [], [], []
-        sh_cache: dict[int, np.ndarray] = {}
-
-        def shingles(pos):
-            key = int(ids_s[pos])
-            if key not in sh_cache:
-                sh_cache[key] = _shingle_hashes(texts[pos] or "", shingle_n)
-            return sh_cache[key]
-
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
         for run in np.split(np.arange(len(ids_s)), boundary):
             if len(run) < 2:
                 continue
-            for a in range(len(run)):
-                for b in range(a + 1, len(run)):
-                    i, j = run[a], run[b]
-                    sa, sb = shingles(i), shingles(j)
-                    inter = np.intersect1d(sa, sb).size
-                    union = sa.size + sb.size - inter
-                    jac = inter / union if union else 1.0
-                    if jac >= jaccard_threshold:
-                        out_a.append(int(min(ids_s[i], ids_s[j])))
-                        out_b.append(int(max(ids_s[i], ids_s[j])))
-                        out_j.append(jac)
+            ai, bi = np.triu_indices(len(run), k=1)
+            va, vb = ids_s[run[ai]], ids_s[run[bi]]
+            out_a.append(np.minimum(va, vb))
+            out_b.append(np.maximum(va, vb))
+        flat_a = np.concatenate(out_a) if out_a else np.zeros(0, np.int64)
+        flat_b = np.concatenate(out_b) if out_b else np.zeros(0, np.int64)
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "id_a": pa.array(flat_a.astype(np.int64)),
+                "id_b": pa.array(flat_b.astype(np.int64)),
             }
         )
 
-    pairs = exploded.map_batches(
+    cand = exploded.map_batches(
         add_bucket, batch_format="pyarrow", batch_size=None
     ).groupby("_cb").map_groups(bucket_pairs, batch_format="pyarrow")
-    # The same pair can surface from several bands — dedupe (pairs are few).
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
+    # The same pair can surface from several bands — dedupe (pairs are few
+    # relative to the corpus).
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(
         lambda grp: grp.slice(0, 1), batch_format="pyarrow"
+    )
+    # Candidate pairs are driver-materialized here: bounded by the number
+    # of genuine near-dups + band collisions, orders of magnitude smaller
+    # than the corpus (the text NEVER is).
+    cand_batches = list(cand.iter_batches(batch_format="pyarrow"))
+    cand_tbl = (
+        pa.concat_tables(cand_batches, promote_options="default")
+        if cand_batches
+        else pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    )
+    if cand_tbl.num_rows == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    need_ids = np.unique(
+        np.concatenate(
+            [cand_tbl["id_a"].to_numpy(), cand_tbl["id_b"].to_numpy()]
+        )
+    )
+    # Exact verification: semi-join the candidate ids back against the
+    # input (broadcast the sorted id array once via ray.put), compute each
+    # candidate doc's shingle set where the text lives, and ship only the
+    # (id, shingles) map — not the text — to the verify stage.
+    ids_ref = ray.put(need_ids)
+
+    def shingle_candidates(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        wanted = np.isin(ids, ray.get(ids_ref))
+        if not wanted.any():
+            return pa.table(
+                {
+                    "id": pa.array([], pa.int64()),
+                    "shingles": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        sub = batch.filter(pa.array(wanted))
+        sh, offs = _shingle_batch(sub["text"].to_pylist(), shingle_n)
+        # Per-doc sorted-unique shingle sets (Jaccard is a set measure).
+        lists = [
+            np.unique(sh[offs[d] : offs[d + 1]])
+            for d in range(sub.num_rows)
+        ]
+        return pa.table(
+            {
+                "id": pa.array(
+                    sub[id_col].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "shingles": pa.array(
+                    [l for l in lists], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+    sh_rows = ds.map_batches(
+        shingle_candidates, batch_format="pyarrow"
+    ).take_all()
+    sh_map = {int(r["id"]): np.asarray(r["shingles"], np.uint64) for r in sh_rows}
+    sh_ref = ray.put(sh_map)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        smap = ray.get(sh_ref)
+        ia = batch["id_a"].to_numpy()
+        ib = batch["id_b"].to_numpy()
+        jac = np.empty(len(ia), dtype=np.float64)
+        for k in range(len(ia)):
+            sa = smap[int(ia[k])]
+            sb = smap[int(ib[k])]
+            inter = np.intersect1d(sa, sb).size
+            union = sa.size + sb.size - inter
+            jac[k] = inter / union if union else 1.0
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ia[keep].astype(np.int64)),
+                "id_b": pa.array(ib[keep].astype(np.int64)),
+                "jaccard": pa.array(jac[keep]),
+            }
+        )
+
+    return rd.from_arrow(cand_tbl).map_batches(
+        verify, batch_format="pyarrow"
     )
 
 

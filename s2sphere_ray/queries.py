@@ -828,7 +828,8 @@ def q_asof_orders(sf_dir: str):
     events = _rd().read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
-    return asof_last_event(orders, events)
+    # Parquet-metadata row count (no execution) sizes the shuffle buckets.
+    return asof_last_event(orders, events, num_rows=events.count())
 
 
 def q_band_join(sf_dir: str):

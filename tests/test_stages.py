@@ -377,3 +377,62 @@ def test_cover_regions_actor_pool(ray_session):
         for row in cover_regions(ds, concurrency=(1, 2), batch_size=16).take_all()
     }
     assert got == {k: list(v) for k, v in want.items()}
+
+
+def test_minhash_lsh_pair_set_matches_bruteforce_oracle(ray_session):
+    """Regression for the signatures-only band shuffle: the distributed
+    pair set must equal an independent brute-force LSH+exact-Jaccard
+    oracle computed in-process on the same corpus."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from s2sphere_ray.functions.dedup import (
+        MinHashStage,
+        _shingle_hashes,
+        minhash_lsh_pairs,
+    )
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12))
+        for r in minhash_lsh_pairs(
+            rd.from_arrow(tbl).repartition(4), jaccard_threshold=0.8
+        ).take_all()
+    )
+
+    st = MinHashStage()
+    sig = (
+        st(tbl)["minhash"].combine_chunks().flatten().to_numpy().reshape(-1, 64)
+    )
+    ids = tbl["doc_id"].to_numpy()
+    bands, rpb = 16, 4
+    cand = set()
+    for bnd in range(bands):
+        seg = sig[:, bnd * rpb : (bnd + 1) * rpb]
+        h = np.zeros(len(ids), dtype=np.uint64)
+        for c in range(rpb):
+            h = h * np.uint64(1099511628211) + seg[:, c]
+        runs = defaultdict(list)
+        for i, hv in enumerate(h):
+            runs[int(hv)].append(i)
+        for run in runs.values():
+            for a in range(len(run)):
+                for b in range(a + 1, len(run)):
+                    lo = min(ids[run[a]], ids[run[b]])
+                    hi = max(ids[run[a]], ids[run[b]])
+                    cand.add((lo, hi))
+    texts = tbl["text"].to_pylist()
+    pos = {int(i): k for k, i in enumerate(ids)}
+    want = []
+    for a, b in sorted(cand):
+        sa = _shingle_hashes(texts[pos[a]] or "")
+        sb = _shingle_hashes(texts[pos[b]] or "")
+        inter = np.intersect1d(sa, sb).size
+        union = sa.size + sb.size - inter
+        j = inter / union if union else 1.0
+        if j >= 0.8:
+            want.append((int(a), int(b), round(j, 12)))
+    assert got == want
