@@ -64,14 +64,20 @@ def fnv_hash_strings(col) -> np.ndarray:
     return fnv_over_offsets(data, offsets[:-1], np.diff(offsets))
 
 
-def _token_hash_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+def _token_hash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch tokenizer+hasher: FNV-1a per whitespace token for a
-    whole batch at once (no per-row Python).
+    whole batch at once (no per-row Python). Accepts a list[str] or an
+    Arrow string array/chunked array.
 
     Returns (token_hashes uint64 over all docs concatenated,
     doc_offsets int64[n_docs+1]). Matches :func:`_token_hashes` per doc.
     """
-    arr = pa.array([t or "" for t in texts], pa.string())
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        arr = pc.fill_null(texts, "")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+    else:
+        arr = pa.array([t or "" for t in texts], pa.string())
     toks = pc.utf8_split_whitespace(arr)
     flat = pc.list_flatten(toks).cast(pa.string())
     counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -11,25 +11,35 @@ import pandas as pd
 import pyarrow as pa
 
 
-def sessionize(events_ds, gap_minutes: int = 30, n_buckets: int = 64):
+def sessionize(
+    events_ds,
+    gap_minutes: int = 30,
+    n_buckets: int | None = None,
+    num_rows: int | None = None,
+):
     """→ Dataset(user_id, session_start, n_events).
 
     Ordering contract: events within a user are ordered by (ts, event_id)
     — the same total order the oracle SQL's window uses. Rows shuffle on a
-    user-hash bucket (fixed group count); inside a bucket one vectorized
-    pandas pass sessionizes every user at once (a session break is a user
-    change or a gap > ``gap_minutes``).
+    user-hash bucket (bucket count derived from input size so per-group
+    rows stay bounded); inside a bucket one vectorized pandas pass
+    sessionizes every user at once (a session break is a user change or a
+    gap > ``gap_minutes``).
     """
     import pyarrow as pa
 
+    from ._buckets import derive_buckets
+
+    if n_buckets is None:
+        n_buckets = derive_buckets(num_rows)
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         u = batch["user_id"].to_numpy().astype(np.uint64)
-        b = ((u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(
-            np.int32
-        ) % n_buckets
-        return batch.append_column("_ub", pa.array(b))
+        b = (
+            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ).astype(np.int64) % n_buckets
+        return batch.append_column("_ub", pa.array(b.astype(np.int32)))
 
     def sess_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"])

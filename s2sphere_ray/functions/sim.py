@@ -99,20 +99,37 @@ def embedding_neardup_pairs(
     n_planes: int = 12,
     dim: int | None = None,
     id_col: str = "vec_id",
+    num_rows: int | None = None,
+    max_bucket_rows: int = 4096,
+    matmul_block: int = 2048,
 ):
     """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
 
     bucket (actor stage, hyperplanes built once) → groupby bucket →
     within-bucket exact float64 cosine ≥ threshold → (id_a, id_b) pairs,
-    id_a < id_b. Exact for duplicates (identical vectors always share a
-    bucket); approximate recall for merely-similar pairs (tunable via
-    n_planes).
+    id_a < id_b. Exact for duplicates (identical vectors share every sign
+    bit at every level); approximate recall for merely-similar pairs.
+
+    Scale design: ``n_planes`` grows with log2 of the corpus (so expected
+    bucket size stays bounded as N grows); within a bucket the all-pairs
+    similarity is computed in ``matmul_block``² tiles (O(block²) memory,
+    never O(n²)); and any bucket still larger than ``max_bucket_rows`` is
+    recursively re-split on extra deterministic hyperplanes before the
+    pairwise pass — one oversized group never owns an unbounded matmul.
     """
     import numpy as np
 
     if dim is None:
         first = embeddings_ds.take(1)[0]["embedding"]
         dim = len(first)
+    if num_rows:
+        import math
+
+        # Expected bucket size N / 2^planes ≈ max_bucket_rows / 4.
+        n_planes = max(
+            n_planes,
+            math.ceil(math.log2(max(2, num_rows / (max_bucket_rows / 4)))),
+        )
     bucketed = embeddings_ds.map_batches(
         LSHBucketStage,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes),
@@ -120,28 +137,61 @@ def embedding_neardup_pairs(
         concurrency=(1, 4),
         num_cpus=1,
     )
+    split_rng = np.random.default_rng(20240817)
+    split_planes = split_rng.standard_normal((dim, 32))
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
         if group.num_rows < 2:
-            return pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         e = _emb_matrix(group).astype(np.float64)
         norms = np.linalg.norm(e, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         en = e / norms
-        sims = en @ en.T
         ids = group[id_col].to_numpy()
-        a_idx, b_idx = np.nonzero(np.triu(sims >= threshold, 1))
-        id_a = np.minimum(ids[a_idx], ids[b_idx])
-        id_b = np.maximum(ids[a_idx], ids[b_idx])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+
+        def all_pairs(idx: np.ndarray):
+            n = len(idx)
+            sub = en[idx]
+            sub_ids = ids[idx]
+            for i0 in range(0, n, matmul_block):
+                a = sub[i0 : i0 + matmul_block]
+                for j0 in range(i0, n, matmul_block):
+                    b = sub[j0 : j0 + matmul_block]
+                    s = a @ b.T
+                    hit = s >= threshold
+                    if i0 == j0:
+                        hit = np.triu(hit, 1)
+                    ai, bj = np.nonzero(hit)
+                    if len(ai):
+                        va = sub_ids[i0 + ai]
+                        vb = sub_ids[j0 + bj]
+                        out_a.append(np.minimum(va, vb))
+                        out_b.append(np.maximum(va, vb))
+
+        # Iterative re-split of oversized buckets on extra sign planes.
+        stack: list[tuple[np.ndarray, int]] = [
+            (np.arange(group.num_rows), 0)
+        ]
+        while stack:
+            idx, depth = stack.pop()
+            if len(idx) <= max_bucket_rows or depth >= split_planes.shape[1]:
+                if len(idx) >= 2:
+                    all_pairs(idx)
+                continue
+            side = en[idx] @ split_planes[:, depth] > 0
+            stack.append((idx[side], depth + 1))
+            stack.append((idx[~side], depth + 1))
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "id_a": pa.array(id_a, pa.int64()),
-                "id_b": pa.array(id_b, pa.int64()),
+                "id_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(out_b), pa.int64()),
             }
         )
 

@@ -30,26 +30,69 @@ _STOPWORDS = (
 ).split()
 
 
+_ALPHA_LUT = np.zeros(256, dtype=np.int64)
+_ALPHA_LUT[ord("a") : ord("z") + 1] = 1
+_ALPHA_LUT[ord("A") : ord("Z") + 1] = 1
+
+
+def _ascii_alpha_counts(txt: pa.Array) -> np.ndarray:
+    """Per-string count of ASCII letters, off the UTF-8 value buffer."""
+    arr = txt.combine_chunks() if isinstance(txt, pa.ChunkedArray) else txt
+    arr = arr.cast(pa.binary())
+    n = len(arr)
+    if not n:
+        return np.zeros(0, dtype=np.int64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    cs = np.concatenate([[0], np.cumsum(_ALPHA_LUT[data])])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Heuristic quality features: mean token length ×1000 (int),
     stopword hits, alpha ratio ×1000 (int). Integer outputs so the oracle
-    compare is exact."""
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    mean_len = np.zeros(n, dtype=np.int64)
+    compare is exact.
+
+    Fully vectorized: Arrow compute for lengths/token counts/letter
+    counts; stopword hits via FNV token hashes off the flattened split
+    list (segment-summed per doc) — no per-row Python.
+    """
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    txt = pc.fill_null(col, "")
+    n = len(txt)
+    chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+    toks_list = pc.split_pattern(txt, " ")
+    n_toks = (
+        pc.list_value_length(toks_list)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    # split(" ") separators are single spaces, so the summed token length
+    # is exactly chars - (n_toks - 1); n_toks >= 1 always.
+    total = chars - (n_toks - 1)
+    mean_len = (total * 1000) // np.maximum(1, n_toks)
+    # Stopword hits: one Arrow is_in over the flattened token list (exact
+    # string compare in C++), segment-summed per document.
+    flat = pc.list_flatten(toks_list)
     stop_hits = np.zeros(n, dtype=np.int64)
-    alpha_ratio = np.zeros(n, dtype=np.int64)
-    stops = set(_STOPWORDS)
-    for i, t in enumerate(texts):
-        t = t or ""
-        toks = t.split(" ")
-        total = sum(len(w) for w in toks)
-        mean_len[i] = (total * 1000) // max(1, len(toks))
-        stop_hits[i] = sum(1 for w in toks if w in stops)
-        # ASCII letters only — matches the oracle's regexp [A-Za-z]
-        # (str.isalpha would also count CJK etc.).
-        na = sum(1 for ch in t if "a" <= ch <= "z" or "A" <= ch <= "Z")
-        alpha_ratio[i] = (na * 1000) // max(1, len(t))
+    if len(flat):
+        hit = (
+            pc.is_in(flat, value_set=pa.array(_STOPWORDS))
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        doc_of = np.repeat(np.arange(n), n_toks)
+        stop_hits = np.bincount(doc_of[hit], minlength=n).astype(np.int64)
+    # ASCII letters only — matches the oracle's regexp [A-Za-z].  Counted
+    # at the byte level straight off the Arrow value buffer (ASCII bytes
+    # never occur inside multi-byte UTF-8 sequences): per-string count is
+    # a prefix-sum difference over a 256-entry lookup mask.
+    na = _ascii_alpha_counts(txt)
+    alpha_ratio = (na * 1000) // np.maximum(1, chars)
     batch = batch.append_column("mean_token_len_x1000", pa.array(mean_len))
     batch = batch.append_column("stopword_hits", pa.array(stop_hits))
     return batch.append_column("alpha_ratio_x1000", pa.array(alpha_ratio))
@@ -67,28 +110,75 @@ _LANG_MARKERS = {
 
 
 class LangIdStage:
-    """Actor stage: n-gram/stopword-marker language guess (tables compiled
-    once per actor). Deterministic; falls back to 'und'."""
+    """Actor stage: stopword-marker language guess (marker hash tables
+    compiled once per actor). Deterministic; falls back to 'und'.
+
+    Vectorized: one whitespace tokenize + FNV hash pass per batch; the
+    per-language score (number of DISTINCT marker words present) comes
+    from per-marker segment-any reductions; the winner is the lex-smallest
+    language among the argmax (matching the scalar tie-break), with a CJK
+    override from an Arrow regex over the first 200 codepoints.
+    """
 
     def __init__(self):
-        self.markers = {
-            lang: set(ws) for lang, ws in _LANG_MARKERS.items() if ws
-        }
+        self.langs = sorted(l for l, ws in _LANG_MARKERS.items() if ws)
+        markers: list[str] = []
+        lang_of: list[int] = []
+        for li, lang in enumerate(self.langs):
+            for w in _LANG_MARKERS[lang]:
+                markers.append(w)
+                lang_of.append(li)
+        self.marker_set = pa.array(markers, pa.string())
+        self.lang_of_marker = np.array(lang_of, dtype=np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        out = []
-        for t in texts:
-            toks = set((t or "").lower().split())
-            best, score = "und", 0
-            for lang, ws in self.markers.items():
-                s = len(toks & ws)
-                if s > score or (s == score and s > 0 and lang < best):
-                    best, score = lang, s
-            if any("一" <= ch <= "鿿" for ch in (t or "")[:200]):
-                best = "zh"
-            out.append(best)
-        return batch.append_column("lang_guess", pa.array(out, pa.string()))
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        txt = pc.fill_null(col, "")
+        n = len(txt)
+        toks_list = pc.utf8_split_whitespace(pc.utf8_lower(txt))
+        counts = (
+            pc.list_value_length(toks_list)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks_list)
+        # One index_in kernel maps every token to its marker slot (or
+        # null); distinct (doc, marker) pairs then score each language.
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            idx = (
+                pc.fill_null(
+                    pc.index_in(flat, value_set=self.marker_set), -1
+                )
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            doc_of = np.repeat(np.arange(n), counts)
+            valid = idx >= 0
+            nm = len(self.lang_of_marker)
+            key = np.unique(doc_of[valid] * nm + idx[valid])
+            np.add.at(
+                scores,
+                (key // nm, self.lang_of_marker[key % nm]),
+                1,
+            )
+        best_idx = np.argmax(scores, axis=1)  # first max = lex smallest
+        best_score = scores[np.arange(n), best_idx]
+        names = np.array(self.langs, dtype=object)
+        out = np.where(best_score > 0, names[best_idx], "und")
+        cjk = (
+            pc.match_substring_regex(
+                pc.utf8_slice_codeunits(txt, 0, 200), "[一-鿿]"
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        out[cjk] = "zh"
+        return batch.append_column(
+            "lang_guess", pa.array(out.tolist(), pa.string())
+        )
 
 
 # --- fingerprinting --------------------------------------------------------

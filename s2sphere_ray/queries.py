@@ -654,7 +654,7 @@ def q_sessions(sf_dir: str):
     ds = _rd().read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
-    return sessionize(ds, gap_minutes=30)
+    return sessionize(ds, gap_minutes=30, num_rows=ds.count())
 
 
 from .functions.sessions import SESSIONS_SQL as SQL_SESSIONS  # noqa: E402

@@ -390,6 +390,7 @@ def spatial_join_shuffle(
     hot_threshold: int | None = None,
     split_delta: int = 3,
     max_split_rounds: int = 3,
+    num_rows: int | None = None,
 ):
     """E9 groupby-shuffle spatial join. Returns Dataset of
     (``point_cols``…, region_id)."""
@@ -496,18 +497,22 @@ def spatial_join_shuffle(
     both = p_side.union(r_side)
 
     # Bucketed hash join: grouping on (hashed) buckets instead of raw keys
-    # keeps the group count fixed (≈4·CPUs) and the per-group body fully
-    # vectorized (sort-merge on join_key inside the bucket) — no per-key
-    # Python dispatch. The multiplicative hash mixes the key because raw
-    # cell ids share trailing lsb patterns per level.
-    n_buckets = 64
+    # keeps the per-group body fully vectorized (sort-merge on join_key
+    # inside the bucket) — no per-key Python dispatch. The bucket count is
+    # derived from the point-side row count (≥4·CPUs, rows-per-bucket
+    # bounded) so one group never owns a fixed fraction of the table. The
+    # multiplicative hash mixes the key because raw cell ids share
+    # trailing lsb patterns per level.
+    from ..functions._buckets import derive_buckets
+
+    n_buckets = derive_buckets(num_rows)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         k = batch["join_key"].to_numpy().view(np.uint64)
-        b = ((k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)).astype(
-            np.int32
-        )
-        return batch.append_column("bucket", pa.array(b))
+        b = (
+            (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ).astype(np.int64) % n_buckets
+        return batch.append_column("bucket", pa.array(b.astype(np.int32)))
 
     both = both.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
 

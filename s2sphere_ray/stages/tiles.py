@@ -50,17 +50,19 @@ def tile_counts(
     lng_col="lng",
     leaf_col: str | None = "cell_id",
     sum_cols=(),
-    tree_reduce_max_level: int = 10,
+    tree_reduce_max_level: int = 8,
 ):
     """E13: per-tile row counts (+ optional sums), partial-aggregated.
 
     Partial combine runs per block inside ``map_batches`` (one row per tile
     per block), so the exchange moves partials, not rows. The final merge is
-    a **tree reduce** (coalesce → combine → coalesce → combine) when the
-    group cardinality is bounded (level ≤ ``tree_reduce_max_level``:
-    ≤ 6·4^10 ≈ 6.3M tiles — one final task holds at most
-    cardinality × row-width bytes); deeper levels have unbounded cardinality
-    and fall back to the hash groupby shuffle.
+    a **two-level tree reduce** (coalesce→combine per fan-in group, then a
+    single final combine) when the group cardinality is bounded (level ≤
+    ``tree_reduce_max_level``: ≤ 6·4^8 ≈ 393k tiles). The first level
+    shrinks every fan-in group to ≤ cardinality rows, so the final task
+    receives at most fan_in × cardinality rows regardless of input block
+    count; deeper levels have unbounded cardinality and fall back to the
+    hash groupby shuffle.
 
     Returns a Dataset with columns ``tile_token, n_rows[, sum_<col>…]``.
     """
@@ -103,11 +105,14 @@ def tile_counts(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     if level <= tree_reduce_max_level:
-        # Single coalesce barrier: the final combine handles at most
-        # (cardinality × blocks-compressed) partial rows in one task —
-        # bounded for level ≤ tree_reduce_max_level.
-        out = partials.repartition(1).map_batches(
-            combine, batch_format="pyarrow", batch_size=None
+        from ..functions._buckets import _cluster_cpus
+
+        fan_in = max(2, min(32, _cluster_cpus()))
+        out = (
+            partials.repartition(fan_in)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None)
         )
     else:
         from ray.data.aggregate import Sum

@@ -436,3 +436,45 @@ def test_minhash_lsh_pair_set_matches_bruteforce_oracle(ray_session):
         if j >= 0.8:
             want.append((int(a), int(b), round(j, 12)))
     assert got == want
+
+
+def test_embed_neardup_oversized_bucket_resplit(ray_session):
+    """A bucket larger than max_bucket_rows must be re-split on extra
+    hyperplanes without losing exact-duplicate pairs."""
+    import numpy as np
+    import ray.data as rd
+
+    from s2sphere_ray.functions.sim import embedding_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    n, dim = 600, 16
+    base = rng.standard_normal((n, dim))
+    # Plant exact duplicates: vec i and i+n are identical for i % 37 == 0.
+    dup_src = np.arange(0, n, 37)
+    emb = np.concatenate([base, base[dup_src]])
+    ids = np.concatenate([np.arange(n), dup_src + n])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+        }
+    )
+    # Tiny caps force every bucket through the re-split + blocked matmul.
+    pairs = embedding_neardup_pairs(
+        rd.from_arrow(tbl).repartition(4),
+        threshold=0.999999,
+        n_planes=2,
+        max_bucket_rows=50,
+        matmul_block=16,
+    ).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    want = {(int(i), int(i + n)) for i in dup_src}
+    assert want <= got
+    # Nothing below the threshold sneaks in.
+    lut = {int(i): v for i, v in zip(ids, emb)}
+    for a, b in got:
+        va, vb = lut[a], lut[b]
+        cos = float(
+            va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+        )
+        assert cos >= 0.999998
