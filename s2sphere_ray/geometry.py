@@ -202,6 +202,64 @@ def _expensive_ccw(a, b, c) -> int:
     return 1 if (a, b, c) == tuple(sorted((a, b, c))) else -1
 
 
+def drem(x: float, y: float) -> float:
+    """IEEE round-half-even remainder (sphere.py def drem — the C drem /
+    remainder function; Python's math.remainder has identical semantics)."""
+    return math.remainder(x, y)
+
+
+def is_unit_length(p) -> bool:
+    """|‖p‖² − 1| ≤ 1e-15 (sphere.py def is_unit_length)."""
+    return abs(dot(p, p) - 1.0) <= 1e-15
+
+
+def ordered_ccw(a, b, c, o) -> bool:
+    """True if edge OB is wedged between OA and OC in CCW order around o
+    (sphere.py def ordered_ccw): at least two of the three orientation
+    tests must agree. Equal points are allowed (a==b or b==c ⇒ True)."""
+    total = 0
+    if robust_ccw(b, o, a) >= 0:
+        total += 1
+    if robust_ccw(c, o, b) >= 0:
+        total += 1
+    if robust_ccw(a, o, c) > 0:
+        total += 1
+    return total >= 2
+
+
+def planar_ccw(a, b) -> int:
+    """Orientation of 2D vectors a, b about the origin (−1/0/+1), computed
+    with cancellation pushed into a sum the way robust_cross_prod does
+    (sphere.py def planar_ccw): the cross product is taken against
+    a ± b (whichever sums constructively) instead of b directly."""
+    sab = -1.0 if (a[0] * b[0] + a[1] * b[1]) > 0.0 else 1.0
+    vab = (a[0] + sab * b[0], a[1] + sab * b[1])
+    da = a[0] * a[0] + a[1] * a[1]
+    db = b[0] * b[0] + b[1] * b[1]
+    if da < db or (da == db and tuple(a) < tuple(b)):
+        sign = (a[0] * vab[1] - a[1] * vab[0]) * sab
+    else:
+        sign = vab[0] * b[1] - vab[1] * b[0]
+    if sign > 0.0:
+        return 1
+    if sign < 0.0:
+        return -1
+    return 0
+
+
+def planar_ordered_ccw(a, b, c) -> bool:
+    """2D analogue of :func:`ordered_ccw` (sphere.py def
+    planar_ordered_ccw)."""
+    total = 0
+    if planar_ccw(a, b) >= 0:
+        total += 1
+    if planar_ccw(b, c) >= 0:
+        total += 1
+    if planar_ccw(c, a) > 0:
+        total += 1
+    return total >= 2
+
+
 def simple_crossing(a, b, c, d) -> bool:
     """Do open great-circle edges AB and CD cross?
     (sphere.py def simple_crossing)."""
@@ -583,6 +641,44 @@ class SphereInterval:
         if dlo < dhi:
             return SphereInterval(p, self.hi)
         return SphereInterval(self.lo, p)
+
+    def get_complement_center(self) -> float:
+        """Center of the complement interval; for a singleton, the
+        antipodal point (sphere.py SphereInterval.get_complement_center)."""
+        if self.lo != self.hi:
+            return self.get_complement().get_center()
+        return self.hi + math.pi if self.hi <= 0.0 else self.hi - math.pi
+
+    def get_directed_hausdorff_distance(
+        self, other: "SphereInterval"
+    ) -> float:
+        """Directed Hausdorff distance to ``other``: the max over points p
+        in self of the distance from p to the closest point of other
+        (sphere.py SphereInterval.get_directed_hausdorff_distance)."""
+        if other.contains(self):
+            return 0.0
+        if other.is_empty():
+            return math.pi
+        other_complement_center = other.get_complement_center()
+        if self.contains(other_complement_center):
+            return SphereInterval.positive_distance(
+                other.hi, other_complement_center
+            )
+        hi_hi = (
+            SphereInterval.positive_distance(other.hi, self.hi)
+            if SphereInterval(other.hi, other_complement_center).contains(
+                self.hi
+            )
+            else 0.0
+        )
+        lo_lo = (
+            SphereInterval.positive_distance(self.lo, other.lo)
+            if SphereInterval(other_complement_center, other.lo).contains(
+                self.lo
+            )
+            else 0.0
+        )
+        return max(hi_hi, lo_lo)
 
 
 # ---------------------------------------------------------------------------
@@ -970,6 +1066,10 @@ MAX_DIAG = Metric(2.438654594434021032, 1)
 AVG_AREA = Metric(4 * math.pi / 6, 2)
 MIN_AREA = Metric(8 * math.sqrt(2) / 9, 2)
 MAX_AREA = Metric(2.635799256963161491, 2)
+# Aspect-ratio bounds of the quadratic projection (sphere.py module
+# constants MAX_EDGE_ASPECT / MAX_DIAG_ASPECT, SURVEY §2.1 H2).
+MAX_EDGE_ASPECT = 1.442615274452682920
+MAX_DIAG_ASPECT = math.sqrt(3)
 
 
 # ---------------------------------------------------------------------------
@@ -1209,12 +1309,18 @@ def get_v_axis(face: int):
     if face == 1:
         return (0.0, 0.0, 1.0)
     if face == 2:
-        return (-1.0, 0.0, 0.0)
+        return (0.0, -1.0, 0.0)
     if face == 3:
         return (0.0, -1.0, 0.0)
     if face == 4:
-        return (0.0, -1.0, 0.0)
-    return (0.0, -1.0, 0.0)
+        return (1.0, 0.0, 0.0)
+    return (1.0, 0.0, 0.0)
+
+
+def get_norm(face: int):
+    """Outward unit normal of ``face`` (sphere.py def get_norm) — the
+    third axis of the face frame, u_axis × v_axis."""
+    return cross(get_u_axis(face), get_v_axis(face))
 
 
 def get_u_norm(face: int, u: float):
@@ -1424,6 +1530,32 @@ class LatLngRect:
         return cls(
             LineInterval(math.radians(lat_lo), math.radians(lat_hi)),
             SphereInterval(math.radians(lng_lo), math.radians(lng_hi)),
+        )
+
+    @classmethod
+    def from_point(cls, ll: LatLng) -> "LatLngRect":
+        """Degenerate rect containing a single point (sphere.py
+        LatLngRect.from_point)."""
+        return cls(
+            LineInterval(ll.lat, ll.lat), SphereInterval(ll.lng, ll.lng)
+        )
+
+    @classmethod
+    def from_point_pair(cls, a: LatLng, b: LatLng) -> "LatLngRect":
+        """Minimal rect containing both points; the lng interval takes the
+        shorter way around (sphere.py LatLngRect.from_point_pair)."""
+        return cls(
+            LineInterval.from_point_pair(a.lat, b.lat),
+            SphereInterval.from_point_pair(a.lng, b.lng),
+        )
+
+    @classmethod
+    def from_center_size(cls, center: LatLng, size: LatLng) -> "LatLngRect":
+        """Rect of the given angular ``size`` centered on ``center``, lat
+        clamped to the poles (sphere.py LatLngRect.from_center_size):
+        from_point(center) expanded by half the size."""
+        return cls.from_point(center).expanded(
+            LatLng(0.5 * size.lat, 0.5 * size.lng)
         )
 
     def is_empty(self) -> bool:

@@ -15,6 +15,8 @@ and pytest covers their invariants (SURVEY §5).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -328,6 +330,52 @@ def q_tile_counts_l8(sf_dir: str):
     recomputes tile tokens wholly in SQL (oracle_sql.py) and groups."""
     out = tile_counts(_points(sf_dir), 8)
     return out.select_columns(["tile_token", "n_rows"])
+
+
+def q_write_tiles_roundtrip(sf_dir: str):
+    """E18 write→read-back round-trip: pages are written through the
+    resumable partitioned sink (``write_tiles``: tile-prefix partitions +
+    per-partition manifests), re-read from the written parquet, and
+    re-aggregated per level-8 tile. Must match the q_tile_counts_l8 oracle
+    exactly — proving the sink loses/duplicates nothing. A second
+    ``write_tiles`` call with the same fingerprint must skip every
+    partition (resume contract), which the query asserts.
+    """
+    import shutil
+    import tempfile
+
+    from .stages.tiles import read_manifests, write_tiles
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"s2ray_write_rt_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_tiles(_points(sf_dir), out_dir, level=8, fingerprint="rt-v1")
+    manifests = read_manifests(out_dir)
+    rows_before = sum(m["rows"] for m in manifests)
+    # Resume: nothing to rewrite, manifests unchanged.
+    write_tiles(_points(sf_dir), out_dir, level=8, fingerprint="rt-v1")
+    manifests2 = read_manifests(out_dir)
+    assert sum(m["rows"] for m in manifests2) == rows_before, "resume rewrote"
+
+    back = _rd().read_parquet(out_dir, columns=["tile_token"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["tile_token"].combine_chunks())
+        return pa.table(
+            {
+                "tile_token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        back.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("tile_token")
+        .aggregate(Sum("n", alias_name="n_rows"))
+    )
 
 
 def q_top_tiles_l8(sf_dir: str):
@@ -898,6 +946,7 @@ QUERIES = {
     "q_knn": q_knn,
     "q_knn_pruned": q_knn_pruned,
     "q_tile_counts_l8": q_tile_counts_l8,
+    "q_write_tiles_roundtrip": q_write_tiles_roundtrip,
     "q_top_tiles_l8": q_top_tiles_l8,
     "q_hilbert_order": q_hilbert_order,
     "q_dedup_exact": q_dedup_exact,
@@ -935,6 +984,11 @@ ORACLE_SQL = {
     "q_geocode": SQL_GEOCODE,
     "q_cell_tokens_l12": _sql_cell_tokens(12),
     "q_tile_counts_l8": (
+        "SELECT cell_token AS tile_token, COUNT(*) AS n_rows FROM ("
+        + _sql_cell_tokens(8)
+        + ") GROUP BY cell_token"
+    ),
+    "q_write_tiles_roundtrip": (
         "SELECT cell_token AS tile_token, COUNT(*) AS n_rows FROM ("
         + _sql_cell_tokens(8)
         + ") GROUP BY cell_token"

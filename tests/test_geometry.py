@@ -348,3 +348,127 @@ def test_interval_complement_and_interior():
     assert not r.interior_intersects(g.LatLngRect.from_degrees(20, 10, 30, 20))
     cap = g.Cap.from_axis_angle((1.0, 0.0, 0.0), 0.5)
     assert cap.interior_contains((1.0, 0.0, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 API additions: drem / is_unit_length / ordered_ccw / planar_ccw /
+# get_norm / SphereInterval hausdorff / LatLngRect ctors / aspect constants
+# ---------------------------------------------------------------------------
+
+
+def test_drem_and_is_unit_length():
+    import math
+
+    assert g.drem(5.0, 2.0) == 1.0
+    assert g.drem(3.0, 2.0) == -1.0  # round-half-even: 3/2 rounds to 2
+    assert g.drem(-5.5, 2.0) == 0.5
+    assert g.is_unit_length((1.0, 0.0, 0.0))
+    assert g.is_unit_length(g.normalize((3.0, 4.0, 12.0)))
+    assert not g.is_unit_length((1.0, 1.0, 0.0))
+    assert not g.is_unit_length((0.0, 0.0, 0.0))
+
+
+def test_ordered_ccw():
+    o = (0.0, 0.0, 1.0)
+    a = (1.0, 0.0, 0.0)
+    b = g.normalize((1.0, 1.0, 0.0))
+    c = (0.0, 1.0, 0.0)
+    assert g.ordered_ccw(a, b, c, o)
+    assert not g.ordered_ccw(c, b, a, o) or g.ordered_ccw(a, b, c, o)
+    # Reversing outer edge flips the wedge unless degenerate.
+    assert not g.ordered_ccw(a, c, b, o)
+    # Equal points are allowed.
+    assert g.ordered_ccw(a, a, c, o)
+    assert g.ordered_ccw(a, c, c, o)
+
+
+def test_planar_ccw_and_ordered():
+    assert g.planar_ccw((1.0, 0.0), (0.0, 1.0)) == 1
+    assert g.planar_ccw((0.0, 1.0), (1.0, 0.0)) == -1
+    assert g.planar_ccw((1.0, 0.0), (2.0, 0.0)) == 0
+    assert g.planar_ordered_ccw((1.0, 0.0), (1.0, 1.0), (0.0, 1.0))
+    assert not g.planar_ordered_ccw((1.0, 0.0), (0.0, 1.0), (1.0, 1.0))
+
+
+def test_get_norm_faces():
+    for face in range(6):
+        n = g.get_norm(face)
+        # Unit length, orthogonal to both in-face axes, right-handed.
+        assert g.is_unit_length(n)
+        assert abs(g.dot(n, g.get_u_axis(face))) < 1e-15
+        assert abs(g.dot(n, g.get_v_axis(face))) < 1e-15
+        # The face normal is where (u,v)=(0,0) maps on the sphere.
+        import s2sphere_ray.cells as ck
+        import numpy as np
+
+        x, y, z = ck.face_uv_to_xyz(
+            np.array([face]), np.array([0.0]), np.array([0.0])
+        )
+        v = g.normalize((float(x[0]), float(y[0]), float(z[0])))
+        assert all(abs(v[i] - n[i]) < 1e-15 for i in range(3))
+
+
+def test_sphere_interval_directed_hausdorff():
+    import math
+
+    SI = g.SphereInterval
+    a = SI(0.0, 1.0)
+    assert a.get_directed_hausdorff_distance(SI(-0.5, 1.5)) == 0.0
+    assert a.get_directed_hausdorff_distance(SI.empty()) == math.pi
+    # Disjoint: farthest point of a from [2, 3] is 0.0 → distance to 3
+    # going the short way: min over other pts; directed HD = max over a.
+    d = a.get_directed_hausdorff_distance(SI(2.0, 3.0))
+    # Farthest point in a from the interval [2,3]: distance from 0 is
+    # min(2, 2π-3)=2π-3... compute brute force.
+    import numpy as np
+
+    pts = np.linspace(0.0, 1.0, 20001)
+    other = np.linspace(2.0, 3.0, 20001)
+
+    def circ(x, y):
+        r = abs(x - y) % (2 * math.pi)
+        return min(r, 2 * math.pi - r)
+
+    brute = max(min(circ(p, q) for q in (2.0, 3.0)) for p in pts)
+    assert abs(d - brute) < 1e-9
+    # Self distance zero; singleton cases.
+    assert a.get_directed_hausdorff_distance(a) == 0.0
+    s = SI(1.0, 1.0)
+    assert abs(
+        s.get_directed_hausdorff_distance(SI(1.0 + 0.3, 1.0 + 0.5)) - 0.3
+    ) < 1e-15
+
+
+def test_latlngrect_ctors():
+    import math
+
+    ll = g.LatLng.from_degrees(10.0, 20.0)
+    r = g.LatLngRect.from_point(ll)
+    assert r.contains_latlng(ll)
+    assert r.lat.get_length() == 0.0 and r.lng.get_length() == 0.0
+
+    a = g.LatLng.from_degrees(10.0, 170.0)
+    b = g.LatLng.from_degrees(-5.0, -170.0)
+    pp = g.LatLngRect.from_point_pair(a, b)
+    assert pp.contains_latlng(a) and pp.contains_latlng(b)
+    # Takes the short way across the dateline: 20°, not 340°.
+    assert abs(pp.lng.get_length() - math.radians(20.0)) < 1e-12
+
+    c = g.LatLng.from_degrees(80.0, 0.0)
+    size = g.LatLng.from_degrees(40.0, 60.0)
+    cs = g.LatLngRect.from_center_size(c, size)
+    # Lat clamped at the pole.
+    assert abs(cs.lat.hi - math.pi / 2) < 1e-15
+    assert abs(cs.lat.lo - math.radians(60.0)) < 1e-12
+    assert abs(cs.lng.get_length() - math.radians(60.0)) < 1e-12
+    assert cs.contains_latlng(c)
+
+
+def test_aspect_constants():
+    import math
+
+    assert abs(g.MAX_DIAG_ASPECT - math.sqrt(3)) < 1e-15
+    assert 1.0 < g.MAX_EDGE_ASPECT < g.MAX_DIAG_ASPECT
+    # Edge aspect bound must be consistent with the edge metrics:
+    # max/min edge length ratio at any level is <= MAX_EDGE/MIN_EDGE.
+    assert g.MAX_EDGE_ASPECT <= g.MAX_EDGE.deriv / g.MIN_EDGE.deriv + 1e-9
