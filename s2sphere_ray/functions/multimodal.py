@@ -61,16 +61,39 @@ class ImageFeatureStage:
         col = batch["payload"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        feats = np.empty((batch.num_rows, self.dim), dtype=np.float32)
-        for i in range(batch.num_rows):
-            b = np.frombuffer(col[i].as_py() or b"\0", dtype=np.uint8)
-            # Deterministic fake feature: moments of byte histogram chunks.
-            chunks = np.array_split(b.astype(np.float32), self.dim)
-            feats[i] = [c.mean() if len(c) else 0.0 for c in chunks]
+        n = batch.num_rows
+        dim = self.dim
+        # Deterministic fake feature: per-row byte stream split into `dim`
+        # contiguous chunks (np.array_split sizing), chunk means. Fully
+        # vectorized off the Arrow binary buffers: one prefix sum over the
+        # value buffer, then (n, dim) segment-sum differences.
+        offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offsets)
+        cs = np.concatenate([[0], np.cumsum(data, dtype=np.int64)])
+        q, r = np.divmod(lens, dim)
+        kk = np.arange(dim, dtype=np.int64)
+        # Chunk k of row i starts at k*q_i + min(k, r_i), np.array_split's
+        # split points.
+        rel_start = kk[None, :] * q[:, None] + np.minimum(kk[None, :], r[:, None])
+        rel_end = (kk[None, :] + 1) * q[:, None] + np.minimum(
+            kk[None, :] + 1, r[:, None]
+        )
+        abs_start = offsets[:-1, None] + rel_start
+        abs_end = offsets[:-1, None] + rel_end
+        sizes = rel_end - rel_start
+        sums = cs[abs_end] - cs[abs_start]
+        with np.errstate(invalid="ignore"):
+            feats = np.where(sizes > 0, sums / np.maximum(sizes, 1), 0.0)
+        # Empty / NULL payloads behave as a single zero byte (chunk 0 of
+        # size 1, zero mean) — matching the scalar b"\0" fallback.
+        feats = feats.astype(np.float32)
         return batch.append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(
-                pa.array(feats.reshape(-1), pa.float32()), self.dim
+                pa.array(feats.reshape(-1), pa.float32()), dim
             ),
         )
 

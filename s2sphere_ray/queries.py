@@ -514,6 +514,25 @@ def q_simsearch(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def q_simsearch_ivf(sf_dir: str):
+    """IVF top-k with ``nprobe == n_centroids`` — probing every inverted
+    list makes the approximate path exact, so the same SQL oracle as
+    q_simsearch applies while the full IVF machinery (deterministic
+    k-means train, broadcast centroids, per-batch assignment pruning)
+    runs end-to-end. Recall-vs-nprobe behavior is covered in pytest."""
+    import pyarrow.parquet as pq
+
+    from .functions.sim import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(pc.less(emb["vec_id"], 3)).rename_columns(
+        ["query_id", "embedding", "label"]
+    )
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=8)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 SQL_SIMSEARCH = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
     " WHERE vec_id < 3), s AS (SELECT q.query_id, e.vec_id,"
@@ -957,6 +976,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_fingerprint": q_fingerprint,
     "q_simsearch": q_simsearch,
+    "q_simsearch_ivf": q_simsearch_ivf,
     "q_media_features": q_media_features,
     "q_pricing_summary": q_pricing_summary,
     "q_orders_by_segment": q_orders_by_segment,
@@ -1014,6 +1034,7 @@ ORACLE_SQL = {
     "q_quality": SQL_QUALITY,
     "q_lang_counts": SQL_LANG_COUNTS,
     "q_simsearch": SQL_SIMSEARCH,
+    "q_simsearch_ivf": SQL_SIMSEARCH,
     "q_pricing_summary": SQL_PRICING,
     "q_orders_by_segment": SQL_ORDERS_SEG,
     "q_events_hourly": SQL_EVENTS_HOURLY,

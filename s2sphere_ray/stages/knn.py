@@ -181,45 +181,65 @@ def knn_points_pruned(
             }
         )
 
-    pruned = (
-        partials.groupby("query_id")
-        .map_groups(merge_topk, batch_format="pyarrow")
+    # The pruned result stays in the object store; only a |Q|-row summary
+    # (count + max distance per query) comes back to the driver for the
+    # exactness check. Queries whose k-th candidate falls outside the
+    # guaranteed disc (or with < k candidates) re-run through the brute
+    # pass, and the final plan is filter(ok) ∪ brute(failed).
+    pruned = partials.groupby("query_id").map_groups(
+        merge_topk, batch_format="pyarrow"
+    ).materialize()
+
+    def summarize(group: pa.Table) -> pa.Table:
+        d = group["dist_rad"].to_numpy()
+        return pa.table(
+            {
+                "query_id": group["query_id"].slice(0, 1),
+                "n": pa.array([len(d)], pa.int64()),
+                "max_d": pa.array([float(d.max())], pa.float64()),
+            }
+        )
+
+    summary = {
+        int(r["query_id"]): (int(r["n"]), float(r["max_d"]))
+        for r in pruned.groupby("query_id")
+        .map_groups(summarize, batch_format="pyarrow")
         .take_all()
-    )
-    # Guarantee check (driver-side, |Q|·k rows): a query is exact iff it has
-    # k rows and its k-th distance fits inside the covered disc.
-    by_q: dict = {}
-    for row in pruned:
-        by_q.setdefault(row["query_id"], []).append(row)
+    }
     failed = [
         int(q)
         for q in q_id
-        if int(q) not in by_q
-        or len(by_q[int(q)]) < k
-        or max(r["dist_rad"] for r in by_q[int(q)]) > guarantee_rad
+        if int(q) not in summary
+        or summary[int(q)][0] < k
+        or summary[int(q)][1] > guarantee_rad
     ]
-    rows = [r for q, rs in by_q.items() if q not in set(failed) for r in rs]
-    if failed:
-        fmask = np.isin(q_id, failed)
-        fallback_queries = pa.table(
-            {
-                query_id_col: pa.array(q_id[fmask]),
-                "lat": pa.array(q_lat[fmask]),
-                "lng": pa.array(q_lng[fmask]),
-            }
-        )
-        rows += knn_points(
-            points_ds,
-            fallback_queries,
-            k,
-            point_id_col=point_id_col,
-            lat_col=lat_col,
-            lng_col=lng_col,
-            query_id_col=query_id_col,
-        ).take_all()
-    import ray.data as rd
+    if not failed:
+        return pruned
+    failed_arr = np.array(failed, dtype=np.int64)
 
-    return rd.from_items(rows)
+    def keep_ok(batch: pa.Table) -> pa.Table:
+        m = ~np.isin(batch["query_id"].to_numpy(), failed_arr)
+        return batch.filter(pa.array(m))
+
+    ok_ds = pruned.map_batches(keep_ok, batch_format="pyarrow")
+    fmask = np.isin(q_id, failed_arr)
+    fallback_queries = pa.table(
+        {
+            query_id_col: pa.array(q_id[fmask]),
+            "lat": pa.array(q_lat[fmask]),
+            "lng": pa.array(q_lng[fmask]),
+        }
+    )
+    brute = knn_points(
+        points_ds,
+        fallback_queries,
+        k,
+        point_id_col=point_id_col,
+        lat_col=lat_col,
+        lng_col=lng_col,
+        query_id_col=query_id_col,
+    )
+    return ok_ds.union(brute)
 
 
 def knn_cell_candidates(
