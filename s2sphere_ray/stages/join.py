@@ -467,28 +467,45 @@ def spatial_join_shuffle(
         r_cols[c] = pa.nulls(key_table.num_rows, t)
     r_table = pa.table(r_cols)
 
-    # --- optional skew split (recursive) ----------------------------------
+    # --- optional skew split (count-adaptive, single pass) -----------------
     if hot_threshold is not None:
-        # The counting pre-pass and the join both consume the key stream;
-        # materialize it once (narrow rows) so the upstream read/geocode/
-        # encode pipeline does not execute twice. Splitting repeats until
-        # no key exceeds the threshold (each round divides hot groups by
-        # up to 4^split_delta) or the depth cap is reached.
-        p_side = p_side.materialize()
-        for _round in range(max_split_rounds):
-            hot = _find_hot_keys(p_side, hot_threshold)
-            hot = hot[
-                ck.level(hot.view(np.uint64)) < ck.MAX_LEVEL
-            ]  # leaf keys cannot split further
-            if not len(hot):
-                break
-            hot_set_ref = ray.put(hot)
+        # One lazy counting pre-pass over the key stream (per-block partial
+        # counts → small groupby → driver take of keys above threshold).
+        # Nothing is materialized: at 10¹² rows the alternative — spilling
+        # the whole narrow key stream to the object store — costs tens of
+        # TB, whereas re-executing the narrow upstream (read+geocode+encode)
+        # once more is a second streaming pass. The split depth is chosen
+        # PER KEY from its observed count (δ = split_delta ·
+        # ceil(log_{4^split_delta}(count/threshold)), capped at
+        # split_delta·max_split_rounds and MAX_LEVEL), so a single split
+        # map replaces the old multi-round recount loop: heavier keys
+        # split deeper in the same pass.
+        hot_keys, hot_counts = _find_hot_keys(
+            p_side, hot_threshold, with_counts=True
+        )
+        splittable = ck.level(hot_keys.view(np.uint64)) < ck.MAX_LEVEL
+        hot_keys, hot_counts = hot_keys[splittable], hot_counts[splittable]
+        if len(hot_keys):
+            ratio = hot_counts.astype(np.float64) / float(hot_threshold)
+            rounds = np.ceil(
+                np.log(np.maximum(ratio, 1.0 + 1e-9))
+                / (np.log(4.0) * split_delta)
+            ).astype(np.int64)
+            rounds = np.clip(rounds, 1, max_split_rounds)
+            tgt_level = np.minimum(
+                ck.level(hot_keys.view(np.uint64)) + split_delta * rounds,
+                ck.MAX_LEVEL,
+            ).astype(np.int64)
+            order = np.argsort(hot_keys)
+            hot_sorted = hot_keys[order]
+            tgt_sorted = tgt_level[order]
+            split_ref = ray.put((hot_sorted, tgt_sorted))
             p_side = p_side.map_batches(
-                lambda b, ref=hot_set_ref: _split_points(b, ref, split_delta),
+                lambda b, ref=split_ref: _split_points_targeted(b, ref),
                 batch_format="pyarrow",
-            ).materialize()
-            r_table = _split_region_keys(
-                r_table, hot, covers, split_delta, point_cols, pschema
+            )
+            r_table = _split_region_keys_targeted(
+                r_table, hot_sorted, tgt_sorted, covers, point_cols, pschema
             )
 
     import ray.data as rd
@@ -567,9 +584,9 @@ def _empty_result(group: pa.Table, point_cols) -> pa.Table:
     return pa.table(cols)
 
 
-def _find_hot_keys(p_side, threshold: int) -> np.ndarray:
+def _find_hot_keys(p_side, threshold: int, with_counts: bool = False):
     """Counting pre-pass: per-batch partial counts, tiny groupby, driver
-    collect of keys whose point count exceeds ``threshold``."""
+    collect of keys (and counts) whose point count exceeds ``threshold``."""
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         k, c = np.unique(batch["join_key"].to_numpy(), return_counts=True)
@@ -586,31 +603,39 @@ def _find_hot_keys(p_side, threshold: int) -> np.ndarray:
         col = "sum(n)" if "sum(n)" in b.column_names else b.column_names[-1]
         return b.filter(pc.greater(b[col], threshold))
 
-    rows = (
-        totals.map_batches(_filt, batch_format="pyarrow")
-        .select_columns(["join_key"])
-        .take_all()
+    rows = totals.map_batches(_filt, batch_format="pyarrow").take_all()
+    keys = np.array([r["join_key"] for r in rows], dtype=np.int64)
+    if not with_counts:
+        return keys
+    counts = np.array(
+        [next(v for k, v in r.items() if k != "join_key") for r in rows],
+        dtype=np.int64,
     )
-    return np.array([r["join_key"] for r in rows], dtype=np.int64)
+    return keys, counts
 
 
-def _split_points(batch: pa.Table, hot_set_ref, delta: int) -> pa.Table:
-    import ray
-
-    hot = _get_params(hot_set_ref)
+def _split_points_targeted(batch: pa.Table, split_ref) -> pa.Table:
+    """Re-key point rows of hot keys to their per-key target level (the
+    broadcast carries (sorted hot keys, target levels))."""
+    hot_sorted, tgt_sorted = _get_params(split_ref)
     keys = batch["join_key"].to_numpy()
-    is_hot = np.isin(keys, hot)
-    if not is_hot.any():
-        return batch
-    u = keys.view(np.uint64).copy()
+    pos = np.searchsorted(hot_sorted, keys)
+    pos_c = np.minimum(pos, len(hot_sorted) - 1)
+    is_hot = (len(hot_sorted) > 0) & (hot_sorted[pos_c] == keys)
     side = batch["side"].to_numpy()
     sel = is_hot & (side == 0)
-    lv = ck.level(u[sel])
+    if not sel.any():
+        return batch
+    u = keys.view(np.uint64).copy()
     leaf = ck.cell_id_from_latlng(
         batch["lat"].to_numpy()[sel], batch["lng"].to_numpy()[sel]
     )
-    new_lv = np.minimum(lv + delta, ck.MAX_LEVEL)
-    u[sel] = ck.parent(leaf, new_lv)
+    tgt = tgt_sorted[pos_c[sel]]
+    new_keys = np.empty(len(leaf), dtype=np.uint64)
+    for lvl in np.unique(tgt):
+        m = tgt == lvl
+        new_keys[m] = ck.parent(leaf[m], int(lvl))
+    u[sel] = new_keys
     return batch.set_column(
         batch.schema.get_field_index("join_key"),
         "join_key",
@@ -618,21 +643,28 @@ def _split_points(batch: pa.Table, hot_set_ref, delta: int) -> pa.Table:
     )
 
 
-def _split_region_keys(
-    r_table: pa.Table, hot: np.ndarray, covers, delta: int, point_cols, pschema
+def _split_region_keys_targeted(
+    r_table: pa.Table,
+    hot_sorted: np.ndarray,
+    tgt_sorted: np.ndarray,
+    covers,
+    point_cols,
+    pschema,
 ) -> pa.Table:
-    """Replace hot region keys with their (level+delta) children that
-    intersect the region's cover."""
+    """Replace hot region keys with their children at the key's target
+    level that intersect the region's cover (per-key depth from the count
+    pre-pass)."""
     keys = r_table["join_key"].to_numpy()
     ridx = r_table["region_idx"].to_numpy()
-    is_hot = np.isin(keys, hot)
+    pos = np.searchsorted(hot_sorted, keys)
+    pos_c = np.minimum(pos, max(len(hot_sorted) - 1, 0))
+    is_hot = (len(hot_sorted) > 0) & (hot_sorted[pos_c] == keys)
     keep = r_table.filter(pa.array(~is_hot))
     new_keys = []
     new_ridx = []
-    for k, r in zip(keys[is_hot], ridx[is_hot]):
+    for k, r, p in zip(keys[is_hot], ridx[is_hot], pos_c[is_hot]):
         cell = g.CellId(_i64_to_u64(int(k)))
-        lvl = cell.level()
-        new_lv = min(lvl + delta, ck.MAX_LEVEL)
+        new_lv = int(tgt_sorted[p])
         cover_union = g.CellUnion([int(c) for c in covers[int(r)]])
         child = cell.child_begin(new_lv)
         end = cell.child_end(new_lv)

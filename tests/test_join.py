@@ -99,3 +99,47 @@ def test_empty_regions(ray_session, setup):
     empty = regions.slice(0, 0)
     out = J.spatial_join(_points_ds(doc_id, lat, lng), empty, strategy="broadcast")
     assert out.count() == 0
+
+
+def test_shuffle_skew_adaptive_depth_no_duplicates(ray_session, setup):
+    """Extreme skew: two hot cells with very different counts must split
+    to different depths (count-adaptive δ) and the output must equal brute
+    force as a MULTISET — no duplicated pairs from the split region keys."""
+    regions, _, _, _, _ = setup
+    rng = np.random.default_rng(11)
+    # ~6000 points inside one city disc (very hot), ~300 in another
+    # (mildly hot), plus background.
+    lat1, lng1 = 40.7, -74.0
+    lat2, lng2 = 51.5, -0.1
+    lat = np.concatenate(
+        [
+            lat1 + rng.uniform(-0.2, 0.2, 6000),
+            lat2 + rng.uniform(-0.2, 0.2, 300),
+            rng.uniform(-60, 60, 700),
+        ]
+    )
+    lng = np.concatenate(
+        [
+            lng1 + rng.uniform(-0.2, 0.2, 6000),
+            lng2 + rng.uniform(-0.2, 0.2, 300),
+            rng.uniform(-179, 179, 700),
+        ]
+    )
+    doc_id = np.arange(len(lat), dtype=np.int64)
+    expected = []
+    for row in regions.to_pylist():
+        m = J.refine_mask(lat, lng, row)
+        for d in doc_id[m]:
+            expected.append((int(d), int(row["region_id"])))
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng),
+        regions,
+        strategy="shuffle",
+        hot_threshold=200,
+        split_delta=2,
+        max_split_rounds=3,
+    )
+    got = sorted(
+        (r["doc_id"], r["region_id"]) for r in out.take_all()
+    )
+    assert got == sorted(expected)
