@@ -111,7 +111,7 @@ def run_bench() -> dict:
             strategy="broadcast",
             point_cols=("doc_id", "cell_id"),
         )
-        tiles = tile_counts(joined, 8)
+        tiles = tile_counts(joined, 8, num_rows=BENCH_ROWS)
         return tiles.count()
 
     n_tiles = timed("flagship", headline)

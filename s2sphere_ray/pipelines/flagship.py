@@ -38,7 +38,13 @@ def flagship(sf_dir: str, tile_level: int = 8, join_strategy: str = "broadcast")
         strategy=join_strategy,
         point_cols=("doc_id", "cell_id"),
     )
-    return tile_counts(joined, tile_level)
+    # Parquet-metadata row count (free) gates the coalesce-vs-groupby
+    # choice of the final tile merge at scale.
+    try:
+        n_hint = read_pages(sf_dir, columns=["doc_id"]).count()
+    except Exception:
+        n_hint = None
+    return tile_counts(joined, tile_level, num_rows=n_hint)
 
 
 def flagship_write(

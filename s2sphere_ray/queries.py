@@ -328,7 +328,7 @@ SQL_KNN = (
 def q_tile_counts_l8(sf_dir: str):
     """Per-tile page counts at level 8 — E13/E15, exact-checked: the oracle
     recomputes tile tokens wholly in SQL (oracle_sql.py) and groups."""
-    out = tile_counts(_points(sf_dir), 8)
+    out = tile_counts(_points(sf_dir), 8, num_rows=_docs(sf_dir, ["doc_id"]).count())
     return out.select_columns(["tile_token", "n_rows"])
 
 
@@ -380,7 +380,7 @@ def q_write_tiles_roundtrip(sf_dir: str):
 
 def q_top_tiles_l8(sf_dir: str):
     """Densest 20 level-8 tiles (ties by token) — exact-checked in SQL."""
-    out = top_k_tiles(_points(sf_dir), 8, 20)
+    out = top_k_tiles(_points(sf_dir), 8, 20, num_rows=_docs(sf_dir, ["doc_id"]).count())
     return out.select_columns(["tile_token", "n_rows"])
 
 

@@ -51,18 +51,22 @@ def tile_counts(
     leaf_col: str | None = "cell_id",
     sum_cols=(),
     tree_reduce_max_level: int = 8,
+    num_rows: int | None = None,
+    final_combine_rows: int = 30_000_000,
 ):
     """E13: per-tile row counts (+ optional sums), partial-aggregated.
 
     Partial combine runs per block inside ``map_batches`` (one row per tile
-    per block), so the exchange moves partials, not rows. The final merge is
-    a **two-level tree reduce** (coalesce→combine per fan-in group, then a
-    single final combine) when the group cardinality is bounded (level ≤
-    ``tree_reduce_max_level``: ≤ 6·4^8 ≈ 393k tiles). The first level
-    shrinks every fan-in group to ≤ cardinality rows, so the final task
-    receives at most fan_in × cardinality rows regardless of input block
-    count; deeper levels have unbounded cardinality and fall back to the
-    hash groupby shuffle.
+    per block), so the exchange moves partials, not rows. The final merge
+    is a single coalesce+combine when BOTH (a) the group cardinality is
+    bounded (level ≤ ``tree_reduce_max_level``: ≤ 6·4^8 ≈ 393k tiles) and
+    (b) the estimated partial-row total — ``est_blocks × min(block_rows,
+    cardinality)`` from the ``num_rows`` hint — fits one task
+    (``final_combine_rows``); otherwise the hash groupby shuffle does the
+    merge. Callers at scale should pass ``num_rows`` (parquet metadata
+    count is free); without a hint the coalesce path is used for bounded
+    levels, which is correct at any scale but single-task-bound above
+    ~10⁴ blocks.
 
     Returns a Dataset with columns ``tile_token, n_rows[, sum_<col>…]``.
     """
@@ -104,15 +108,18 @@ def tile_counts(
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    if level <= tree_reduce_max_level:
-        from ..functions._buckets import _cluster_cpus
-
-        fan_in = max(2, min(32, _cluster_cpus()))
-        out = (
-            partials.repartition(fan_in)
-            .map_batches(combine, batch_format="pyarrow", batch_size=None)
-            .repartition(1)
-            .map_batches(combine, batch_format="pyarrow", batch_size=None)
+    card = 6 * (4 ** level)
+    if num_rows is not None:
+        est_blocks = max(1, num_rows // 2_000_000)
+        est_partial = est_blocks * min(
+            card, max(1, num_rows // est_blocks)
+        )
+        coalesce_ok = est_partial <= final_combine_rows
+    else:
+        coalesce_ok = True
+    if level <= tree_reduce_max_level and coalesce_ok:
+        out = partials.repartition(1).map_batches(
+            combine, batch_format="pyarrow", batch_size=None
         )
     else:
         from ray.data.aggregate import Sum
@@ -146,11 +153,15 @@ def hilbert_sort(ds, id_col: str = "cell_id", tiebreak_cols=()):
     return ds.map_batches(_widen, batch_format="pyarrow").sort(keys)
 
 
-def top_k_tiles(ds, level: int, k: int, lat_col="lat", lng_col="lng"):
+def top_k_tiles(
+    ds, level: int, k: int, lat_col="lat", lng_col="lng", num_rows=None
+):
     """E14: densest k tiles = tile_counts → sort desc → limit.
 
     Deterministic tie rule: (n_rows desc, tile_token asc)."""
-    counts = tile_counts(ds, level, lat_col=lat_col, lng_col=lng_col)
+    counts = tile_counts(
+        ds, level, lat_col=lat_col, lng_col=lng_col, num_rows=num_rows
+    )
     return counts.sort(["n_rows", "tile_token"], descending=[True, False]).limit(k)
 
 
