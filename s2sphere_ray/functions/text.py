@@ -202,3 +202,24 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     h = fnv_over_offsets(data, offsets[:-1], np.diff(offsets))
     return batch.append_column("fingerprint", pa.array(h, pa.uint64()))
+
+
+# --- BPE-ish regex tokenizer ------------------------------------------------
+
+# Letter runs | digit runs | single non-alnum non-space — a BPE-style
+# pre-tokenization split. Both Arrow and DuckDB compile this with RE2, so
+# counts agree exactly (verified in tests + the q_token_regex oracle).
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_count_batch(
+    batch: pa.Table, text_col: str = "text", pattern: str = BPE_TOKEN_PATTERN
+) -> pa.Table:
+    """n_bpe_tokens = number of non-overlapping matches of ``pattern``
+    (one RE2 pass in Arrow C++; no per-row Python)."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    txt = pc.fill_null(col, "")
+    n = pc.count_substring_regex(txt, pattern)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))

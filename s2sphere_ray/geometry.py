@@ -1558,11 +1558,51 @@ class LatLngRect:
             LatLng(0.5 * size.lat, 0.5 * size.lng)
         )
 
+    @classmethod
+    def from_lat_lng(cls, lo: LatLng, hi: LatLng) -> "LatLngRect":
+        """Rect from low/high corners (sphere.py LatLngRect(lo, hi))."""
+        return cls(
+            LineInterval(lo.lat, hi.lat), SphereInterval(lo.lng, hi.lng)
+        )
+
     def is_empty(self) -> bool:
         return self.lat.is_empty()
 
+    # --- corner accessors (sphere.py LatLngRect lat_lo/…/lo/hi) ---
+
+    def lat_lo(self) -> float:
+        return self.lat.lo
+
+    def lat_hi(self) -> float:
+        return self.lat.hi
+
+    def lng_lo(self) -> float:
+        return self.lng.lo
+
+    def lng_hi(self) -> float:
+        return self.lng.hi
+
+    def lo(self) -> LatLng:
+        return LatLng(self.lat.lo, self.lng.lo)
+
+    def hi(self) -> LatLng:
+        return LatLng(self.lat.hi, self.lng.hi)
+
     def get_center(self) -> LatLng:
         return LatLng(self.lat.get_center(), self.lng.get_center())
+
+    def get_size(self) -> LatLng:
+        """Width/height as a LatLng (sphere.py LatLngRect.get_size)."""
+        return LatLng(self.lat.get_length(), self.lng.get_length())
+
+    def area(self) -> float:
+        """Surface area on the unit sphere (sphere.py LatLngRect.area):
+        lng-width × (sin(lat_hi) − sin(lat_lo))."""
+        if self.is_empty():
+            return 0.0
+        return self.lng.get_length() * (
+            math.sin(self.lat.hi) - math.sin(self.lat.lo)
+        )
 
     def get_vertex(self, k: int) -> LatLng:
         # CCW order: (lo,lo), (lo,hi), (hi,hi), (hi,lo).

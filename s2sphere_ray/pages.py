@@ -109,39 +109,40 @@ def pages_from_documents_batch(batch: pa.Table) -> pa.Table:
     """documents batch → pages batch (E1 upstream; text passes byte-identical).
 
     Vectorized: url via Arrow binary_join_element_wise, warc_ts from doc_id,
-    html wraps the text bytes.
+    html wraps the text bytes. Column-aware: outputs are built only from
+    the document columns actually present, so a pruned read (e.g.
+    ``read_pages(columns=["doc_id"])``) never touches absent fields.
     """
     doc_id = batch["doc_id"]
-    id_str = pc.cast(doc_id, pa.string())
-    url = pc.binary_join_element_wise(
-        pc.binary_join_element_wise(
-            "https://", pc.cast(batch["source"], pa.string()), ".example/", ""
-        ),
-        id_str,
-        "",
-    )
+    cols: dict[str, object] = {}
+    if "source" in batch.column_names:
+        id_str = pc.cast(doc_id, pa.string())
+        url = pc.binary_join_element_wise(
+            pc.binary_join_element_wise(
+                "https://", pc.cast(batch["source"], pa.string()), ".example/", ""
+            ),
+            id_str,
+            "",
+        )
+        cols["url"] = pc.cast(url, pa.string())
     epoch = pa.scalar(1704067200_000000, pa.int64())  # 2024-01-01 UTC in µs
-    ts = pc.cast(
+    cols["warc_ts"] = pc.cast(
         pc.add(pc.multiply(pc.cast(doc_id, pa.int64()), 1_000_000), epoch),
         pa.timestamp("us"),
     )
-    text = batch["text"]
-    html = pc.binary_join_element_wise(
-        "<html><body>",
-        pc.cast(text, pa.string()),
-        "</body></html>",
-        "",
-    )
-    return pa.table(
-        {
-            "url": pc.cast(url, pa.string()),
-            "warc_ts": ts,
-            "html": pc.cast(html, pa.binary()),
-            "text": text,
-            "lang": batch["lang"],
-            "doc_id": doc_id,
-        }
-    )
+    if "text" in batch.column_names:
+        text = batch["text"]
+        cols["html"] = pc.cast(
+            pc.binary_join_element_wise(
+                "<html><body>", pc.cast(text, pa.string()), "</body></html>", ""
+            ),
+            pa.binary(),
+        )
+        cols["text"] = text
+    if "lang" in batch.column_names:
+        cols["lang"] = batch["lang"]
+    cols["doc_id"] = doc_id
+    return pa.table(cols)
 
 
 def geocode_batch(batch: pa.Table) -> pa.Table:

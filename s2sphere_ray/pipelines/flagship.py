@@ -41,7 +41,11 @@ def flagship(sf_dir: str, tile_level: int = 8, join_strategy: str = "broadcast")
     # Parquet-metadata row count (free) gates the coalesce-vs-groupby
     # choice of the final tile merge at scale.
     try:
-        n_hint = read_pages(sf_dir, columns=["doc_id"]).count()
+        import ray.data as _rd
+
+        n_hint = _rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).count()
     except Exception:
         n_hint = None
     return tile_counts(joined, tile_level, num_rows=n_hint)

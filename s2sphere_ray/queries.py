@@ -950,6 +950,207 @@ def q_neighbors_l8(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Round-2 additions: regex tokenizer, windowed rank, exact distributed
+# quantiles, vector (centroid) aggregation
+# ---------------------------------------------------------------------------
+
+
+def q_token_regex(sf_dir: str):
+    """BPE-ish regex token counts — one RE2 pass in Arrow C++; the oracle
+    runs the identical RE2 pattern through DuckDB regexp_extract_all."""
+    from .functions.text import regex_token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = ds.map_batches(
+        regex_token_count_batch, batch_format="pyarrow", batch_size=None
+    )
+    return out.select_columns(["doc_id", "n_bpe_tokens"])
+
+
+SQL_TOKEN_REGEX = (
+    "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+    " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens"
+    " FROM documents"
+)
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """Windowed rank (partitioned top-k): top-3 orders per customer by
+    (o_totalprice DESC, o_orderkey ASC). Rows shuffle on a customer-hash
+    bucket (data-proportional count); inside a bucket one lexsort ranks
+    every customer at once — the distributed ROW_NUMBER() OVER pattern.
+    """
+    from .functions._buckets import derive_buckets
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    n_buckets = derive_buckets(ds.count())
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        u = batch["o_custkey"].to_numpy().astype(np.uint64)
+        b = (
+            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ).astype(np.int64) % n_buckets
+        return batch.append_column("_cb", pa.array(b.astype(np.int32)))
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        cust = group["o_custkey"].to_numpy()
+        okey = group["o_orderkey"].to_numpy()
+        price = group["o_totalprice"].to_numpy()
+        order = np.lexsort((okey, -price, cust))
+        cust_s = cust[order]
+        new_seg = np.concatenate([[True], cust_s[1:] != cust_s[:-1]])
+        seg_start = np.repeat(
+            np.nonzero(new_seg)[0], np.diff(np.append(np.nonzero(new_seg)[0], len(cust_s)))
+        )
+        rnk = np.arange(len(cust_s)) - seg_start + 1
+        keep = rnk <= 3
+        sel = order[keep]
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[sel]),
+                "rnk": pa.array(rnk[keep].astype(np.int64)),
+                "o_orderkey": pa.array(okey[sel]),
+                "o_totalprice": pa.array(price[sel]),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_cb")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
+SQL_TOP_ORDERS_PER_CUST = (
+    "SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM ("
+    " SELECT o_custkey, o_orderkey, o_totalprice,"
+    " CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey"
+    " ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk"
+    " FROM orders) WHERE rnk <= 3"
+)
+
+
+def q_quantiles(sf_dir: str):
+    """Exact distributed quantiles of an integer column via a bounded
+    histogram: per-block bincount partials → tiny groupby → the quantile
+    is read off the merged cumulative histogram. Exact (no t-digest
+    approximation) because the domain is bounded integers; the oracle
+    picks the identical sorted-index element with ROW_NUMBER."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
+    )
+    max_q = 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["l_quantity"].to_numpy().astype(np.int64)
+        hist = np.bincount(np.clip(v, 0, max_q), minlength=max_q + 1)
+        return pa.table(
+            {
+                "v": pa.array(np.arange(max_q + 1, dtype=np.int64)),
+                "n": pa.array(hist.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("v")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    hist = np.zeros(max_q + 1, dtype=np.int64)
+    for r in rows:
+        hist[int(r["v"])] = int(r["n"])
+    cum = np.cumsum(hist)
+    n = int(cum[-1])
+    qs = [25, 50, 75, 90, 99]
+    vals = []
+    for q in qs:
+        k = int(np.floor(q / 100.0 * (n - 1)))
+        vals.append(int(np.searchsorted(cum, k + 1, side="left")))
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.int64()),
+            "value": pa.array(vals, pa.int64()),
+        }
+    )
+
+
+SQL_QUANTILES = (
+    "WITH s AS (SELECT l_quantity,"
+    " ROW_NUMBER() OVER (ORDER BY l_quantity) - 1 AS r FROM lineitem),"
+    " n AS (SELECT COUNT(*) AS c FROM lineitem)"
+    " SELECT CAST(v.q AS BIGINT) AS q, CAST(s.l_quantity AS BIGINT) AS value"
+    " FROM (VALUES (25),(50),(75),(90),(99)) AS v(q) JOIN s ON s.r ="
+    " CAST(floor(v.q / 100.0 * ((SELECT c FROM n) - 1)) AS BIGINT)"
+)
+
+
+def q_label_centroids(sf_dir: str):
+    """Vector aggregation: per-label embedding centroid, computed as exact
+    integer milli-unit sums (floor(v·1000)) so the oracle compare is exact
+    regardless of float summation order. Per-batch partials are one
+    reduceat per label group; the shuffle moves (label, dim, partial)
+    rows only."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .functions.sim import _emb_matrix
+
+        mat = _emb_matrix(batch).astype(np.float64)
+        milli = np.floor(mat * 1000.0).astype(np.int64)
+        labels = batch["label"].to_numpy().astype(np.int64)
+        order = np.argsort(labels, kind="stable")
+        milli = milli[order]
+        labels_s = labels[order]
+        uniq, starts, counts = np.unique(
+            labels_s, return_index=True, return_counts=True
+        )
+        sums = np.add.reduceat(milli, starts, axis=0)  # (L, D)
+        dim = milli.shape[1] if milli.size else 0
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int64), len(uniq))
+                ),
+                "sum_milli": pa.array(sums.reshape(-1)),
+                "n_vecs": pa.array(
+                    np.repeat(counts.astype(np.int64), dim)
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["label", "dim"])
+        .aggregate(
+            Sum("sum_milli", alias_name="sum_milli"),
+            Sum("n_vecs", alias_name="n_vecs"),
+        )
+    )
+
+
+SQL_LABEL_CENTROIDS = (
+    "WITH e AS (SELECT CAST(label AS BIGINT) AS label,"
+    " unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord"
+    " FROM embeddings)"
+    " SELECT label, CAST(ord - 1 AS BIGINT) AS dim,"
+    " CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)"
+    " AS sum_milli, CAST(COUNT(*) AS BIGINT) AS n_vecs"
+    " FROM e GROUP BY label, dim"
+)
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -992,6 +1193,10 @@ QUERIES = {
     "q_events_sliding": q_events_sliding,
     "q_distinct_sources": q_distinct_sources,
     "q_sample_hash": q_sample_hash,
+    "q_token_regex": q_token_regex,
+    "q_top_orders_per_cust": q_top_orders_per_cust,
+    "q_quantiles": q_quantiles,
+    "q_label_centroids": q_label_centroids,
 }
 
 from .functions.asof import (  # noqa: E402
@@ -1045,6 +1250,10 @@ ORACLE_SQL = {
     "q_events_sliding": SQL_SLIDING,
     "q_distinct_sources": SQL_DISTINCT_SOURCES,
     "q_sample_hash": SQL_SAMPLE_HASH,
+    "q_token_regex": SQL_TOKEN_REGEX,
+    "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
+    "q_quantiles": SQL_QUANTILES,
+    "q_label_centroids": SQL_LABEL_CENTROIDS,
     # Round-trip invariant: engine must produce ok=true for every row.
     "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",
     # Injected duplicates are the only pairs ≥ 0.99 (natural max sim ≈ 0.2),

@@ -472,3 +472,28 @@ def test_aspect_constants():
     # Edge aspect bound must be consistent with the edge metrics:
     # max/min edge length ratio at any level is <= MAX_EDGE/MIN_EDGE.
     assert g.MAX_EDGE_ASPECT <= g.MAX_EDGE.deriv / g.MIN_EDGE.deriv + 1e-9
+
+
+def test_latlngrect_accessors_and_area():
+    import math
+
+    r = g.LatLngRect.from_degrees(10.0, 20.0, 30.0, 50.0)
+    assert r.lat_lo() == math.radians(10.0)
+    assert r.lat_hi() == math.radians(30.0)
+    assert r.lng_lo() == math.radians(20.0)
+    assert r.lng_hi() == math.radians(50.0)
+    assert r.lo().lat == r.lat_lo() and r.lo().lng == r.lng_lo()
+    assert r.hi().lat == r.lat_hi() and r.hi().lng == r.lng_hi()
+    sz = r.get_size()
+    assert abs(sz.lat - math.radians(20.0)) < 1e-15
+    assert abs(sz.lng - math.radians(30.0)) < 1e-15
+    # area: lng width × (sin hi − sin lo); full sphere sanity.
+    want = math.radians(30.0) * (
+        math.sin(math.radians(30.0)) - math.sin(math.radians(10.0))
+    )
+    assert abs(r.area() - want) < 1e-15
+    assert abs(g.LatLngRect.full().area() - 4 * math.pi) < 1e-12
+    assert g.LatLngRect.empty().area() == 0.0
+    # from_lat_lng corner ctor round-trips from_degrees.
+    r2 = g.LatLngRect.from_lat_lng(r.lo(), r.hi())
+    assert r2.lat.lo == r.lat.lo and r2.lng.hi == r.lng.hi
