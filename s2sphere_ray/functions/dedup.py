@@ -507,3 +507,149 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     inter = np.intersect1d(a, b).size
     union = a.size + b.size - inter
     return inter / union if union else 1.0
+
+
+def simhash_neardup_pairs(
+    ds,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    num_rows: int | None = None,
+):
+    """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Pigeonhole banding: the 64-bit signature splits into ``max_hamming+1``
+    contiguous blocks; two signatures within the distance budget must agree
+    exactly on at least one block, so candidates are generated by a
+    groupby on (block_id, block_value) — the all-to-all carries only
+    (block_id, block_bits, id, simhash) = 28 B/row × blocks, never text.
+    Candidates verify by popcount of the XOR (vectorized), pairs dedupe in
+    the driver (bounded by true near-dups + band collisions).
+
+    Returns pa.Table(id_a, id_b, hamming) with id_a < id_b.
+    """
+    import ray.data as rd
+
+    from ._buckets import derive_buckets
+
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    sigged = ds.map_batches(
+        simhash_batch, batch_format="pyarrow", batch_size=None
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sig = batch["simhash"].to_numpy()
+        ids = batch[id_col].to_numpy()
+        n = len(sig)
+        parts = {
+            "block_id": np.repeat(
+                np.arange(n_blocks, dtype=np.int32), n
+            ),
+            "block_bits": np.empty(n * n_blocks, dtype=np.int64),
+            id_col: np.tile(ids, n_blocks),
+            "simhash": np.tile(sig.view(np.int64), n_blocks),
+        }
+        mask = np.uint64((1 << width) - 1)
+        for b in range(n_blocks):
+            sh = np.uint64(b * width)
+            parts["block_bits"][b * n : (b + 1) * n] = (
+                (sig >> sh) & mask
+            ).view(np.int64)
+        return pa.table(
+            {k: pa.array(v) for k, v in parts.items()}
+        )
+
+    n_buckets = derive_buckets(
+        num_rows * n_blocks if num_rows else None, target_rows=100_000
+    )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        bid = batch["block_id"].to_numpy().astype(np.uint64)
+        bb = batch["block_bits"].to_numpy().view(np.uint64)
+        mixed = (bb ^ (bid * np.uint64(0x9E3779B97F4A7C15))) * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+        return batch.append_column(
+            "_sb", pa.array((mixed % np.uint64(n_buckets)).astype(np.int32))
+        )
+
+    _POP = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def popcount64(x: np.ndarray) -> np.ndarray:
+        return _POP[x.view(np.uint8).reshape(len(x), 8)].sum(
+            axis=1
+        ).astype(np.int64)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        bid = group["block_id"].to_numpy()
+        bb = group["block_bits"].to_numpy()
+        sig = group["simhash"].to_numpy().view(np.uint64)
+        order = np.lexsort((ids, bb, bid))
+        bid, bb, ids_s, sig_s = bid[order], bb[order], ids[order], sig[order]
+        boundary = np.nonzero((np.diff(bid) != 0) | (np.diff(bb) != 0))[0] + 1
+        out = []
+        for run in np.split(np.arange(len(ids_s)), boundary):
+            if len(run) < 2:
+                continue
+            ai, bi = np.triu_indices(len(run), k=1)
+            ham = popcount64(sig_s[run[ai]] ^ sig_s[run[bi]])
+            keep = ham <= max_hamming
+            if keep.any():
+                va, vb = ids_s[run[ai[keep]]], ids_s[run[bi[keep]]]
+                out.append(
+                    np.stack(
+                        [np.minimum(va, vb), np.maximum(va, vb), ham[keep]],
+                        axis=1,
+                    )
+                )
+        mat = (
+            np.concatenate(out) if out else np.zeros((0, 3), dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(mat[:, 0].astype(np.int64)),
+                "id_b": pa.array(mat[:, 1].astype(np.int64)),
+                "hamming": pa.array(mat[:, 2].astype(np.int64)),
+            }
+        )
+
+    pairs_ds = (
+        sigged.select_columns([id_col, "simhash"])
+        .map_batches(explode, batch_format="pyarrow")
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_sb")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    got = list(pairs_ds.iter_batches(batch_format="pyarrow"))
+    tbl = (
+        pa.concat_tables(got, promote_options="default")
+        if got
+        else pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+    )
+    if tbl.num_rows:
+        mat = np.unique(
+            np.stack(
+                [
+                    tbl["id_a"].to_numpy(),
+                    tbl["id_b"].to_numpy(),
+                    tbl["hamming"].to_numpy(),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        tbl = pa.table(
+            {
+                "id_a": pa.array(mat[:, 0], pa.int64()),
+                "id_b": pa.array(mat[:, 1], pa.int64()),
+                "hamming": pa.array(mat[:, 2], pa.int64()),
+            }
+        )
+    return tbl

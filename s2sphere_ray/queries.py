@@ -473,6 +473,15 @@ def q_minhash_pairs(sf_dir: str):
     return minhash_lsh_pairs(ds, jaccard_threshold=0.8)
 
 
+def q_simhash_pairs(sf_dir: str):
+    """SimHash hamming-distance near-dup pairs (pigeonhole banding over
+    64-bit signatures; rows-only — bit voting is not SQL-expressible)."""
+    from .functions.dedup import simhash_neardup_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return simhash_neardup_pairs(ds, max_hamming=3, num_rows=ds.count())
+
+
 def q_simhash(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(simhash_batch, batch_format="pyarrow")
@@ -1175,6 +1184,7 @@ QUERIES = {
     "q_lang_counts": q_lang_counts,
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_fingerprint": q_fingerprint,
     "q_simsearch": q_simsearch,
     "q_simsearch_ivf": q_simsearch_ivf,

@@ -391,6 +391,7 @@ def spatial_join_shuffle(
     split_delta: int = 3,
     max_split_rounds: int = 3,
     num_rows: int | None = None,
+    bloom_threshold: int = 4_000_000,
 ):
     """E9 groupby-shuffle spatial join. Returns Dataset of
     (``point_cols``…, region_id)."""
@@ -408,17 +409,25 @@ def spatial_join_shuffle(
             "covers": covers,
         }
     )
-    # Semi-join pushdown: broadcast the sorted distinct region key set so
-    # point rows that cannot match any region never enter the shuffle (and
-    # the groupby only sees region-key groups, not every point cell).
-    # At extreme region-table sizes this array becomes a Bloom filter.
+    # Semi-join pushdown: broadcast the distinct region key set so point
+    # rows that cannot match any region never enter the shuffle (and the
+    # groupby only sees region-key groups, not every point cell). Above
+    # ``bloom_threshold`` keys the exact sorted array (8 B/key) is replaced
+    # by a Bloom filter (~1.2 B/key at 1 % FP) — false positives only add
+    # shuffle volume; the in-bucket sort-merge matches exact keys, so
+    # correctness is unaffected.
     region_key_set = np.unique(key_table["join_key"].to_numpy())
-    keys_ref = ray.put(region_key_set)
+    if len(region_key_set) > bloom_threshold:
+        from ..state import BloomFilter
+
+        keys_ref = ray.put(("bloom", BloomFilter.build(region_key_set)))
+    else:
+        keys_ref = ray.put(("exact", region_key_set))
     point_cols = list(point_cols)
 
     # --- side P: one row per (point, matching region key) -----------------
     def emit_point_keys(batch: pa.Table) -> pa.Table:
-        keys = _get_params(keys_ref)
+        mode, keys = _get_params(keys_ref)
         lat = batch[lat_col].to_numpy()
         lng = batch[lng_col].to_numpy()
         leaf = ck.cell_id_from_latlng(lat, lng)
@@ -426,7 +435,9 @@ def spatial_join_shuffle(
         n, L = pk.shape
         flat = pk.T.reshape(-1)
         idx = np.tile(np.arange(n), L)
-        if len(keys):
+        if mode == "bloom":
+            hit = keys.contains(flat)
+        elif len(keys):
             pos = np.searchsorted(keys, flat)
             hit = (pos < len(keys)) & (
                 keys[np.minimum(pos, len(keys) - 1)] == flat

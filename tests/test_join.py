@@ -143,3 +143,30 @@ def test_shuffle_skew_adaptive_depth_no_duplicates(ray_session, setup):
         (r["doc_id"], r["region_id"]) for r in out.take_all()
     )
     assert got == sorted(expected)
+
+
+def test_bloom_filter_no_false_negatives():
+    from s2sphere_ray.state import BloomFilter
+
+    rng = np.random.default_rng(3)
+    members = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    bf = BloomFilter.build(members, fp_rate=0.01)
+    assert bf.contains(members).all()  # never a false negative
+    probes = rng.integers(-(2**62), 2**62, size=50000, dtype=np.int64)
+    fresh = probes[~np.isin(probes, members)]
+    fp = bf.contains(fresh).mean()
+    assert fp < 0.03  # ~1% target with slack
+    assert bf.nbytes() < 20000 * 2  # ~1.2 B/key
+
+
+def test_shuffle_join_bloom_semi_join_equals_exact(ray_session, setup):
+    """bloom_threshold=0 forces the Bloom pushdown; results must equal the
+    exact semi-join (false positives are filtered by the sort-merge)."""
+    regions, doc_id, lat, lng, expected = setup
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng),
+        regions,
+        strategy="shuffle",
+        bloom_threshold=0,
+    )
+    assert _pairs(out) == expected

@@ -478,3 +478,41 @@ def test_embed_neardup_oversized_bucket_resplit(ray_session):
             va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
         )
         assert cos >= 0.999998
+
+
+def test_simhash_neardup_pairs_vs_bruteforce(ray_session):
+    """Banded simhash pair generation must find EXACTLY the pairs with
+    hamming(simhash) <= max_hamming (pigeonhole guarantees no misses)."""
+    import itertools
+
+    import ray.data as rd
+
+    from s2sphere_ray.functions.dedup import simhash_batch, simhash_neardup_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    texts = [base, base.replace("kappa", "kappax"),
+             base.replace("zeta", "zzz"),
+             "totally different words here about nothing at all " * 5,
+             base]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    sigs = simhash_batch(tbl)["simhash"].to_numpy()
+    want = []
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        ham = bin(int(sigs[i]) ^ int(sigs[j])).count("1")
+        if ham <= 3:
+            want.append((i, j, ham))
+    got = simhash_neardup_pairs(rd.from_arrow(tbl).repartition(3), max_hamming=3)
+    got_rows = sorted(
+        zip(
+            got["id_a"].to_pylist(),
+            got["id_b"].to_pylist(),
+            got["hamming"].to_pylist(),
+        )
+    )
+    assert got_rows == sorted(want)
+    assert (0, 4, 0) in got_rows  # identical docs
