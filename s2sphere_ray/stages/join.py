@@ -171,6 +171,32 @@ def covers_for_regions(
     return out.take(order).take(inv)
 
 
+def auto_snap_levels(covered: pa.Table, max_levels: int = 3) -> tuple:
+    """Choose snap levels from the cover-level histogram.
+
+    Heuristic (cost model in the module docstring): point-side shuffle
+    volume grows with the NUMBER of snap levels, snapping a cover cell UP
+    coarsens (more false-positive points cross the exchange), and
+    denormalizing DOWN explodes region keys by 4^Δ — so good snap levels
+    sit where the cover levels actually mass. We take the weighted 10th /
+    50th / 90th percentiles of the cover cell level distribution
+    (deduplicated). Join results are invariant to the choice (only cost
+    moves); verified by the snap-variation tests.
+    """
+    lv: list[int] = []
+    for cover in covered["cover"].to_pylist():
+        if cover:
+            lv.extend(
+                ck.level(np.array(cover, dtype=np.uint64)).tolist()
+            )
+    if not lv:
+        return DEFAULT_SNAP_LEVELS
+    arr = np.sort(np.array(lv, dtype=np.int64))
+    qs = [0.1, 0.5, 0.9][:max_levels]
+    picks = sorted({int(arr[int(q * (len(arr) - 1))]) for q in qs})
+    return tuple(picks)
+
+
 def build_region_keys(
     regions: pa.Table,
     snap_levels=DEFAULT_SNAP_LEVELS,
@@ -184,6 +210,8 @@ def build_region_keys(
     """
     if covered is None:
         covered = covers_for_regions(regions, max_cells=max_cells)
+    if isinstance(snap_levels, str) and snap_levels == "auto":
+        snap_levels = auto_snap_levels(covered)
     keys = []
     idxs = []
     levels_present: set[int] = set()

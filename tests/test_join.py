@@ -170,3 +170,22 @@ def test_shuffle_join_bloom_semi_join_equals_exact(ray_session, setup):
         bloom_threshold=0,
     )
     assert _pairs(out) == expected
+
+
+def test_auto_snap_levels_invariant(ray_session, setup):
+    """snap_levels='auto' (cover-histogram percentiles) must not change
+    results on either strategy."""
+    regions, doc_id, lat, lng, expected = setup
+    for strategy in ("broadcast", "shuffle"):
+        out = J.spatial_join(
+            _points_ds(doc_id, lat, lng),
+            regions,
+            strategy=strategy,
+            snap_levels="auto",
+        )
+        assert _pairs(out) == expected
+    from s2sphere_ray.stages.join import auto_snap_levels, covers_for_regions
+
+    lv = auto_snap_levels(covers_for_regions(regions))
+    assert 1 <= len(lv) <= 3
+    assert all(0 <= l <= 30 for l in lv)
