@@ -197,6 +197,12 @@ def write_tiles(
         for f in os.listdir(os.path.join(out_dir, "_manifests"))
         if f.endswith(".json")
     }
+    # Input lineage: the source files feeding this write (resolvable from
+    # the logical plan for file-based sources; empty for synthetic inputs).
+    try:
+        input_files = sorted(ds.input_files() or [])
+    except Exception:
+        input_files = []
 
     ds = add_tile_column(ds, level, lat_col=lat_col, lng_col=lng_col)
 
@@ -248,6 +254,7 @@ def write_tiles(
             "partition": prefix,
             "rows": rows,
             "fragments": frags,
+            "inputs": input_files,
             "op_fingerprint": fingerprint,
             "wall_ms": wall_ms,
             "written_at": time.time(),
