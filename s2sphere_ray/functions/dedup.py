@@ -64,6 +64,81 @@ def fnv_hash_strings(col) -> np.ndarray:
     return fnv_over_offsets(data, offsets[:-1], np.diff(offsets))
 
 
+_POLY_R = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+_POLY_RINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+
+def poly_hash_strings(col) -> np.ndarray:
+    """64-bit polynomial rolling hash of every string/binary in an Arrow
+    column — O(total bytes) with a constant number of numpy passes.
+
+    Each value's bytes are packed into zero-padded little-endian uint64
+    words; the hash is Σ wordⱼ·r^(k−1−j) (mod 2⁶⁴) computed for ALL docs
+    at once via an inverse-power prefix sum (r odd ⇒ invertible mod 2⁶⁴:
+    per-doc sum = (P[end]−P[start])·r^(start+k−1)), XOR-mixed with the
+    byte length so zero-padding ties cannot collide. Unlike
+    :func:`fnv_over_offsets` (one masked pass per byte position — fine
+    for short tokens, quadratic-ish for long documents), cost does not
+    depend on the longest value in the batch.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.cast(pa.binary())
+    n = len(arr)
+    if not n:
+        return np.zeros(0, dtype=np.uint64)
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts = offsets[:-1]
+    lens = np.diff(offsets)
+    total = int(lens.sum())
+    # Re-pack every doc to an 8-byte-aligned start in one fancy-index copy.
+    kwords = (lens + 7) >> 3
+    word_starts = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(kwords, out=word_starts[1:])
+    padded = np.zeros(int(word_starts[-1]) * 8, dtype=np.uint8)
+    if total:
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        padded[np.repeat(word_starts[:-1] * 8, lens) + within] = data[
+            np.repeat(starts, lens) + within
+        ]
+    words = padded.view("<u8")
+    tw = len(words)
+    # Prefix of w·r⁻ᵍ, then per-doc sum re-scaled by r^(start+k−1).
+    rinv_pow = np.empty(tw, dtype=np.uint64)
+    if tw:
+        rinv_pow[0] = np.uint64(1)
+        np.cumprod(np.full(tw, _POLY_RINV, dtype=np.uint64), out=rinv_pow)
+        rinv_pow = np.roll(rinv_pow, 1)
+        rinv_pow[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        pref = np.zeros(tw + 1, dtype=np.uint64)
+        np.cumsum(words * rinv_pow, out=pref[1:])
+        doc_sum = pref[word_starts[1:]] - pref[word_starts[:-1]]
+        # r^(start+k−1) per doc, via cumulative powers at word positions.
+        exps = (word_starts[1:] - 1).clip(min=0).astype(np.int64)
+        # r^e for arbitrary e: reuse the global power table r^g = inverse
+        # of rinv^g — recompute directly (one more cumprod).
+        r_pow = np.empty(tw if tw else 1, dtype=np.uint64)
+        r_pow[0] = np.uint64(1)
+        if tw > 1:
+            np.cumprod(np.full(tw, _POLY_R, dtype=np.uint64), out=r_pow)
+            r_pow = np.roll(r_pow, 1)
+            r_pow[0] = np.uint64(1)
+        h = doc_sum * r_pow[exps]
+    # Mix in the byte length (separates zero-padding ties), then a
+    # splitmix64 finalizer for diffusion.
+    with np.errstate(over="ignore"):
+        z = h ^ lens.astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 def _token_hash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized batch tokenizer+hasher: FNV-1a per whitespace token for a
     whole batch at once (no per-row Python). Accepts a list[str] or an
@@ -186,7 +261,8 @@ def exact_dedup(
     count derived from input size so rows-per-bucket stays bounded — one
     vectorized pandas dedup per bucket, never a Python call per key), and
     the in-bucket survivor is min-id per full key (collision-safe).  The
-    bucket hash is a vectorized FNV over the Arrow value buffer.
+    bucket hash is a vectorized polynomial hash over the Arrow value
+    buffer (O(total bytes), longest-doc independent).
     """
     from ._buckets import derive_buckets
 
@@ -194,7 +270,7 @@ def exact_dedup(
         n_buckets = derive_buckets(num_rows)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        h = fnv_hash_strings(batch[key_col])
+        h = poly_hash_strings(batch[key_col])
         b = (h % np.uint64(n_buckets)).astype(np.int32)
         return batch.append_column("_hb", pa.array(b))
 

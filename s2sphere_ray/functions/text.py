@@ -185,22 +185,13 @@ class LangIdStage:
 
 
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """64-bit rolling-hash document fingerprint (FNV-1a over UTF-8 bytes),
-    computed straight off the Arrow value buffer — zero per-row Python."""
-    from .dedup import fnv_over_offsets
+    """64-bit rolling-hash document fingerprint (word-polynomial over the
+    UTF-8 bytes + splitmix finalizer), computed straight off the Arrow
+    value buffer in O(total bytes) — zero per-row Python, and cost
+    independent of the longest document in the batch."""
+    from .dedup import poly_hash_strings
 
-    col = batch[text_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    arr = col.cast(pa.binary())
-    n = len(arr)
-    if not n:
-        return batch.append_column("fingerprint", pa.array([], pa.uint64()))
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    h = fnv_over_offsets(data, offsets[:-1], np.diff(offsets))
+    h = poly_hash_strings(batch[text_col])
     return batch.append_column("fingerprint", pa.array(h, pa.uint64()))
 
 

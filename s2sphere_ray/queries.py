@@ -964,6 +964,22 @@ def q_neighbors_l8(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_text_identity(sf_dir: str):
+    """North-rule invariant, checked end-to-end: ``text`` must arrive
+    byte-identical per url/doc after riding through the pages derivation +
+    geocode map stages (the driver hash-compares every byte against the
+    raw documents table)."""
+    ds = read_pages(sf_dir, columns=["url", "text", "doc_id"])
+    ds = ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "url", "text"])
+
+
+SQL_TEXT_IDENTITY = (
+    "SELECT doc_id, 'https://' || source || '.example/' ||"
+    " CAST(doc_id AS VARCHAR) AS url, text FROM documents"
+)
+
+
 def q_token_regex(sf_dir: str):
     """BPE-ish regex token counts — one RE2 pass in Arrow C++; the oracle
     runs the identical RE2 pattern through DuckDB regexp_extract_all."""
@@ -1203,6 +1219,7 @@ QUERIES = {
     "q_events_sliding": q_events_sliding,
     "q_distinct_sources": q_distinct_sources,
     "q_sample_hash": q_sample_hash,
+    "q_text_identity": q_text_identity,
     "q_token_regex": q_token_regex,
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_quantiles": q_quantiles,
@@ -1260,6 +1277,7 @@ ORACLE_SQL = {
     "q_events_sliding": SQL_SLIDING,
     "q_distinct_sources": SQL_DISTINCT_SOURCES,
     "q_sample_hash": SQL_SAMPLE_HASH,
+    "q_text_identity": SQL_TEXT_IDENTITY,
     "q_token_regex": SQL_TOKEN_REGEX,
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "q_quantiles": SQL_QUANTILES,
