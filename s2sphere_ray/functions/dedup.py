@@ -341,21 +341,34 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.8,
     concurrency=(1, 8),
     num_rows: int | None = None,
+    verify: str = "exact",
 ):
-    """Near-dup pairs via banded LSH, exact-Jaccard-verified.
+    """Near-dup pairs via banded LSH, Jaccard-verified.
 
     Scale design: the band all-to-all carries ONLY ``(band_id, band_hash,
-    id)`` — 20 B/row — never the corpus text or even the signature.  The
-    candidate pair set that falls out of the band buckets is tiny relative
-    to the corpus (true near-dups + hash collisions), so exact shingle
-    verification re-reads just the candidate docs from the input dataset
-    (semi-join by broadcast id set) and broadcasts their shingle sets to a
-    final vectorized verify stage.
+    id)`` — 20 B/row — never the corpus text or even the signature.
+
+    Two verification modes:
+
+    * ``verify="exact"`` (default; the oracle-matching path): the
+      candidate pair set is gathered to the driver (bounded by true
+      near-dups + band collisions), candidate docs are semi-joined back
+      against the input by broadcast id set, and exact shingle Jaccard
+      decides. Right when the dup rate is moderate; at crawl-level dup
+      rates (tens of % of 10¹² docs) the driver gather is the limit.
+    * ``verify="none"`` (the 100-TB path): FULLY distributed — candidate
+      pairs dedupe via a groupby and stream out as a Dataset(id_a, id_b)
+      with no driver materialization and nothing but 20 B/row crossing
+      any exchange. This matches production crawl-dedup practice
+      (banded-LSH pipelines skip per-pair verification and choose
+      bands/rows so P(collision | jaccard < τ) is negligible); any
+      per-pair payload (text or even the 8·num_hashes-byte signature)
+      would dominate the corpus bytes at 10¹² docs.
 
     signature → (band_id, band_hash, id) rows → groupby band bucket →
-    candidate pairs → dedupe → gather candidate shingles → exact
-    shingle-Jaccard verify. Returns Dataset(id_a, id_b, jaccard) with
-    id_a < id_b, deduplicated.
+    candidate pairs → dedupe → verify (per mode). Returns
+    Dataset(id_a, id_b, jaccard) with id_a < id_b, deduplicated
+    (``verify="none"``: no jaccard column).
     """
     import ray
     import ray.data as rd
@@ -443,6 +456,11 @@ def minhash_lsh_pairs(
     cand = exploded.map_batches(
         add_bucket, batch_format="pyarrow", batch_size=None
     ).groupby("_cb").map_groups(bucket_pairs, batch_format="pyarrow")
+    if verify == "none":
+        # Distributed dedupe, streamed result — nothing reaches the driver.
+        return cand.groupby(["id_a", "id_b"]).map_groups(
+            lambda grp: grp.slice(0, 1), batch_format="pyarrow"
+        )
     # Candidate pairs are driver-materialized here: bounded by the number
     # of genuine near-dups + band collisions, orders of magnitude smaller
     # than the corpus (the text NEVER is). The same pair surfaces from
@@ -590,6 +608,7 @@ def simhash_neardup_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     num_rows: int | None = None,
+    as_dataset: bool = False,
 ):
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -697,6 +716,12 @@ def simhash_neardup_pairs(
         .groupby("_sb")
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
+    if as_dataset:
+        # Crawl-scale mode: distributed dedupe, streamed result — the
+        # pair set never reaches the driver.
+        return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
+            lambda grp: grp.slice(0, 1), batch_format="pyarrow"
+        )
     got = list(pairs_ds.iter_batches(batch_format="pyarrow"))
     tbl = (
         pa.concat_tables(got, promote_options="default")

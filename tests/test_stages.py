@@ -516,3 +516,24 @@ def test_simhash_neardup_pairs_vs_bruteforce(ray_session):
     )
     assert got_rows == sorted(want)
     assert (0, 4, 0) in got_rows  # identical docs
+
+
+def test_minhash_verify_none_superset(ray_session):
+    """verify='none' (the distributed crawl-scale mode) must return a
+    SUPERSET of the exact-verified pairs (same band candidates, no
+    filtering), deduplicated, as a streamed Dataset."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from s2sphere_ray.functions.dedup import minhash_lsh_pairs
+
+    tbl = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(ds, jaccard_threshold=0.8).take_all()
+    }
+    rows = minhash_lsh_pairs(ds, verify="none").take_all()
+    unverified = [(r["id_a"], r["id_b"]) for r in rows]
+    assert len(unverified) == len(set(unverified))  # deduped
+    assert exact <= set(unverified)
