@@ -964,6 +964,109 @@ def q_neighbors_l8(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog approximate distinct user count over events — the
+    at-scale replacement for exact COUNT(DISTINCT): per-block register
+    partials, ≤ 2^p rows cross the exchange, never the keys. Deterministic
+    (hash-based, no RNG) but approximate → rows-only; the ±2% accuracy
+    bound vs exact is asserted in pytest."""
+    from .functions.sketch import hll_distinct
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_distinct(ds, "user_id", p=12)
+
+
+def q_domain_counts(sf_dir: str):
+    """Pages per URL host (crawl-curation primitive): one RE2
+    extract_regex pass in Arrow C++; the oracle runs the identical RE2
+    pattern through DuckDB regexp_extract. Top-level per-domain counts
+    via value_counts partials + Sum groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = read_pages(sf_dir, columns=["url", "doc_id"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        # Arrow requires a NAMED group; the capture semantics are identical
+        # to the oracle's unnamed group 1.
+        dom = pc.struct_field(
+            pc.extract_regex(url, r"^https://(?P<domain>[^/]+)/"), 0
+        )
+        vc = pc.value_counts(pc.fill_null(dom, ""))
+        return pa.table(
+            {
+                "domain": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow", batch_size=None)
+        .groupby("domain")
+        .aggregate(Sum("n", alias_name="n_pages"))
+    )
+
+
+SQL_DOMAIN_COUNTS = (
+    "SELECT regexp_extract('https://' || source || '.example/' ||"
+    " CAST(doc_id AS VARCHAR), '^https://([^/]+)/', 1) AS domain,"
+    " COUNT(*) AS n_pages FROM documents GROUP BY domain"
+)
+
+
+def q_native_join(sf_dir: str):
+    """Ray Data's built-in hash join (Dataset.join, Ray 2.49) exercised
+    end-to-end: orders ⋈ customer on custkey → per-segment count +
+    total price (integer cents for exact compare)."""
+    from ray.data.aggregate import Sum
+
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=16,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(["c_mktsegment", "o_totalprice"]).to_pandas()
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+            np.int64
+        )
+        df = pd.DataFrame({"c_mktsegment": df["c_mktsegment"], "cents": cents})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
+
+
+SQL_NATIVE_JOIN = (
+    "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,"
+    " CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+    " AS total_cents FROM orders o JOIN customer c"
+    " ON o.o_custkey = c.c_custkey GROUP BY c_mktsegment"
+)
+
+
 def q_text_identity(sf_dir: str):
     """North-rule invariant, checked end-to-end: ``text`` must arrive
     byte-identical per url/doc after riding through the pages derivation +
@@ -1219,6 +1322,9 @@ QUERIES = {
     "q_events_sliding": q_events_sliding,
     "q_distinct_sources": q_distinct_sources,
     "q_sample_hash": q_sample_hash,
+    "q_distinct_hll": q_distinct_hll,
+    "q_domain_counts": q_domain_counts,
+    "q_native_join": q_native_join,
     "q_text_identity": q_text_identity,
     "q_token_regex": q_token_regex,
     "q_top_orders_per_cust": q_top_orders_per_cust,
@@ -1277,6 +1383,8 @@ ORACLE_SQL = {
     "q_events_sliding": SQL_SLIDING,
     "q_distinct_sources": SQL_DISTINCT_SOURCES,
     "q_sample_hash": SQL_SAMPLE_HASH,
+    "q_domain_counts": SQL_DOMAIN_COUNTS,
+    "q_native_join": SQL_NATIVE_JOIN,
     "q_text_identity": SQL_TEXT_IDENTITY,
     "q_token_regex": SQL_TOKEN_REGEX,
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,

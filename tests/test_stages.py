@@ -537,3 +537,31 @@ def test_minhash_verify_none_superset(ray_session):
     unverified = [(r["id_a"], r["id_b"]) for r in rows]
     assert len(unverified) == len(set(unverified))  # deduped
     assert exact <= set(unverified)
+
+
+def test_hll_distinct_accuracy(ray_session):
+    """HLL estimate within the theoretical ±~1.04/sqrt(2^p) band (use 3
+    sigma ≈ 5% at p=12) of the exact distinct count, for int and string
+    keys; deterministic across runs."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.sketch import hll_distinct
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 40_000, size=120_000)  # ~38k distinct
+    exact = len(np.unique(vals))
+    t = pa.table({"k": pa.array(vals, pa.int64())})
+    est1 = hll_distinct(rd.from_arrow(t).repartition(8), "k")[
+        "n_distinct_est"
+    ][0].as_py()
+    est2 = hll_distinct(rd.from_arrow(t).repartition(3), "k")[
+        "n_distinct_est"
+    ][0].as_py()
+    assert est1 == est2  # partitioning-invariant merge
+    assert abs(est1 - exact) / exact < 0.05
+    # string keys
+    s = pa.table({"k": pa.array([f"u-{v}" for v in vals])})
+    est3 = hll_distinct(rd.from_arrow(s).repartition(8), "k")[
+        "n_distinct_est"
+    ][0].as_py()
+    assert abs(est3 - exact) / exact < 0.05
