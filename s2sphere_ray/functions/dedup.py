@@ -312,7 +312,7 @@ class MinHashStage:
         return v.min(axis=0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
+        texts = batch["text"]  # Arrow column straight through (no pylist)
         # Vectorized across the whole batch: shingles for all docs at once,
         # permutations applied globally, per-doc mins via segment reduce.
         # One permutation column at a time: the 1-D (S,) intermediates stay
@@ -576,7 +576,7 @@ def minhash_lsh_pairs(
 def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """64-bit SimHash per document (token-hash bit voting), vectorized:
     all token hashes for the batch at once, per-doc votes via segment sum."""
-    texts = batch[text_col].to_pylist()
+    texts = batch[text_col]  # Arrow column straight through (no pylist)
     n = len(texts)
     bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
     th, offs = _token_hash_batch(texts)
