@@ -187,6 +187,17 @@ def run_bench() -> dict:
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())
     timed("simsearch", lambda: q_simsearch(SF_DIR).count())
     timed("minhash", lambda: q_minhash_pairs(SF_DIR).count())
+    from s2sphere_ray.queries import (
+        q_dedup_exact,
+        q_quality,
+        q_sessions,
+        q_asof_orders,
+    )
+
+    timed("dedup_exact", lambda: q_dedup_exact(SF_DIR).count())
+    timed("text_quality", lambda: q_quality(SF_DIR).count())
+    timed("sessions", lambda: q_sessions(SF_DIR).count())
+    timed("asof_join", lambda: q_asof_orders(SF_DIR).count())
 
     total = round(time.time() - t0, 3)
     result = {

@@ -87,3 +87,46 @@ def test_union_normalize_contains_members(lat, lng, level, data):
     for a in range(len(ids) - 1):
         assert ids[a].id < ids[a + 1].id
         assert not ids[a].contains(ids[a + 1])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    docs=st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=20)
+)
+def test_poly_hash_matches_scalar_reference(docs):
+    """poly_hash_strings (vectorized prefix-sum form) must equal the
+    straightforward per-doc Horner evaluation for arbitrary byte strings."""
+    import numpy as np
+    import pyarrow as pa
+
+    from s2sphere_ray.functions.dedup import _POLY_R, poly_hash_strings
+
+    def ref(b: bytes) -> int:
+        k = (len(b) + 7) // 8
+        pad = b + bytes(k * 8 - len(b))
+        h = 0
+        for w in np.frombuffer(pad, dtype="<u8"):
+            h = (h * int(_POLY_R) + int(w)) % (1 << 64)
+        z = h ^ len(b)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+        return z ^ (z >> 31)
+
+    got = poly_hash_strings(pa.array(docs, pa.binary()))
+    assert [int(x) for x in got] == [ref(d) for d in docs]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    members=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=500
+    )
+)
+def test_bloom_never_false_negative(members):
+    import numpy as np
+
+    from s2sphere_ray.state import BloomFilter
+
+    arr = np.array(members, dtype=np.int64)
+    bf = BloomFilter.build(arr)
+    assert bf.contains(arr).all()
