@@ -565,3 +565,33 @@ def test_hll_distinct_accuracy(ray_session):
         "n_distinct_est"
     ][0].as_py()
     assert abs(est3 - exact) / exact < 0.05
+
+
+def test_tile_counts_merge_paths_agree(ray_session):
+    """The estimate-gated coalesce path and the hash-groupby fallback must
+    produce identical per-tile counts."""
+    import ray.data as rd
+
+    from s2sphere_ray.pages import geocode_from_doc_id
+    from s2sphere_ray.stages.tiles import tile_counts
+
+    doc_id = np.arange(3000, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": doc_id, "lat": lat, "lng": lng})
+    ).repartition(6)
+
+    def rows(out):
+        return sorted(
+            (r["tile_token"], r["n_rows"]) for r in out.take_all()
+        )
+
+    coalesce = rows(tile_counts(ds, 7, leaf_col=None))
+    # Tiny final_combine_rows forces the groupby fallback via the gate.
+    fallback = rows(
+        tile_counts(ds, 7, leaf_col=None, num_rows=3000, final_combine_rows=1)
+    )
+    deep = rows(tile_counts(ds, 9, leaf_col=None, tree_reduce_max_level=8))
+    coalesce9 = rows(tile_counts(ds, 9, leaf_col=None))
+    assert coalesce == fallback
+    assert deep == coalesce9
