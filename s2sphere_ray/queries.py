@@ -552,6 +552,38 @@ SQL_SIMSEARCH = (
 )
 
 
+def q_media_frames(sf_dir: str):
+    """Multimodal frame-sampling plumbing (stubbed video decode): resize →
+    1→k frame expansion per media row; returns per-frame byte sizes
+    (rows-only; deterministic)."""
+    from .functions.multimodal import ResizeStage, sample_frames
+
+    media = synth_media_table(200)
+    ds = _rd().from_arrow(media).map_batches(
+        ResizeStage,
+        fn_constructor_kwargs=dict(target=32, fake=True),
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 2),
+        num_cpus=1,
+    )
+    frames = sample_frames(ds, n_frames=8, stride=2)
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        pl = batch["frame_payload"]
+        if isinstance(pl, pa.ChunkedArray):
+            pl = pl.combine_chunks()
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame_idx": batch["frame_idx"],
+                "n_bytes": pc.cast(pc.binary_length(pl), pa.int64()),
+            }
+        )
+
+    return frames.map_batches(sizes, batch_format="pyarrow")
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing (stubbed decode): feature means per media row."""
     media = synth_media_table(200)
@@ -1308,6 +1340,7 @@ QUERIES = {
     "q_simsearch": q_simsearch,
     "q_simsearch_ivf": q_simsearch_ivf,
     "q_media_features": q_media_features,
+    "q_media_frames": q_media_frames,
     "q_pricing_summary": q_pricing_summary,
     "q_orders_by_segment": q_orders_by_segment,
     "q_events_hourly": q_events_hourly,

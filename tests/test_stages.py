@@ -595,3 +595,36 @@ def test_tile_counts_merge_paths_agree(ray_session):
     coalesce9 = rows(tile_counts(ds, 9, leaf_col=None))
     assert coalesce == fallback
     assert deep == coalesce9
+
+
+def test_multimodal_resize_and_frames(ray_session):
+    import ray.data as rd
+
+    from s2sphere_ray.functions.multimodal import (
+        FrameSampleStage,
+        ResizeStage,
+        sample_frames,
+        synth_media_table,
+    )
+
+    media = synth_media_table(40)
+    resized = ResizeStage(target=32)(media)
+    assert resized["width"].to_pylist() == [32] * 40  # all inputs >= 32
+    assert all(
+        len(p) >= 1 for p in resized["payload"].to_pylist()
+    )
+    # Frame slices reproduce exact payload byte ranges.
+    f = FrameSampleStage(n_frames=8, stride=2)(media)
+    assert f.num_rows == 40 * 4
+    pl0 = media["payload"][0].as_py()
+    want = [pl0[(i * len(pl0)) // 8 : ((i + 1) * len(pl0)) // 8] for i in (0, 2, 4, 6)]
+    assert f["frame_payload"].to_pylist()[:4] == want
+    # Distributed pipeline end-to-end.
+    out = sample_frames(
+        rd.from_arrow(media).repartition(4), n_frames=8, stride=2
+    ).take_all()
+    assert len(out) == 160
+    with pytest.raises(NotImplementedError):
+        ResizeStage(fake=False)(media)
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(fake=False)(media)
