@@ -35,6 +35,21 @@ def derive_buckets(
     return max(1, min(n, cap))
 
 
+def hash_buckets(keys, n_buckets: int):
+    """int64/uint64 key array → int32 bucket ids via a full-width
+    multiplicative mix then modulo (the one shared definition — round 1's
+    bucket-cap bug came from this snippet being copy-pasted per call
+    site)."""
+    import numpy as np
+
+    u = np.asarray(keys).astype(np.uint64, copy=False)
+    with np.errstate(over="ignore"):
+        b = (
+            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        ).astype(np.int64) % n_buckets
+    return b.astype(np.int32)
+
+
 def _cluster_cpus() -> int:
     try:
         import ray

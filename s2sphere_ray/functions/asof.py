@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ._buckets import derive_buckets
+from ._buckets import derive_buckets, hash_buckets  # noqa: F401
 
 _ASOF_SCHEMA = pa.schema(
     [("o_orderkey", pa.int64()), ("last_event_ts", pa.timestamp("us"))]
@@ -54,12 +54,11 @@ def asof_last_event(orders_ds, events_ds, num_rows: int | None = None):
     # rows-per-bucket stays bounded at any corpus scale.
     n_buckets = derive_buckets(num_rows)
 
+    from ._buckets import hash_buckets
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy().astype(np.uint64)
-        b = (
-            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        ).astype(np.int64) % n_buckets
-        return batch.append_column("_ub", pa.array(b.astype(np.int32)))
+        b = hash_buckets(batch["user_id"].to_numpy(), n_buckets)
+        return batch.append_column("_ub", pa.array(b))
 
     def per_bucket(group: pa.Table) -> pa.Table:
         user = group["user_id"].to_numpy(zero_copy_only=False)

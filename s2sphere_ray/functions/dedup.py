@@ -48,22 +48,6 @@ def fnv_over_offsets(
     return h
 
 
-def fnv_hash_strings(col) -> np.ndarray:
-    """64-bit FNV-1a of every string/binary in an Arrow column, computed
-    straight off the value buffer (no per-row Python)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    arr = col.cast(pa.binary())
-    n = len(arr)
-    if not n:
-        return np.zeros(0, dtype=np.uint64)
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
-        arr.offset : arr.offset + n + 1
-    ].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return fnv_over_offsets(data, offsets[:-1], np.diff(offsets))
-
-
 _POLY_R = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
 _POLY_RINV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
 
@@ -278,7 +262,9 @@ def exact_dedup(
         import pandas as pd
 
         df = group.to_pandas()
-        survivors = df.loc[df.groupby(key_col)[id_col].idxmin()]
+        # dropna=False: a NULL key forms its own group (matches SQL
+        # GROUP BY, which keeps a NULL group) instead of vanishing.
+        survivors = df.loc[df.groupby(key_col, dropna=False)[id_col].idxmin()]
         return pa.Table.from_pandas(
             survivors.drop(columns=["_hb"]), preserve_index=False
         ).replace_schema_metadata(None)
@@ -342,6 +328,7 @@ def minhash_lsh_pairs(
     concurrency=(1, 8),
     num_rows: int | None = None,
     verify: str = "exact",
+    star_run_threshold: int = 10_000,
 ):
     """Near-dup pairs via banded LSH, Jaccard-verified.
 
@@ -439,6 +426,18 @@ def minhash_lsh_pairs(
         out_b: list[np.ndarray] = []
         for run in np.split(np.arange(len(ids_s)), boundary):
             if len(run) < 2:
+                continue
+            if len(run) > star_run_threshold:
+                # Degenerate run (e.g. millions of boilerplate-identical
+                # docs share every band): all-pairs would be O(R^2) rows.
+                # Emit the star min_id<->member instead — the connected
+                # component (what dedup consumes) is identical, output is
+                # R-1 rows.
+                va = ids_s[run]
+                lo = va.min()
+                rest = va[va != lo]
+                out_a.append(np.full(len(rest), lo, dtype=np.int64))
+                out_b.append(rest)
                 continue
             ai, bi = np.triu_indices(len(run), k=1)
             va, vb = ids_s[run[ai]], ids_s[run[bi]]
@@ -609,6 +608,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 3,
     num_rows: int | None = None,
     as_dataset: bool = False,
+    star_run_threshold: int = 10_000,
 ):
     """Near-dup pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -686,6 +686,29 @@ def simhash_neardup_pairs(
         out = []
         for run in np.split(np.arange(len(ids_s)), boundary):
             if len(run) < 2:
+                continue
+            if len(run) > star_run_threshold:
+                # Degenerate run: star against the min id (component-
+                # equivalent, R-1 rows instead of O(R^2)).
+                va = ids_s[run]
+                sv = sig_s[run]
+                lo_pos = int(np.argmin(va))
+                rest = np.ones(len(run), dtype=bool)
+                rest[lo_pos] = False
+                ham = popcount64(sv[rest] ^ sv[lo_pos])
+                keep = ham <= max_hamming
+                if keep.any():
+                    vb = va[rest][keep]
+                    out.append(
+                        np.stack(
+                            [
+                                np.minimum(va[lo_pos], vb),
+                                np.maximum(va[lo_pos], vb),
+                                ham[keep],
+                            ],
+                            axis=1,
+                        )
+                    )
                 continue
             ai, bi = np.triu_indices(len(run), k=1)
             ham = popcount64(sig_s[run[ai]] ^ sig_s[run[bi]])

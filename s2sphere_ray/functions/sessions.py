@@ -34,12 +34,11 @@ def sessionize(
         n_buckets = derive_buckets(num_rows)
     gap = pd.Timedelta(minutes=gap_minutes)
 
+    from ._buckets import hash_buckets
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        u = batch["user_id"].to_numpy().astype(np.uint64)
-        b = (
-            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        ).astype(np.int64) % n_buckets
-        return batch.append_column("_ub", pa.array(b.astype(np.int32)))
+        b = hash_buckets(batch["user_id"].to_numpy(), n_buckets)
+        return batch.append_column("_ub", pa.array(b))
 
     def sess_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(["user_id", "ts", "event_id"])

@@ -22,7 +22,13 @@ def _hash_column(col) -> np.ndarray:
         col = col.combine_chunks()
     if pa.types.is_string(col.type) or pa.types.is_binary(col.type) or pa.types.is_large_string(col.type):
         return poly_hash_strings(col)
-    x = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+    x = col.to_numpy(zero_copy_only=False)
+    if x.dtype.kind == "f":
+        # Hash the raw IEEE bit pattern — truncating floats to ints would
+        # conflate distinct values (1.2 and 1.9 -> 1).
+        x = x.astype(np.float64).view(np.uint64)
+    else:
+        x = x.astype(np.int64).view(np.uint64)
     with np.errstate(over="ignore"):
         z = x + np.uint64(0x9E3779B97F4A7C15)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)

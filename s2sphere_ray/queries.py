@@ -346,9 +346,10 @@ def q_write_tiles_roundtrip(sf_dir: str):
 
     from .stages.tiles import read_manifests, write_tiles
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(), f"s2ray_write_rt_{abs(hash(sf_dir)) % 10**8}"
-    )
+    import hashlib
+
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"s2ray_write_rt_{sf_tag}")
     shutil.rmtree(out_dir, ignore_errors=True)
     write_tiles(_points(sf_dir), out_dir, level=8, fingerprint="rt-v1")
     manifests = read_manifests(out_dir)
@@ -1128,7 +1129,7 @@ def q_token_regex(sf_dir: str):
 
 
 SQL_TOKEN_REGEX = (
-    "SELECT doc_id, CAST(len(regexp_extract_all(text,"
+    "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''),"
     " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens"
     " FROM documents"
 )
@@ -1148,12 +1149,11 @@ def q_top_orders_per_cust(sf_dir: str):
     )
     n_buckets = derive_buckets(ds.count())
 
+    from .functions._buckets import hash_buckets
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        u = batch["o_custkey"].to_numpy().astype(np.uint64)
-        b = (
-            (u * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        ).astype(np.int64) % n_buckets
-        return batch.append_column("_cb", pa.array(b.astype(np.int32)))
+        b = hash_buckets(batch["o_custkey"].to_numpy(), n_buckets)
+        return batch.append_column("_cb", pa.array(b))
 
     def rank_bucket(group: pa.Table) -> pa.Table:
         cust = group["o_custkey"].to_numpy()

@@ -564,11 +564,12 @@ def spatial_join_shuffle(
     n_buckets = derive_buckets(num_rows)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions._buckets import hash_buckets
+
         k = batch["join_key"].to_numpy().view(np.uint64)
-        b = (
-            (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
-        ).astype(np.int64) % n_buckets
-        return batch.append_column("bucket", pa.array(b.astype(np.int32)))
+        return batch.append_column(
+            "bucket", pa.array(hash_buckets(k, n_buckets))
+        )
 
     both = both.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
 

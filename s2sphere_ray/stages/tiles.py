@@ -110,7 +110,11 @@ def tile_counts(
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     card = 6 * (4 ** level)
     if num_rows is not None:
-        est_blocks = max(1, num_rows // 2_000_000)
+        # Conservative rows-per-block guess (upstream stages commonly emit
+        # ~50-100k-row blocks, far below the 128 MiB target): OVERestimate
+        # the block count so the single-task path is never admitted with
+        # more partial rows than it can hold.
+        est_blocks = max(1, num_rows // 100_000)
         est_partial = est_blocks * min(
             card, max(1, num_rows // est_blocks)
         )

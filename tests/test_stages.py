@@ -628,3 +628,47 @@ def test_multimodal_resize_and_frames(ray_session):
         ResizeStage(fake=False)(media)
     with pytest.raises(NotImplementedError):
         FrameSampleStage(fake=False)(media)
+
+
+def test_exact_dedup_null_keys_survive(ray_session):
+    """A NULL key must form its own group with one min-id survivor
+    (matching SQL GROUP BY semantics), not silently vanish."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.dedup import exact_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "text": pa.array(["a", None, "a", None, "b"]),
+        }
+    )
+    out = sorted(
+        r["doc_id"] for r in exact_dedup(rd.from_arrow(t)).take_all()
+    )
+    assert out == [0, 1, 4]
+
+
+def test_lsh_star_emission_for_degenerate_runs(ray_session):
+    """Runs above star_run_threshold emit min-id star pairs (component-
+    equivalent) instead of an O(R^2) all-pairs blowup."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.dedup import minhash_lsh_pairs
+
+    text = "identical boilerplate page content repeated everywhere " * 5
+    n = 60
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array([text] * n),
+        }
+    )
+    pairs = minhash_lsh_pairs(
+        rd.from_arrow(t).repartition(4),
+        verify="none",
+        star_run_threshold=10,
+    ).take_all()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # Star: every doc connects to doc 0; component covers all n docs.
+    assert got == {(0, i) for i in range(1, n)}
