@@ -672,3 +672,20 @@ def test_lsh_star_emission_for_degenerate_runs(ray_session):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     # Star: every doc connects to doc 0; component covers all n docs.
     assert got == {(0, i) for i in range(1, n)}
+
+
+def test_hash_buckets_distribution_and_range():
+    from s2sphere_ray.functions._buckets import derive_buckets, hash_buckets
+
+    keys = np.arange(100_000, dtype=np.int64) * 7  # structured keys
+    for nb in (7, 64, 1000):
+        b = hash_buckets(keys, nb)
+        assert b.dtype == np.int32
+        assert b.min() >= 0 and b.max() < nb
+        counts = np.bincount(b, minlength=nb)
+        # Full-width mix: no bucket more than 2x the mean even for
+        # structured keys (the round-1 >>58 bug failed this for nb > 64).
+        assert counts.max() < 2 * len(keys) / nb
+    assert derive_buckets(None) >= 4
+    assert derive_buckets(10_000_000, target_rows=250_000) >= 40
+    assert derive_buckets(10**15) == 1 << 20  # cap
