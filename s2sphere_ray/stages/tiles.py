@@ -52,7 +52,7 @@ def tile_counts(
     sum_cols=(),
     tree_reduce_max_level: int = 8,
     num_rows: int | None = None,
-    final_combine_rows: int = 30_000_000,
+    final_combine_rows: int = 100_000_000,
 ):
     """E13: per-tile row counts (+ optional sums), partial-aggregated.
 
@@ -62,8 +62,9 @@ def tile_counts(
     bounded (level ≤ ``tree_reduce_max_level``: ≤ 6·4^8 ≈ 393k tiles) and
     (b) the estimated partial-row total — ``est_blocks × min(block_rows,
     cardinality)`` from the ``num_rows`` hint — fits one task
-    (``final_combine_rows``); otherwise the hash groupby shuffle does the
-    merge. Callers at scale should pass ``num_rows`` (parquet metadata
+    (``final_combine_rows``, default 100M rows ≈ 1.6 GB — a measured
+    single-task linear combine of ~32M partial rows costs seconds);
+    otherwise the hash groupby shuffle does the merge. Callers at scale should pass ``num_rows`` (parquet metadata
     count is free); without a hint the coalesce path is used for bounded
     levels, which is correct at any scale but single-task-bound above
     ~10⁴ blocks.
