@@ -689,3 +689,64 @@ def test_hash_buckets_distribution_and_range():
     assert derive_buckets(None) >= 4
     assert derive_buckets(10_000_000, target_rows=250_000) >= 40
     assert derive_buckets(10**15) == 1 << 20  # cap
+
+
+def test_asof_matches_pandas_merge_asof(ray_session):
+    """The numpy backward-search asof must match pd.merge_asof on random
+    data with duplicate timestamps and users with no events."""
+    import pandas as pd
+    import ray.data as rd
+
+    from s2sphere_ray.functions.asof import asof_last_event
+
+    rng = np.random.default_rng(9)
+    n_orders, n_events = 400, 900
+    base = np.datetime64("2024-01-01", "us")
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+            "o_custkey": pa.array(
+                rng.integers(0, 40, n_orders), pa.int64()
+            ),
+            "o_orderdate": pa.array(
+                base + rng.integers(0, 10**6, n_orders).astype("timedelta64[us]"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    events = pa.table(
+        {
+            "user_id": pa.array(rng.integers(0, 35, n_events), pa.int64()),
+            "ts": pa.array(
+                base + rng.integers(0, 10**6, n_events).astype("timedelta64[us]"),
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    got = (
+        asof_last_event(
+            rd.from_arrow(orders).repartition(3),
+            rd.from_arrow(events).repartition(3),
+            num_rows=n_events,
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    odf = orders.to_pandas().sort_values(["o_orderdate", "o_orderkey"])
+    edf = events.to_pandas().sort_values("ts")
+    want = pd.merge_asof(
+        odf,
+        edf.rename(columns={"ts": "last_event_ts"}),
+        left_on="o_orderdate",
+        right_on="last_event_ts",
+        left_by="o_custkey",
+        right_by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+    )[["o_orderkey", "last_event_ts"]].sort_values("o_orderkey").reset_index(
+        drop=True
+    )
+    got["last_event_ts"] = got["last_event_ts"].astype("datetime64[us]")
+    want["last_event_ts"] = want["last_event_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want)
