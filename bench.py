@@ -202,7 +202,11 @@ def run_bench() -> dict:
         from s2sphere_ray.stages.cover import cover_regions
 
         ds = rd.from_arrow(regions).repartition(16)
-        return cover_regions(ds, concurrency=(1, NUM_CPUS), batch_size=64).count()
+        # Pre-start 8 actors: lazy 1->N autoscale ramp dominated the wall
+        # time for this short stage (measured 1.9-2.2s -> 1.3s).
+        return cover_regions(
+            ds, concurrency=(min(8, NUM_CPUS), NUM_CPUS), batch_size=64
+        ).count()
 
     timed("cover_1k_regions", cover_1k)
     timed("tile_counts", lambda: q_tile_counts_l8(SF_DIR).count())
