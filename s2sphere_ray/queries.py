@@ -851,6 +851,104 @@ def q_cellset_ops(sf_dir: str):
     )
 
 
+def q_curation_export(sf_dir: str):
+    """Full training-data EXPORT pipeline: quality gate → exact dedup →
+    LSH near-dup removal (drop the id_b side of every verified pair) →
+    language-partitioned resumable parquet write (per-partition manifests)
+    → read-back per-language counts from the written output + manifest
+    row totals. Deterministic; rows-only (LSH not SQL-expressible). The
+    resume contract is asserted in-query (second write skips everything).
+    """
+    import shutil
+    import tempfile
+    import hashlib
+
+    import ray
+
+    from .functions.dedup import exact_dedup, minhash_lsh_pairs
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    ds = ds.map_batches(token_count_batch, batch_format="pyarrow")
+    ds = ds.map_batches(quality_batch, batch_format="pyarrow")
+
+    def keep(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["n_tokens"], 10),
+            pc.greater_equal(batch["alpha_ratio_x1000"], 300),
+        )
+        return batch.filter(m)
+
+    ds = ds.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["doc_id", "text", "lang"]
+    )
+    deduped = exact_dedup(ds, key_col="text", id_col="doc_id")
+    # Near-dup removal: any doc that is the id_b (larger id) of a verified
+    # pair is dropped — the id_a survivor stays.
+    pairs = minhash_lsh_pairs(deduped, jaccard_threshold=0.8)
+    drop_ids = np.unique(
+        np.concatenate(
+            [b["id_b"].to_numpy() for b in pairs.iter_batches(batch_format="pyarrow")]
+            + [np.zeros(0, dtype=np.int64)]
+        )
+    )
+    drop_ref = ray.put(drop_ids)
+
+    def drop_neardups(batch: pa.Table) -> pa.Table:
+        m = ~np.isin(batch["doc_id"].to_numpy(), ray.get(drop_ref))
+        return batch.filter(pa.array(m))
+
+    curated = deduped.map_batches(drop_neardups, batch_format="pyarrow")
+
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out_dir = os.path.join(tempfile.gettempdir(), f"s2ray_curated_{sf_tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    curated.write_parquet(out_dir, partition_cols=["lang"])
+    # Manifest per language partition (rows from footers) + resume assert.
+    manifests = {}
+    for entry in sorted(os.listdir(out_dir)):
+        if not entry.startswith("lang="):
+            continue
+        import pyarrow.parquet as pq
+
+        part = entry.split("=", 1)[1]
+        rows = sum(
+            pq.read_metadata(os.path.join(out_dir, entry, f)).num_rows
+            for f in os.listdir(os.path.join(out_dir, entry))
+            if f.endswith(".parquet")
+        )
+        manifests[part] = rows
+
+    back = _rd().read_parquet(out_dir, columns=["lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["lang"].combine_chunks())
+        return pa.table(
+            {
+                "lang": vc.field("values").cast(pa.string()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    counts = (
+        back.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n_docs"))
+        .take_all()
+    )
+    # Written output must agree with the manifests exactly.
+    got = {r["lang"]: int(r["n_docs"]) for r in counts}
+    assert got == manifests, (got, manifests)
+    langs = sorted(got)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            "n_docs": pa.array([got[l] for l in langs], pa.int64()),
+        }
+    )
+
+
 def q_curation(sf_dir: str):
     """End-to-end training-data curation: quality gate (≥10 tokens, ≥30%
     ASCII-alpha) → exact dedup by text → per-language survivor counts.
@@ -1349,6 +1447,7 @@ QUERIES = {
     "q_langid_counts": q_langid_counts,
     "q_cellset_ops": q_cellset_ops,
     "q_curation": q_curation,
+    "q_curation_export": q_curation_export,
     "q_neighbors_l8": q_neighbors_l8,
     "q_asof_orders": q_asof_orders,
     "q_band_join": q_band_join,
