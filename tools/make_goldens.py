@@ -66,6 +66,37 @@ def build() -> dict:
     out["token_offsets"] = [int(x) for x in offs]
     sig = MinHashStage(num_hashes=16).signature(texts[0])
     out["minhash16_first"] = [int(x) for x in sig]
+    # Round-2 kernels: poly hash, simhash, quality, langid, HLL.
+    import pyarrow as pa
+
+    from s2sphere_ray.functions.dedup import poly_hash_strings, simhash_batch
+    from s2sphere_ray.functions.text import LangIdStage, quality_batch
+    from s2sphere_ray.functions.sketch import (
+        hll_estimate,
+        hll_register_partials,
+    )
+
+    gold_texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "el rapido zorro marron salta sobre el perro perezoso que duerme",
+        "",
+        "一二三四五 testing mixed content here",
+    ]
+    tbl = pa.table({"text": pa.array(gold_texts)})
+    out["poly_hash"] = [int(x) for x in poly_hash_strings(tbl["text"])]
+    out["simhash"] = [int(x) for x in simhash_batch(tbl)["simhash"].to_pylist()]
+    q = quality_batch(tbl)
+    out["quality"] = {
+        c: [int(x) for x in q[c].to_pylist()]
+        for c in ("mean_token_len_x1000", "stopword_hits", "alpha_ratio_x1000")
+    }
+    out["langid"] = LangIdStage()(tbl)["lang_guess"].to_pylist()
+    hp = hll_register_partials(
+        pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))}), "k", p=10
+    )
+    regs = np.zeros(1024, dtype=np.int64)
+    regs[hp["reg"].to_numpy()] = hp["rho"].to_numpy()
+    out["hll_5000_p10"] = int(round(hll_estimate(regs, 10)))
     return out
 
 
