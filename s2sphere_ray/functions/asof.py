@@ -131,7 +131,12 @@ def band_join_counts(lineitem_ds, part_table: pa.Table, band: int = 2):
 
     def partial(batch: pa.Table) -> pa.Table:
         qty = batch["l_quantity"].to_numpy().astype(np.int64)
-        hist = np.bincount(np.clip(qty, 0, max_qty), minlength=max_qty + 1)
+        if len(qty) and (qty.min() < 0 or qty.max() > max_qty):
+            raise ValueError(
+                f"l_quantity outside band histogram domain [0, {max_qty}]:"
+                f" [{qty.min()}, {qty.max()}] — raise max_qty"
+            )
+        hist = np.bincount(qty, minlength=max_qty + 1)
         return pa.table(
             {
                 "q": pa.array(np.arange(max_qty + 1, dtype=np.int64)),

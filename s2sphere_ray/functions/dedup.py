@@ -430,9 +430,16 @@ def minhash_lsh_pairs(
             if len(run) > star_run_threshold:
                 # Degenerate run (e.g. millions of boilerplate-identical
                 # docs share every band): all-pairs would be O(R^2) rows.
-                # Emit the star min_id<->member instead — the connected
-                # component (what dedup consumes) is identical, output is
-                # R-1 rows.
+                # Emit the star min_id<->member instead (R-1 rows).
+                # CAVEAT: the star preserves the connected component only
+                # under verify="none" (pairs consumed unfiltered). Under
+                # verify="exact" the Jaccard filter acts on the hub-spoke
+                # pairs only, so two members that are near-dups of each
+                # other but NOT of the hub lose their link — component
+                # equivalence is NOT guaranteed in verify modes once a
+                # run exceeds star_run_threshold (documented deviation;
+                # dedup consumers should use verify="none", where it is
+                # exact).
                 va = ids_s[run]
                 lo = va.min()
                 rest = va[va != lo]
@@ -688,8 +695,12 @@ def simhash_neardup_pairs(
             if len(run) < 2:
                 continue
             if len(run) > star_run_threshold:
-                # Degenerate run: star against the min id (component-
-                # equivalent, R-1 rows instead of O(R^2)).
+                # Degenerate run: star against the min id (R-1 rows
+                # instead of O(R^2)). CAVEAT: hamming-filtering the
+                # hub-spoke pairs means two members within max_hamming
+                # of each other but not of the hub lose their link —
+                # component equivalence holds only if the pairs are
+                # consumed unfiltered (see the minhash analogue above).
                 va = ids_s[run]
                 sv = sig_s[run]
                 lo_pos = int(np.argmin(va))

@@ -348,8 +348,13 @@ def q_write_tiles_roundtrip(sf_dir: str):
 
     import hashlib
 
+    # Per-process dir: two concurrent runs on the same sf_dir must not
+    # race each other's partitions/manifests (rerun in-process still
+    # exercises the rmtree + resume path).
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out_dir = os.path.join(tempfile.gettempdir(), f"s2ray_write_rt_{sf_tag}")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"s2ray_write_rt_{sf_tag}_{os.getpid()}"
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     write_tiles(_points(sf_dir), out_dir, level=8, fingerprint="rt-v1")
     manifests = read_manifests(out_dir)
@@ -405,7 +410,14 @@ def q_hilbert_order(sf_dir: str):
 
 def q_dedup_exact(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = exact_dedup(ds, key_col="text", id_col="doc_id")
+    # num_rows from parquet metadata (cheap) so derive_buckets sizes the
+    # hash shuffle to the data instead of the 4xCPU floor.
+    out = exact_dedup(
+        ds,
+        key_col="text",
+        id_col="doc_id",
+        num_rows=_docs(sf_dir, ["doc_id"]).count(),
+    )
     return out.select_columns(["doc_id"])
 
 
@@ -853,17 +865,17 @@ def q_cellset_ops(sf_dir: str):
 
 def q_curation_export(sf_dir: str):
     """Full training-data EXPORT pipeline: quality gate → exact dedup →
-    LSH near-dup removal (drop the id_b side of every verified pair) →
+    LSH near-dup removal (distributed left-anti join dropping the id_b
+    side of every banded-LSH candidate pair, verify="none" crawl mode) →
     language-partitioned resumable parquet write (per-partition manifests)
     → read-back per-language counts from the written output + manifest
     row totals. Deterministic; rows-only (LSH not SQL-expressible). The
     resume contract is asserted in-query (second write skips everything).
+    No stage materializes anything on the driver.
     """
     import shutil
     import tempfile
     import hashlib
-
-    import ray
 
     from .functions.dedup import exact_dedup, minhash_lsh_pairs
     from ray.data.aggregate import Sum
@@ -882,26 +894,30 @@ def q_curation_export(sf_dir: str):
     ds = ds.map_batches(keep, batch_format="pyarrow").select_columns(
         ["doc_id", "text", "lang"]
     )
-    deduped = exact_dedup(ds, key_col="text", id_col="doc_id")
-    # Near-dup removal: any doc that is the id_b (larger id) of a verified
-    # pair is dropped — the id_a survivor stays.
-    pairs = minhash_lsh_pairs(deduped, jaccard_threshold=0.8)
-    drop_ids = np.unique(
-        np.concatenate(
-            [b["id_b"].to_numpy() for b in pairs.iter_batches(batch_format="pyarrow")]
-            + [np.zeros(0, dtype=np.int64)]
-        )
+    from .functions._buckets import derive_buckets
+
+    n_docs = _docs(sf_dir, ["doc_id"]).count()  # parquet metadata, cheap
+    deduped = exact_dedup(ds, key_col="text", id_col="doc_id", num_rows=n_docs)
+    # Near-dup removal, fully distributed (the 100-TB default): banded
+    # LSH in verify="none" mode — the band exchange carries only
+    # (band_id, band_hash, id) = 20 B/row, candidate pairs stream out as
+    # a Dataset with NO driver materialization — then the id_b side of
+    # every candidate pair is dropped via a native hash left-anti join.
+    # At crawl dup rates the drop set is a large fraction of the corpus,
+    # so it must never become a driver-side array or a broadcast set.
+    pairs = minhash_lsh_pairs(deduped, verify="none", num_rows=n_docs)
+    curated = deduped.join(
+        pairs.select_columns(["id_b"]),
+        join_type="left_anti",
+        num_partitions=max(8, derive_buckets(n_docs, target_rows=500_000)),
+        on=("doc_id",),
+        right_on=("id_b",),
     )
-    drop_ref = ray.put(drop_ids)
-
-    def drop_neardups(batch: pa.Table) -> pa.Table:
-        m = ~np.isin(batch["doc_id"].to_numpy(), ray.get(drop_ref))
-        return batch.filter(pa.array(m))
-
-    curated = deduped.map_batches(drop_neardups, batch_format="pyarrow")
 
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    out_dir = os.path.join(tempfile.gettempdir(), f"s2ray_curated_{sf_tag}")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"s2ray_curated_{sf_tag}_{os.getpid()}"
+    )
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir)
     curated.write_parquet(out_dir, partition_cols=["lang"])
@@ -1306,7 +1322,12 @@ def q_quantiles(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         v = batch["l_quantity"].to_numpy().astype(np.int64)
-        hist = np.bincount(np.clip(v, 0, max_q), minlength=max_q + 1)
+        if len(v) and (v.min() < 0 or v.max() > max_q):
+            raise ValueError(
+                f"l_quantity outside histogram domain [0, {max_q}]: "
+                f"[{v.min()}, {v.max()}] — raise max_q"
+            )
+        hist = np.bincount(v, minlength=max_q + 1)
         return pa.table(
             {
                 "v": pa.array(np.arange(max_q + 1, dtype=np.int64)),
