@@ -259,15 +259,16 @@ def exact_dedup(
         return batch.append_column("_hb", pa.array(b))
 
     def dedup_bucket(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = group.to_pandas()
-        # dropna=False: a NULL key forms its own group (matches SQL
-        # GROUP BY, which keeps a NULL group) instead of vanishing.
-        survivors = df.loc[df.groupby(key_col, dropna=False)[id_col].idxmin()]
-        return pa.Table.from_pandas(
-            survivors.drop(columns=["_hb"]), preserve_index=False
-        ).replace_schema_metadata(None)
+        # Arrow-native: exact key grouping (collision-free, full-key
+        # compare in C++; a NULL key forms its own group, matching SQL
+        # GROUP BY), survivor = min id per key. Ids are unique, so
+        # filtering the bucket by survivor ids returns exactly one full
+        # row per distinct key — no pandas round-trip of the text column.
+        agg = group.group_by(key_col).aggregate([(id_col, "min")])
+        mask = pc.is_in(
+            group[id_col], value_set=agg[f"{id_col}_min"].combine_chunks()
+        )
+        return group.filter(mask).drop_columns(["_hb"])
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)

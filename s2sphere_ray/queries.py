@@ -638,24 +638,26 @@ def q_pricing_summary(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
+        # Arrow-native partial: C++ hash groupby, no pandas copy.
         qty = _np(batch["l_quantity"]).astype(np.int64)
         rev_cents = np.floor(
             _np(batch["l_extendedprice"]) * (1.0 - _np(batch["l_discount"])) * 100
             + 0.5
         ).astype(np.int64)
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "l_returnflag": batch["l_returnflag"].to_pandas(),
-                "l_linestatus": batch["l_linestatus"].to_pandas(),
-                "sum_qty": qty,
-                "sum_rev_cents": rev_cents,
-                "n_rows": 1,
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": pa.array(qty),
+                "sum_rev_cents": pa.array(rev_cents),
             }
         )
-        agg = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_rev_cents", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev_cents", "n_rows"]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -687,26 +689,36 @@ def q_orders_by_segment(sf_dir: str):
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
-    seg_by_key = dict(
-        zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist())
-    )
-    ref = ray.put(seg_by_key)
+    # Broadcast lookup as sorted key array + dictionary-coded segment —
+    # per batch one np.searchsorted, zero Python per row, no object dicts.
+    keys = cust["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    seg_dict = cust["c_mktsegment"].combine_chunks().dictionary_encode()
+    codes = seg_dict.indices.to_numpy().astype(np.int32)[order]
+    cats = seg_dict.dictionary
+    ref = ray.put((keys[order], codes, cats))
     ds = _rd().read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        lookup = ray.get(ref)
-        keys = batch["o_custkey"].to_pylist()
-        segs = [lookup.get(k) for k in keys]
+        sk, scodes, scats = ray.get(ref)
+        k = batch["o_custkey"].to_numpy()
+        idx = np.searchsorted(sk, k).clip(0, max(len(sk) - 1, 0))
+        match = sk[idx] == k  # missing FK -> null segment group
+        seg = pa.DictionaryArray.from_arrays(
+            pa.array(scodes[idx], mask=~match), scats
+        ).cast(pa.string())
         cents = np.floor(_np(batch["o_totalprice"]) * 100 + 0.5).astype(np.int64)
-        df = pd.DataFrame(
-            {"c_mktsegment": segs, "sum_total_cents": cents, "n_orders": 1}
+        t = pa.table(
+            {"c_mktsegment": seg, "sum_total_cents": pa.array(cents)}
         )
-        agg = df.groupby("c_mktsegment", as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        agg = t.group_by("c_mktsegment").aggregate(
+            [("sum_total_cents", "sum"), ([], "count_all")]
+        )
+        return agg.rename_columns(
+            ["c_mktsegment", "sum_total_cents", "n_orders"]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -734,20 +746,22 @@ def q_events_hourly(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
+        # Arrow-native partial: C++ hash groupby on (type, hour).
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         cents = np.floor(_np(batch["value"]) * 100 + 0.5).astype(np.int64)
-        df = pd.DataFrame(
+        t = pa.table(
             {
-                "event_type": batch["event_type"].to_pandas(),
-                "hour": hour.to_pandas(),
-                "n_events": 1,
-                "sum_value_cents": cents,
+                "event_type": batch["event_type"],
+                "hour": hour,
+                "sum_value_cents": pa.array(cents),
             }
         )
-        agg = df.groupby(["event_type", "hour"], as_index=False).sum()
-        return pa.Table.from_pandas(agg, preserve_index=False).replace_schema_metadata(None)
+        agg = t.group_by(["event_type", "hour"]).aggregate(
+            [([], "count_all"), ("sum_value_cents", "sum")]
+        )
+        return agg.rename_columns(
+            ["event_type", "hour", "n_events", "sum_value_cents"]
+        )
 
     from ray.data.aggregate import Sum
 
@@ -1184,17 +1198,16 @@ def q_native_join(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.select(["c_mktsegment", "o_totalprice"]).to_pandas()
-        cents = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
-            np.int64
+        cents = np.floor(
+            _np(batch["o_totalprice"]) * 100.0 + 0.5
+        ).astype(np.int64)
+        t = pa.table(
+            {"c_mktsegment": batch["c_mktsegment"], "cents": pa.array(cents)}
         )
-        df = pd.DataFrame({"c_mktsegment": df["c_mktsegment"], "cents": cents})
-        g = df.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        agg = t.group_by("c_mktsegment").aggregate(
+            [([], "count_all"), ("cents", "sum")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return agg.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
 
     return (
         joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
