@@ -1836,6 +1836,112 @@ class ConvexPolygon:
         return False
 
 
+class Loop:
+    """Engine-defined GENERAL (possibly concave) spherical polygon region.
+
+    Upstream s2sphere has no S2Loop (SURVEY §1.1 `[v]`); this composite
+    builds crossing-parity containment from the reference's predicates
+    A7–A10 (`sphere.py def simple_crossing` / `def origin` anchors).
+
+    ``contains_point(p)`` = odd number of strict great-circle crossings
+    (A9 ``simple_crossing``) between the geodesic ref→p and the loop
+    edges, where ``ref`` is a point known to lie OUTSIDE the loop. The
+    default ref is the antipode of the normalized vertex centroid —
+    valid for any loop contained in an open hemisphere, which the
+    engine's region tables guarantee (regions.make_loop_regions caps the
+    vertex radius). Boundary points are engine-defined (strict-crossing
+    parity), deterministic, and bit-identical to the vectorized
+    ``stages.join.refine_mask`` kind="loop" kernel and the DuckDB oracle
+    expression (same IEEE op order).
+    """
+
+    __slots__ = ("vertices", "ref", "_cap", "_rect")
+
+    def __init__(self, latlng_deg_pairs, ref=None):
+        self.vertices = [
+            LatLng.from_degrees(lat, lng).to_point() for lat, lng in latlng_deg_pairs
+        ]
+        if ref is None:
+            c = (0.0, 0.0, 0.0)
+            for v in self.vertices:
+                c = add(c, v)
+            ref = neg(normalize(c))
+        self.ref = ref
+        self._cap = None
+        self._rect = None
+
+    def contains_point(self, p) -> bool:
+        vs, r = self.vertices, self.ref
+        n = len(vs)
+        # Mirrors simple_crossing(a, b, r, p) term-for-term so the
+        # vectorized refine_mask produces identical float comparisons.
+        cd = cross(r, p)
+        inside = False
+        for k in range(n):
+            a, b = vs[k], vs[(k + 1) % n]
+            ab = cross(a, b)
+            acb = -dot(ab, r)
+            bda = dot(ab, p)
+            cbd = -dot(cd, b)
+            dac = dot(cd, a)
+            if acb * bda > 0.0 and acb * cbd > 0.0 and cbd * dac > 0.0:
+                inside = not inside
+        return inside
+
+    def get_cap_bound(self) -> Cap:
+        # Cap of all vertices contains every geodesic edge (caps are
+        # convex) and hence the loop interior for hemisphere-bounded
+        # loops.
+        if self._cap is None:
+            centroid = (0.0, 0.0, 0.0)
+            for v in self.vertices:
+                centroid = add(centroid, v)
+            cap = Cap.from_axis_height(normalize(centroid), 0.0)
+            for v in self.vertices:
+                cap = cap.add_point(v)
+            self._cap = cap
+        return self._cap
+
+    def get_rect_bound(self) -> LatLngRect:
+        if self._rect is None:
+            self._rect = self.get_cap_bound().get_rect_bound()
+        return self._rect
+
+    def contains_cell(self, cell: Cell) -> bool:
+        # All 4 vertices inside AND no loop edge crosses a cell edge ⇒
+        # the (simply-connected) cell lies inside the loop: its boundary
+        # is inside and the loop's boundary never enters it.
+        cell_v = cell.vertices()
+        for v in cell_v:
+            if not self.contains_point(v):
+                return False
+        vs = self.vertices
+        n = len(vs)
+        for k in range(n):
+            a, b = vs[k], vs[(k + 1) % n]
+            for m in range(4):
+                if simple_crossing(a, b, cell_v[m], cell_v[(m + 1) & 3]):
+                    return False
+        return True
+
+    def may_intersect_cell(self, cell: Cell) -> bool:
+        cell_v = cell.vertices()
+        for v in cell_v:
+            if self.contains_point(v):
+                return True
+        for v in self.vertices:
+            if cell.contains_point(v):
+                return True
+        vs = self.vertices
+        n = len(vs)
+        for k in range(n):
+            a, b = vs[k], vs[(k + 1) % n]
+            for m in range(4):
+                if simple_crossing(a, b, cell_v[m], cell_v[(m + 1) & 3]):
+                    return True
+        return False
+
+
 # ---------------------------------------------------------------------------
 # CellUnion (sphere.py class CellUnion, SURVEY §2.1 G)
 # ---------------------------------------------------------------------------

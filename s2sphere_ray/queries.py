@@ -245,6 +245,80 @@ SQL_JOIN_POLY = (
 )
 
 
+def q_join_poly_concave(sf_dir: str):
+    """GENERAL (concave) polygon containment join: star-shaped loops with
+    reflex vertices, crossing-parity refinement (geometry.Loop /
+    refine_mask kind='loop'). Oracle regenerates the identical loops in
+    SQL and counts the same strict edge crossings from the same
+    reference point — hash-exact, not rows-only."""
+    import pyarrow.parquet as pq
+
+    from .regions import make_loop_regions
+
+    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+    regions = make_loop_regions(region["r_regionkey"].to_numpy().astype(np.int64))
+    return spatial_join(
+        _points(sf_dir), regions, strategy="broadcast", point_cols=("doc_id",)
+    )
+
+
+# Concave-loop containment in SQL: regenerate the deterministic star
+# vertices (regions.make_loop_regions) from r_regionkey, then per
+# (point, edge) evaluate the SAME strict crossing predicate as
+# geometry.simple_crossing with (c, d) = (ref, point), ref = antipode of
+# the loop center; a point is inside iff its crossing count is odd.
+SQL_JOIN_LOOP = (
+    f"WITH {_POINTS_XYZ_CTE},"
+    " par AS (SELECT CAST(r_regionkey AS BIGINT) + 3000 AS region_id,"
+    " CAST((CAST(r_regionkey AS BIGINT)*7919) % 90 - 45 AS DOUBLE) AS clat,"
+    " CAST((CAST(r_regionkey AS BIGINT)*104729) % 320 - 160 AS DOUBLE) AS clng,"
+    " 10.0 + 3.0 * CAST(CAST(r_regionkey AS BIGINT) % 5 AS DOUBLE) AS r_out,"
+    " 2 * (5 + CAST(r_regionkey AS BIGINT) % 3) AS nv FROM region),"
+    " verts AS (SELECT p.region_id, a.a AS idx, p.nv,"
+    " p.clat + (CASE WHEN a.a % 2 = 0 THEN p.r_out ELSE 0.4 * p.r_out END)"
+    " * sin(2 * pi() * a.a / p.nv) AS vlat,"
+    " p.clng + (CASE WHEN a.a % 2 = 0 THEN p.r_out ELSE 0.4 * p.r_out END)"
+    " * cos(2 * pi() * a.a / p.nv)"
+    " / greatest(0.2, cos(radians(p.clat))) AS vlng"
+    " FROM par p JOIN generate_series(0, 13) AS a(a) ON a.a < p.nv),"
+    " vxyz AS (SELECT region_id, idx, nv,"
+    " cos(radians(vlng)) * cos(radians(vlat)) AS vx,"
+    " sin(radians(vlng)) * cos(radians(vlat)) AS vy,"
+    " sin(radians(vlat)) AS vz FROM verts),"
+    " refs AS (SELECT region_id,"
+    " -(cos(radians(clng)) * cos(radians(clat))) AS rx,"
+    " -(sin(radians(clng)) * cos(radians(clat))) AS ry,"
+    " -(sin(radians(clat))) AS rz FROM par),"
+    " edges AS (SELECT a.region_id, a.idx,"
+    " a.vx AS ax, a.vy AS ay, a.vz AS az,"
+    " b.vx AS bx, b.vy AS b_y, b.vz AS bz,"
+    " a.vy * b.vz - a.vz * b.vy AS abx,"
+    " a.vz * b.vx - a.vx * b.vz AS aby,"
+    " a.vx * b.vy - a.vy * b.vx AS abz"
+    " FROM vxyz a JOIN vxyz b ON a.region_id = b.region_id"
+    " AND b.idx = (a.idx + 1) % a.nv),"
+    " checks AS (SELECT pt.doc_id, e.region_id,"
+    " SUM(CASE WHEN"
+    " (-(e.abx * r.rx + e.aby * r.ry + e.abz * r.rz))"
+    " * (e.abx * pt.x + e.aby * pt.y + e.abz * pt.z) > 0 AND"
+    " (-(e.abx * r.rx + e.aby * r.ry + e.abz * r.rz))"
+    " * (-((r.ry * pt.z - r.rz * pt.y) * e.bx"
+    " + (r.rz * pt.x - r.rx * pt.z) * e.b_y"
+    " + (r.rx * pt.y - r.ry * pt.x) * e.bz)) > 0 AND"
+    " (-((r.ry * pt.z - r.rz * pt.y) * e.bx"
+    " + (r.rz * pt.x - r.rx * pt.z) * e.b_y"
+    " + (r.rx * pt.y - r.ry * pt.x) * e.bz))"
+    " * ((r.ry * pt.z - r.rz * pt.y) * e.ax"
+    " + (r.rz * pt.x - r.rx * pt.z) * e.ay"
+    " + (r.rx * pt.y - r.ry * pt.x) * e.az) > 0"
+    " THEN 1 ELSE 0 END) AS ncross"
+    " FROM pxyz pt CROSS JOIN edges e"
+    " JOIN refs r ON r.region_id = e.region_id"
+    " GROUP BY pt.doc_id, e.region_id)"
+    " SELECT doc_id, region_id FROM checks WHERE ncross % 2 = 1"
+)
+
+
 def q_knn_pruned(sf_dir: str):
     """Cell-ring-pruned exact kNN (E11 scale path) — same oracle as q_knn."""
     import pyarrow.parquet as pq
@@ -1455,6 +1529,7 @@ QUERIES = {
     "q_join_rect_skew": q_join_rect_skew,
     "q_join_cap": q_join_cap,
     "q_join_poly": q_join_poly,
+    "q_join_poly_concave": q_join_poly_concave,
     "q_knn": q_knn,
     "q_knn_pruned": q_knn_pruned,
     "q_tile_counts_l8": q_tile_counts_l8,
@@ -1533,6 +1608,7 @@ ORACLE_SQL = {
     "q_knn": SQL_KNN,
     "q_knn_pruned": SQL_KNN,
     "q_join_poly": SQL_JOIN_POLY,
+    "q_join_poly_concave": SQL_JOIN_LOOP,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_token_count": SQL_TOKEN_COUNT,
     "q_quality": SQL_QUALITY,

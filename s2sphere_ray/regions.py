@@ -8,7 +8,10 @@ kind-specific params. Three kinds:
   DuckDB oracle's BETWEEN predicates are exact);
 * ``cap``  — spherical disc (axis lat/lng + radius degrees);
 * ``poly`` — convex spherical polygon (JSON vertex list; engine-defined
-  semantics, rows-only oracle).
+  semantics, oracle via edge-normal dot products);
+* ``loop`` — GENERAL (concave) spherical polygon, crossing-parity
+  containment (geometry.Loop); axis_lat/axis_lng carry the loop center
+  whose antipode is the parity reference point.
 
 Deterministic generators derive regions from the driver's ``nation`` /
 ``supplier`` tables by integer arithmetic so the oracle SQL can regenerate
@@ -170,6 +173,51 @@ def make_poly_regions(keys: np.ndarray, id_offset: int = 2000) -> pa.Table:
     )
 
 
+def make_loop_regions(keys: np.ndarray, id_offset: int = 3000) -> pa.Table:
+    """Seeded CONCAVE star polygons (alternating outer/inner radius, so
+    every other vertex is a reflex notch) around deterministic centers;
+    kind='loop' → crossing-parity containment (geometry.Loop). The
+    center rides in axis_lat/axis_lng so consumers derive the parity
+    reference point (the center's antipode) without re-aggregating
+    vertices; the oracle SQL regenerates the identical vertices from the
+    same key arithmetic (SQL_JOIN_LOOP)."""
+    rows = []
+    for k in keys.astype(np.int64):
+        clat = float((k * 7919) % 90 - 45)  # stay off the poles
+        clng = float((k * 104729) % 320 - 160)
+        r_out = 10.0 + 3.0 * float(k % 5)
+        nv = 2 * (5 + int(k % 3))  # 10/12/14 vertices, always even
+        verts = []
+        for a in range(nv):
+            ang = 2 * math.pi * a / nv
+            rr = r_out if a % 2 == 0 else 0.4 * r_out
+            verts.append(
+                [
+                    clat + rr * math.sin(ang),
+                    clng
+                    + rr
+                    * math.cos(ang)
+                    / max(0.2, math.cos(math.radians(clat))),
+                ]
+            )
+        rows.append((int(k) + id_offset, clat, clng, json.dumps(verts)))
+    n = len(rows)
+    return pa.table(
+        {
+            "region_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array(["loop"] * n),
+            "lat_lo": pa.nulls(n, pa.float64()),
+            "lat_hi": pa.nulls(n, pa.float64()),
+            "lng_lo": pa.nulls(n, pa.float64()),
+            "lng_hi": pa.nulls(n, pa.float64()),
+            "axis_lat": pa.array([r[1] for r in rows], pa.float64()),
+            "axis_lng": pa.array([r[2] for r in rows], pa.float64()),
+            "radius_deg": pa.nulls(n, pa.float64()),
+            "poly_json": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+
+
 def regions_from_sf_dir(sf_dir: str, kinds=("rect", "cap", "poly")) -> pa.Table:
     """Deterministic regions table derived from the driver testdata tables."""
     import pyarrow.parquet as pq
@@ -190,6 +238,11 @@ def regions_from_sf_dir(sf_dir: str, kinds=("rect", "cap", "poly")) -> pa.Table:
         parts.append(
             make_poly_regions(region["r_regionkey"].to_numpy().astype(np.int64))
         )
+    if "loop" in kinds:
+        region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
+        parts.append(
+            make_loop_regions(region["r_regionkey"].to_numpy().astype(np.int64))
+        )
     return pa.concat_tables(parts)
 
 
@@ -205,4 +258,7 @@ def region_object(row: dict):
         return g.Cap.from_axis_angle(axis, math.radians(row["radius_deg"]))
     if kind == "poly":
         return g.ConvexPolygon(json.loads(row["poly_json"]))
+    if kind == "loop":
+        c = g.LatLng.from_degrees(row["axis_lat"], row["axis_lng"]).to_point()
+        return g.Loop(json.loads(row["poly_json"]), ref=g.neg(c))
     raise ValueError(f"unknown region kind: {kind}")

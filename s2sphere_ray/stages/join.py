@@ -106,6 +106,35 @@ def refine_mask(
         x, y, z = ck.latlng_to_xyz(lat, lng)
         pts = np.stack([x, y, z], axis=1)  # (N, 3)
         return (pts @ normals.T >= 0.0).all(axis=1)
+    if kind == "loop":
+        # General (concave) polygon: crossing-parity containment — count
+        # strict A9 crossings of geodesic ref→p against each loop edge,
+        # vectorized over the points, term-for-term identical to
+        # geometry.Loop.contains_point and the DuckDB SQL_JOIN_LOOP
+        # expression (so float comparisons land on the same side).
+        import json
+
+        verts = json.loads(region_row["poly_json"])
+        vx = [g.LatLng.from_degrees(a, b).to_point() for a, b in verts]
+        c = g.LatLng.from_degrees(
+            region_row["axis_lat"], region_row["axis_lng"]
+        ).to_point()
+        r0, r1, r2 = -c[0], -c[1], -c[2]
+        x, y, z = ck.latlng_to_xyz(lat, lng)
+        cd0 = r1 * z - r2 * y
+        cd1 = r2 * x - r0 * z
+        cd2 = r0 * y - r1 * x
+        parity = np.zeros(len(lat), dtype=bool)
+        n = len(vx)
+        for k in range(n):
+            a, b = vx[k], vx[(k + 1) % n]
+            ab = g.cross(a, b)
+            acb = -(ab[0] * r0 + ab[1] * r1 + ab[2] * r2)
+            bda = ab[0] * x + ab[1] * y + ab[2] * z
+            cbd = -(cd0 * b[0] + cd1 * b[1] + cd2 * b[2])
+            dac = cd0 * a[0] + cd1 * a[1] + cd2 * a[2]
+            parity ^= (acb * bda > 0.0) & (acb * cbd > 0.0) & (cbd * dac > 0.0)
+        return parity
     raise ValueError(f"unknown region kind {kind}")
 
 
@@ -261,7 +290,8 @@ class _BroadcastIndex:
         self.region_rows = regions.to_pylist()
         kinds = regions["kind"].to_pylist()
         self.kind_code = np.array(
-            [{"rect": 0, "cap": 1, "poly": 2}[k] for k in kinds], dtype=np.int8
+            [{"rect": 0, "cap": 1, "poly": 2, "loop": 3}[k] for k in kinds],
+            dtype=np.int8,
         )
         def _col(name):
             return regions[name].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -304,7 +334,7 @@ class _BroadcastIndex:
                 self.axis_lng[r],
             )
             ok[csel] = d <= self.radius_rad[r]
-        psel = kc == 2
+        psel = kc >= 2  # poly (convex normals) and loop (crossing parity)
         if psel.any():
             for r in np.unique(ridx[psel]):
                 sel = psel & (ridx == r)

@@ -189,3 +189,124 @@ def test_auto_snap_levels_invariant(ray_session, setup):
     lv = auto_snap_levels(covers_for_regions(regions))
     assert 1 <= len(lv) <= 3
     assert all(0 <= l <= 30 for l in lv)
+
+
+# ---------------------------------------------------------------------------
+# Concave loop regions (geometry.Loop, refine_mask kind='loop')
+# ---------------------------------------------------------------------------
+
+
+def _loop_regions():
+    return R.make_loop_regions(np.arange(5, dtype=np.int64))
+
+
+def test_loop_scalar_matches_vectorized():
+    """geometry.Loop.contains_point and refine_mask kind='loop' are the
+    same predicate bit-for-bit (same IEEE expression order)."""
+    regions = _loop_regions()
+    doc_id = np.arange(3000, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    for row in regions.to_pylist():
+        m = J.refine_mask(lat, lng, row)
+        loop = R.region_object(row)
+        x, y, z = ck.latlng_to_xyz(lat, lng)
+        for i in range(0, len(doc_id), 97):  # sampled scalar cross-check
+            assert loop.contains_point((x[i], y[i], z[i])) == bool(m[i])
+
+
+def test_loop_is_actually_concave():
+    """Direct convexity violation: two points just inside adjacent star
+    tips are INSIDE, but their geodesic midpoint (over the notch) is
+    OUTSIDE — the property a convex-only polygon type cannot express."""
+    import json
+    import math as _m
+
+    from s2sphere_ray import geometry as g
+
+    regions = _loop_regions().to_pylist()
+    for row in regions:
+        verts = json.loads(row["poly_json"])
+        nv = len(verts)
+        clat, clng = row["axis_lat"], row["axis_lng"]
+        r_out = 10.0 + 3.0 * float((row["region_id"] - 3000) % 5)
+        stretch = max(0.2, _m.cos(_m.radians(clat)))
+        probes = []
+        for tip in (0, 2):  # angles of two adjacent outer tips
+            ang = 2 * _m.pi * tip / nv
+            probes.append(
+                (
+                    clat + 0.9 * r_out * _m.sin(ang),
+                    clng + 0.9 * r_out * _m.cos(ang) / stretch,
+                )
+            )
+        la = np.array([p[0] for p in probes])
+        ln = np.array([p[1] for p in probes])
+        m = J.refine_mask(la, ln, row)
+        assert m.all(), "tip probes must be inside"
+        x, y, z = ck.latlng_to_xyz(la, ln)
+        mid = g.normalize((x[0] + x[1], y[0] + y[1], z[0] + z[1]))
+        loop = R.region_object(row)
+        assert not loop.contains_point(mid), "midpoint over the notch"
+
+
+def test_loop_covering_invariant():
+    """RegionCoverer over Loop regions satisfies check_covering: every
+    cover cell may-intersect, interior cells are contained, and sampled
+    interior points are covered."""
+    from s2sphere_ray import geometry as g
+
+    regions = _loop_regions().to_pylist()
+    for row in regions:
+        loop = R.region_object(row)
+        cov = g.RegionCoverer(max_cells=12)
+        cover = cov.get_covering(loop)
+        ids = cover.cell_ids
+        assert 0 < len(ids) <= 12 + 4
+        for a in range(len(ids) - 1):
+            assert ids[a].id < ids[a + 1].id
+            assert not ids[a].contains(ids[a + 1])
+        for c in ids:
+            assert loop.may_intersect_cell(g.Cell(c))
+        # Sampled containment: points known inside must be covered.
+        clat, clng = row["axis_lat"], row["axis_lng"]
+        lat_s = np.array([clat, clat + 0.5, clat - 0.5])
+        lng_s = np.array([clng, clng, clng])
+        m = J.refine_mask(lat_s, lng_s, row)
+        x, y, z = ck.latlng_to_xyz(lat_s, lng_s)
+        for i in range(len(lat_s)):
+            if m[i]:
+                cid = g.CellId.from_point((x[i], y[i], z[i]))
+                assert cover.contains_cellid(cid)
+        interior = cov.get_interior_covering(loop)
+        for c in interior.cell_ids:
+            assert loop.contains_cell(g.Cell(c))
+
+
+def test_loop_broadcast_join_equals_brute(ray_session):
+    regions = _loop_regions()
+    doc_id = np.arange(1500, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    expected = set()
+    for row in regions.to_pylist():
+        m = J.refine_mask(lat, lng, row)
+        for d in doc_id[m]:
+            expected.add((int(d), int(row["region_id"])))
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng), regions, strategy="broadcast"
+    )
+    assert _pairs(out) == expected
+
+
+def test_loop_shuffle_join_equals_brute(ray_session):
+    regions = _loop_regions()
+    doc_id = np.arange(1500, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    expected = set()
+    for row in regions.to_pylist():
+        m = J.refine_mask(lat, lng, row)
+        for d in doc_id[m]:
+            expected.add((int(d), int(row["region_id"])))
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng), regions, strategy="shuffle"
+    )
+    assert _pairs(out) == expected
