@@ -1456,6 +1456,55 @@ SQL_QUANTILES = (
 )
 
 
+def q_quantiles_float(sf_dir: str):
+    """Exact quantiles of the continuous ``events.value`` double column via
+    the fixed-point grid (×100 cents): sparse per-block value_counts
+    partials, groupby-sum merge — driver state bounded by the grid domain,
+    never by row count (functions/quantiles.py strategy 1; VERDICT r2 #6)."""
+    from .functions.quantiles import fixed_point_quantiles
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return fixed_point_quantiles(ds, "value", [25, 50, 75, 90, 99], scale=100)
+
+
+SQL_QUANTILES_FLOAT = (
+    "WITH s AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c"
+    " FROM events),"
+    " o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) - 1 AS r FROM s),"
+    " n AS (SELECT COUNT(*) AS cnt FROM events)"
+    " SELECT CAST(v.q AS BIGINT) AS q, o.c AS value_cents"
+    " FROM (VALUES (25),(50),(75),(90),(99)) AS v(q) JOIN o ON o.r ="
+    " CAST(floor(v.q / 100.0 * ((SELECT cnt FROM n) - 1)) AS BIGINT)"
+)
+
+
+def q_quantiles_bracket(sf_dir: str):
+    """Exact quantiles of ``events.value`` via iterative histogram
+    bracketing — the fully general continuous-domain path (no fixed-point
+    assumption): min/max pass, bracket-narrowing histogram passes, exact
+    gather of only the surviving bracket rows. Returns the ORIGINAL stored
+    doubles, so the result is bit-comparable with the DuckDB oracle reading
+    the same parquet. Small gather_cap here deliberately forces the
+    histogram passes to run even at test scale."""
+    from .functions.quantiles import exact_float_quantiles
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return exact_float_quantiles(
+        ds, "value", [25, 50, 75, 90, 99],
+        bins=512, max_passes=2, gather_cap=2000,
+    )
+
+
+SQL_QUANTILES_BRACKET = (
+    "WITH o AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS r"
+    " FROM events),"
+    " n AS (SELECT COUNT(*) AS cnt FROM events)"
+    " SELECT CAST(v.q AS BIGINT) AS q, o.value AS value"
+    " FROM (VALUES (25),(50),(75),(90),(99)) AS v(q) JOIN o ON o.r ="
+    " CAST(floor(v.q / 100.0 * ((SELECT cnt FROM n) - 1)) AS BIGINT)"
+)
+
+
 def q_label_centroids(sf_dir: str):
     """Vector aggregation: per-label embedding centroid, computed as exact
     integer milli-unit sums (floor(v·1000)) so the oracle compare is exact
@@ -1570,6 +1619,8 @@ QUERIES = {
     "q_token_regex": q_token_regex,
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_quantiles": q_quantiles,
+    "q_quantiles_float": q_quantiles_float,
+    "q_quantiles_bracket": q_quantiles_bracket,
     "q_label_centroids": q_label_centroids,
 }
 
@@ -1631,6 +1682,8 @@ ORACLE_SQL = {
     "q_token_regex": SQL_TOKEN_REGEX,
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "q_quantiles": SQL_QUANTILES,
+    "q_quantiles_float": SQL_QUANTILES_FLOAT,
+    "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
     # Round-trip invariant: engine must produce ok=true for every row.
     "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",

@@ -750,3 +750,77 @@ def test_asof_matches_pandas_merge_asof(ray_session):
     got["last_event_ts"] = got["last_event_ts"].astype("datetime64[us]")
     want["last_event_ts"] = want["last_event_ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_fixed_point_quantiles_exact(ray_session):
+    """Grid quantiles match numpy's lower order statistic on cents."""
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import fixed_point_quantiles
+
+    rng = np.random.default_rng(7)
+    v = np.round(rng.uniform(0, 500, 4000), 2)
+    ds = rd.from_arrow(pa.table({"value": pa.array(v)}))
+    qs = [10, 25, 50, 75, 90, 99]
+    out = fixed_point_quantiles(ds, "value", qs, scale=100)
+    cents = np.sort(np.floor(v * 100 + 0.5).astype(np.int64))
+    for q, got in zip(qs, out["value_cents"].to_pylist()):
+        k = int(np.floor(q / 100.0 * (len(v) - 1)))
+        assert got == cents[k], (q, got, cents[k])
+
+
+def test_exact_float_quantiles_vs_numpy(ray_session):
+    """Bracketing path (forced through histogram passes by a tiny
+    gather_cap) returns the exact lower order statistic — the original
+    doubles, bit-for-bit."""
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import exact_float_quantiles
+
+    rng = np.random.default_rng(11)
+    # lognormal: heavy tail stresses uneven bin occupancy
+    v = rng.lognormal(0, 2.0, 5000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)}))
+    qs = [5, 50, 95, 99]
+    out = exact_float_quantiles(
+        ds, "x", qs, bins=64, max_passes=3, gather_cap=400
+    )
+    sv = np.sort(v)
+    for q, got in zip(qs, out["value"].to_pylist()):
+        k = int(np.floor(q / 100.0 * (len(v) - 1)))
+        assert got == sv[k], (q, got, sv[k])
+
+
+def test_exact_float_quantiles_degenerate_mass(ray_session):
+    """90% of rows share one double (bracket collapses below float
+    resolution and resolves without gathering); also covers n==1-bin
+    edge and values within 1 ulp of each other."""
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import exact_float_quantiles
+
+    base = 1.0 / 3.0
+    v = np.concatenate(
+        [
+            np.full(9000, base),
+            np.full(500, np.nextafter(base, np.inf)),
+            np.linspace(10.0, 20.0, 500),
+        ]
+    )
+    rng = np.random.default_rng(3)
+    rng.shuffle(v)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)}))
+    qs = [25, 50, 75, 91, 99]
+    out = exact_float_quantiles(
+        ds, "x", qs, bins=32, max_passes=4, gather_cap=600
+    )
+    sv = np.sort(v)
+    for q, got in zip(qs, out["value"].to_pylist()):
+        k = int(np.floor(q / 100.0 * (len(v) - 1)))
+        assert got == sv[k], (q, got, sv[k])
+
+
+def test_exact_float_quantiles_all_equal(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import exact_float_quantiles
+
+    ds = rd.from_arrow(pa.table({"x": pa.array(np.full(100, 2.5))}))
+    out = exact_float_quantiles(ds, "x", [50, 99], bins=16, gather_cap=10)
+    assert out["value"].to_pylist() == [2.5, 2.5]
