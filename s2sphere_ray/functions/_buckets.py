@@ -35,6 +35,21 @@ def derive_buckets(
     return max(1, min(n, cap))
 
 
+def derive_concurrency(
+    frac: float = 1.0, *, lo: int = 1, cap: int | None = None
+) -> tuple:
+    """Autoscaling actor-pool ``(min, max)`` derived from cluster CPUs —
+    the actor-pool analogue of ``derive_buckets``'s floor logic. Round-2
+    pinned ``(1, 4)``/``(1, 8)`` constants at several stages, which
+    under-parallelises any cluster bigger than the dev box; ``frac``
+    scales the upper bound (1.0 for CPU-bound per-row stages like the
+    coverer, 0.5 for light stages sharing the node with shuffles)."""
+    hi = max(lo, math.ceil(frac * _cluster_cpus()))
+    if cap is not None:
+        hi = min(hi, cap)
+    return (lo, hi)
+
+
 def hash_buckets(keys, n_buckets: int):
     """int64/uint64 key array → int32 bucket ids via a full-width
     multiplicative mix then modulo (the one shared definition — round 1's

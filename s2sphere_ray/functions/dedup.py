@@ -326,7 +326,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.8,
-    concurrency=(1, 8),
+    concurrency=None,
     num_rows: int | None = None,
     verify: str = "exact",
     star_run_threshold: int = 10_000,
@@ -361,8 +361,11 @@ def minhash_lsh_pairs(
     import ray
     import ray.data as rd
 
-    from ._buckets import derive_buckets
+    from ._buckets import derive_buckets, derive_concurrency
 
+    if concurrency is None:
+        # Signature stage is CPU-bound shingling: scale pool to cluster.
+        concurrency = derive_concurrency(1.0)
     rows_per_band = num_hashes // bands
     sigged = ds.map_batches(
         MinHashStage,

@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ._buckets import derive_concurrency
+
 
 def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
     arr = batch[col]
@@ -134,7 +136,7 @@ def embedding_neardup_pairs(
         LSHBucketStage,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=derive_concurrency(0.5),
         num_cpus=1,
     )
     split_rng = np.random.default_rng(20240817)
@@ -291,10 +293,12 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
-    concurrency=(1, 4),
+    concurrency=None,
 ):
     """Approximate top-k: probe only vectors sharing the query's LSH bucket
     (scale path; recall depends on n_planes)."""
+    if concurrency is None:
+        concurrency = derive_concurrency(0.5)
     bucketed = embeddings_ds.map_batches(
         LSHBucketStage,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes),

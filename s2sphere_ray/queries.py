@@ -645,16 +645,19 @@ def q_media_frames(sf_dir: str):
     (rows-only; deterministic)."""
     from .functions.multimodal import ResizeStage, sample_frames
 
+    from .functions._buckets import derive_concurrency
+
     media = synth_media_table(200)
+    # mode="fake" throughout: synthetic payloads are not decodable media.
     ds = _rd().from_arrow(media).map_batches(
         ResizeStage,
-        fn_constructor_kwargs=dict(target=32, fake=True),
+        fn_constructor_kwargs=dict(target=32, mode="fake"),
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 2),
+        concurrency=derive_concurrency(0.5),
         num_cpus=1,
     )
-    frames = sample_frames(ds, n_frames=8, stride=2)
+    frames = sample_frames(ds, n_frames=8, stride=2, mode="fake")
 
     def sizes(batch: pa.Table) -> pa.Table:
         pl = batch["frame_payload"]
@@ -675,7 +678,9 @@ def q_media_features(sf_dir: str):
     """Multimodal plumbing (stubbed decode): feature means per media row."""
     media = synth_media_table(200)
     ds = _rd().from_arrow(media)
-    out = extract_features(ds, dim=16)
+    # mode="fake": synthetic payloads are random bytes, not decodable
+    # images — real codecs (when installed) must not be pointed at them.
+    out = extract_features(ds, dim=16, mode="fake")
 
     def summarize(batch: pa.Table) -> pa.Table:
         f = (
@@ -892,11 +897,13 @@ def q_embed_neardup(sf_dir: str):
 def q_langid_counts(sf_dir: str):
     """Language-ID guesses (marker heuristic, actor pool) vs corpus."""
     from .functions.text import LangIdStage
+    from .functions._buckets import derive_concurrency
     from ray.data.aggregate import Sum
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     guessed = ds.map_batches(
-        LangIdStage, batch_format="pyarrow", concurrency=(1, 4), num_cpus=1
+        LangIdStage, batch_format="pyarrow", num_cpus=1,
+        concurrency=derive_concurrency(0.5),
     )
 
     def partial(batch: pa.Table) -> pa.Table:

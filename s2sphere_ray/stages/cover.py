@@ -77,10 +77,16 @@ def cover_regions(
     level_mod: int = 1,
     interior: bool = False,
     tokens: bool = False,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 512,
 ):
     """Dataset of region rows → same rows + ``cover`` list column."""
+    from ..functions._buckets import derive_concurrency
+
+    if concurrency is None:
+        # Coverer is CPU-bound per-region Python: scale the pool to the
+        # cluster instead of a pinned constant.
+        concurrency = derive_concurrency(1.0)
     return regions_ds.map_batches(
         CovererStage,
         fn_constructor_kwargs=dict(

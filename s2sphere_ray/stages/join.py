@@ -183,7 +183,7 @@ def covers_for_regions(
     ds = rd.from_arrow(regions).repartition(
         max(1, regions.num_rows // 512)
     )
-    covered_ds = cover_regions(ds, max_cells=max_cells, concurrency=(1, 16))
+    covered_ds = cover_regions(ds, max_cells=max_cells)
     tables = [
         b for b in covered_ds.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
@@ -771,7 +771,7 @@ def spatial_join(
     max_cells: int = 8,
     lat_col: str = "lat",
     lng_col: str = "lng",
-    concurrency=(1, 8),
+    concurrency=None,
     **kwargs,
 ):
     """Spatial containment join points⋈regions → (point_cols…, region_id)."""

@@ -824,3 +824,35 @@ def test_exact_float_quantiles_all_equal(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array(np.full(100, 2.5))}))
     out = exact_float_quantiles(ds, "x", [50, 99], bins=16, gather_cap=10)
     assert out["value"].to_pylist() == [2.5, 2.5]
+
+
+def test_multimodal_codec_gating(ray_session):
+    """Import-gated codec resolution: mode='auto' records which codec was
+    resolved and WHY the fake path is active when the real lib is absent;
+    real/fake paths share one output schema (this container ships no
+    codecs, so the fake branch runs — the assertions are codec-agnostic)."""
+    from s2sphere_ray.functions.multimodal import (
+        FrameSampleStage,
+        ImageFeatureStage,
+        ResizeStage,
+        synth_media_table,
+    )
+
+    media = synth_media_table(8)
+    for cls, kw in (
+        (ImageFeatureStage, {}),
+        (ResizeStage, {}),
+        (FrameSampleStage, {}),
+    ):
+        stage = cls(mode="auto", **kw)
+        assert stage.codec in ("pil", "pyav", "fake")
+        if stage.codec == "fake":
+            # The stub must be load-bearing: it knows which import failed.
+            assert stage.codec_error and "Error" in stage.codec_error
+        # mode='fake' always works and emits the contract schema.
+        out = cls(mode="fake", **kw)(media)
+        assert out.num_rows > 0
+    feats = ImageFeatureStage(mode="fake")(media)
+    assert feats.schema.field("features").type == pa.list_(pa.float32(), 16)
+    frames = FrameSampleStage(mode="fake")(media)
+    assert frames.column_names == ["media_id", "frame_idx", "frame_payload"]
