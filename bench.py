@@ -324,8 +324,90 @@ def run_scaling() -> dict:
     }
 
 
+def run_ab(prev_rev: str) -> dict:
+    """Interleaved fresh-process A/B vs a previous git revision.
+
+    The box is a shared VM whose co-tenant load swings identical runs up
+    to ~4x across the day AND drifts over minutes, so one-number
+    cross-version comparisons are meaningless (round-2 postmortem: a
+    "1.7x regression" was pure host noise). Protocol: checkout
+    ``prev_rev`` into a temp git worktree, run flagship-only single-run
+    legs in A-B-B-A order (alternation cancels linear drift), normalize
+    every leg by its own in-process single-core calibration constant,
+    and report the ratio of best normalized times. Ratio > 1 means the
+    CURRENT tree is slower than ``prev_rev`` after removing host speed.
+    """
+    repo = os.path.dirname(os.path.abspath(__file__))
+    wt = f"/tmp/graft_ab_{prev_rev.replace('/', '_')[:24]}_{os.getpid()}"
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, prev_rev],
+        cwd=repo,
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    try:
+        env_common = dict(
+            os.environ,
+            GRAFT_BENCH_ONLY_FLAGSHIP="1",
+            GRAFT_BENCH_SINGLE_RUN="1",
+        )
+
+        def leg(script_dir: str) -> dict:
+            out = subprocess.run(
+                [sys.executable, os.path.join(script_dir, "bench.py")],
+                env=env_common,
+                cwd=script_dir,
+                capture_output=True,
+                text=True,
+                check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+
+        legs = []  # (which, result)
+        for which, d in (("cur", repo), ("prev", wt), ("prev", wt), ("cur", repo)):
+            legs.append((which, leg(d)))
+
+        def best_norm(which: str) -> float:
+            return min(
+                r["value"] / max(r["calibration_sec"], 1e-6)
+                for w, r in legs
+                if w == which
+            )
+
+        cur_n, prev_n = best_norm("cur"), best_norm("prev")
+        return {
+            "metric": "ab_normalized_ratio",
+            "value": round(cur_n / prev_n, 3),
+            "unit": "ratio",
+            "prev_rev": prev_rev,
+            "cur_normalized": round(cur_n, 2),
+            "prev_normalized": round(prev_n, 2),
+            "legs": [
+                {
+                    "which": w,
+                    "sec": r["value"],
+                    "calibration_sec": r["calibration_sec"],
+                }
+                for w, r in legs
+            ],
+            "bench_rows": legs[0][1]["bench_rows"],
+            "sf": SF_DIR,
+        }
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+        )
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--ab" in sys.argv:
+        rev = sys.argv[sys.argv.index("--ab") + 1]
+        print(json.dumps(run_ab(rev)))
     else:
         print(json.dumps(run_bench()))

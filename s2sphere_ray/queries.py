@@ -150,6 +150,73 @@ def q_cover_regions(sf_dir: str):
     )
 
 
+def golden_cover_regions() -> pa.Table:
+    """Fixed region set for the cover golden — independent of ``sf_dir``
+    so one frozen golden file serves every scale factor. Key ranges match
+    sf0.01's actual tables but are pinned here by value."""
+    from .regions import (
+        make_cap_regions,
+        make_loop_regions,
+        make_poly_regions,
+        make_rect_regions,
+    )
+
+    return pa.concat_tables(
+        [
+            make_rect_regions(np.arange(25, dtype=np.int64)),
+            make_cap_regions(np.arange(1, 101, dtype=np.int64)),
+            make_poly_regions(np.arange(5, dtype=np.int64)),
+            make_loop_regions(np.arange(5, dtype=np.int64)),
+        ],
+        promote_options="default",
+    )
+
+
+def q_cover_regions_golden(sf_dir: str):
+    """Coverer CORRECTNESS row (VERDICT r2 item 8): covers for a fixed
+    135-region set computed through the distributed actor-pool stage
+    (E7), exploded to one row per (region_id, cell_rank, cover_token) so
+    cover CONTENT and ORDER are both pinned. The oracle is the frozen
+    self-golden parquet (tests/fixtures/cover_golden.parquet) — a
+    regression anchor, not an independent derivation (DuckDB cannot run
+    the best-first coverer); regenerate only on an intentional semantic
+    change via tools/make_cover_golden.py."""
+    from .stages.cover import cover_regions
+
+    ds = _rd().from_arrow(golden_cover_regions())
+    covered = cover_regions(ds, max_cells=8, tokens=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = batch["cover_tokens"].to_pylist()
+        rid = batch["region_id"].to_numpy()
+        counts = np.array([len(t) for t in toks], dtype=np.int64)
+        flat = [t for row in toks for t in row]
+        ranks = np.concatenate(
+            [np.arange(c, dtype=np.int64) for c in counts]
+        ) if len(counts) else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "region_id": pa.array(np.repeat(rid, counts)),
+                "cell_rank": pa.array(ranks),
+                "cover_token": pa.array(flat, pa.string()),
+            }
+        )
+
+    return covered.map_batches(explode, batch_format="pyarrow")
+
+
+_COVER_GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "cover_golden.parquet",
+)
+SQL_COVER_GOLDEN = (
+    "SELECT region_id, cell_rank, cover_token"
+    f" FROM read_parquet('{_COVER_GOLDEN_PATH}')"
+)
+
+
 # ---------------------------------------------------------------------------
 # Spatial joins (E9/E12)
 # ---------------------------------------------------------------------------
@@ -1581,6 +1648,7 @@ QUERIES = {
     "q_cell_tokens_l12": q_cell_tokens_l12,
     "q_cell_roundtrip": q_cell_roundtrip,
     "q_cover_regions": q_cover_regions,
+    "q_cover_regions_golden": q_cover_regions_golden,
     "q_join_rect": q_join_rect,
     "q_join_rect_skew": q_join_rect_skew,
     "q_join_cap": q_join_cap,
@@ -1694,6 +1762,9 @@ ORACLE_SQL = {
     "q_label_centroids": SQL_LABEL_CENTROIDS,
     # Round-trip invariant: engine must produce ok=true for every row.
     "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",
+    # Frozen self-golden: pins the coverer's exact output (content+order);
+    # not an independent derivation — see q_cover_regions_golden docstring.
+    "q_cover_regions_golden": SQL_COVER_GOLDEN,
     # Injected duplicates are the only pairs ≥ 0.99 (natural max sim ≈ 0.2),
     # and identical vectors always share an LSH bucket → output is exactly
     # the injected set.
