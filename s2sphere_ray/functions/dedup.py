@@ -792,3 +792,297 @@ def simhash_neardup_pairs(
             }
         )
     return tbl
+
+
+def ngram_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    threshold: float = 0.5,
+    order: str = "freq",
+    num_rows: int | None = None,
+):
+    """EXACT word-n-gram Jaccard similarity join via distributed prefix
+    filtering (AllPairs/PPJoin family) — the guaranteed-complete companion
+    to the probabilistic MinHash-LSH path.
+
+    Pipeline (every step a streaming Ray Data op, no driver gather):
+
+    1. gram sets: one tokenize pass (``_shingle_batch`` rolling hashes off
+       Arrow buffers) → DISTINCT (doc, gram_hash) rows + per-doc set size.
+    2. global gram frequencies (``order="freq"``): tiny (gram, count)
+       groupby; joined back so every gram row knows its document
+       frequency. Frequency-ascending prefix order keeps prefix posting
+       lists short (the classic AllPairs trick — rare grams first), which
+       is what bounds candidate blowup at crawl scale. ``order="hash"``
+       skips the two extra exchanges and uses hash order (correct but
+       hot-gram-prone; test/compat path).
+    3. prefix marking: hash-bucketed per-doc pass sorts each doc's grams
+       by the global order and keeps the first
+       ``l(X) = |X| - ceil(t/(1+t)·|X|) + 1`` as the prefix.
+       Correctness of this prefix-vs-prefix bound: if J(A,B) ≥ t then
+       ``|A∩B| ≥ t/(1+t)·(|A|+|B|)``; if the prefixes shared no common
+       element, every common element would sit outside P(A) or outside
+       P(B), giving ``|A∩B| ≤ (⌈u|A|⌉-1) + (⌈u|B|⌉-1) < u(|A|+|B|)``
+       with ``u = t/(1+t)`` — contradiction. So candidate generation by
+       "prefixes share ≥1 gram" misses nothing.
+    4. candidates: groupby(prefix gram) emits in-group pairs
+       (vectorized run expansion), then a bucketed distinct.
+    5. exact verify: two native ``Dataset.join``s — candidates ⋈ grams of
+       id_a, then matching grams of id_b — and a pair groupby counts the
+       true intersection; integer-exact threshold test
+       ``1000·inter ≥ 1000·t·union`` (no float boundary).
+
+    Returns (id_a, id_b, inter_n, union_n, jac_x1000), id_a < id_b.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ._buckets import derive_buckets, derive_concurrency, hash_buckets
+
+    from ._buckets import _cluster_cpus
+
+    t_x1000 = int(round(threshold * 1000))
+    n_buckets = derive_buckets(num_rows)
+    # Native hash joins spawn num_partitions aggregator ACTORS per join.
+    # Too many (bucket-count partitions at 8 CPUs) deadlocks the
+    # scheduler; too many for the DATA (16 actors for 500 rows) pays
+    # startup for nothing (measured 71 s vs 22 s at sf0.01). So: data-
+    # proportional (~100k gram rows per partition, using num_rows x ~50
+    # grams/doc as the estimate) capped by half the cluster CPUs.
+    import math as _math
+
+    est_gram_rows = (num_rows or 2_000) * 50
+    join_parts = max(
+        2,
+        min(_cluster_cpus() // 2, _math.ceil(est_gram_rows / 100_000)),
+    )
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ids = batch[id_col].to_numpy()
+        th, toff = _token_hash_batch(texts)
+        tcounts = np.diff(toff)
+        # n-gram combine over the concatenated token stream; positions
+        # whose window crosses a doc boundary are dropped, so docs with
+        # fewer than n tokens contribute NO grams (empty set — matching
+        # the SQL oracle, unlike _shingle_batch's short-doc fallback).
+        if len(th) >= n:
+            acc = th[: len(th) - n + 1].copy()
+            for k in range(1, n):
+                acc = acc * _FNV_PRIME + th[k : len(th) - n + 1 + k]
+            doc_all = np.repeat(np.arange(len(ids)), tcounts)
+            valid = doc_all[: len(th) - n + 1] == doc_all[n - 1 :]
+            h = acc[valid]
+            doc_of = doc_all[: len(th) - n + 1][valid]
+        else:
+            h = np.zeros(0, dtype=np.uint64)
+            doc_of = np.zeros(0, dtype=np.int64)
+        # Per-doc DISTINCT grams: lexsort by (doc, hash), drop adjacent dups.
+        order_ix = np.lexsort((h, doc_of))
+        hs, ds_ = h[order_ix], doc_of[order_ix]
+        keep = np.ones(len(hs), dtype=bool)
+        keep[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        hs, ds_ = hs[keep], ds_[keep]
+        set_sz = np.bincount(ds_, minlength=len(ids)).astype(np.int64)
+        return pa.table(
+            {
+                "did": pa.array(ids[ds_].astype(np.int64)),
+                "gram": pa.array(hs.view(np.int64)),
+                "set_sz": pa.array(set_sz[ds_]),
+            }
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=None)
+    # Four consumers read `grams` (freq pass, freq join left side, and both
+    # verify-join sides); without checkpointing, Ray re-derives the
+    # tokenize lineage for each. The distinct (doc, gram) table is ~1.5x
+    # the text size and spills via the object store, so one materialize
+    # beats four recomputes — the ONE deliberate mid-pipeline
+    # materialization in this operator.
+    grams = grams.materialize()
+
+    if order == "freq":
+        freqs = (
+            grams.map_batches(
+                lambda b: pa.table({"gram": b["gram"]}),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .groupby("gram")
+            .aggregate(Count(alias_name="gfreq"))
+        )
+        grams = grams.join(
+            freqs, join_type="inner", num_partitions=join_parts, on=("gram",)
+        )
+    else:
+        grams = grams.map_batches(
+            lambda b: b.append_column(
+                "gfreq", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    u = threshold / (1.0 + threshold)
+
+    def add_doc_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_cb", pa.array(hash_buckets(batch["did"].to_numpy(), n_buckets))
+        )
+
+    def mark_prefix(group: pa.Table) -> pa.Table:
+        did = group["did"].to_numpy()
+        gfreq = group["gfreq"].to_numpy()
+        gram = group["gram"].to_numpy()
+        sz = group["set_sz"].to_numpy()
+        order_ix = np.lexsort((gram, gfreq, did))
+        did, gfreq, gram, sz = (
+            did[order_ix], gfreq[order_ix], gram[order_ix], sz[order_ix]
+        )
+        # rank within doc (docs are contiguous after the lexsort)
+        starts = np.ones(len(did), dtype=bool)
+        starts[1:] = did[1:] != did[:-1]
+        run_start = np.maximum.accumulate(
+            np.where(starts, np.arange(len(did)), 0)
+        )
+        rank = np.arange(len(did)) - run_start
+        pref_len = sz - np.ceil(u * sz).astype(np.int64) + 1
+        keep = rank < pref_len
+        return pa.table(
+            {
+                "did": pa.array(did[keep]),
+                "gram": pa.array(gram[keep]),
+                "gfreq": pa.array(gfreq[keep]),
+            }
+        )
+
+    prefixes = (
+        grams.map_batches(add_doc_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_cb")
+        .map_groups(mark_prefix, batch_format="pyarrow")
+    )
+
+    def add_gram_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_gb", pa.array(hash_buckets(batch["gram"].to_numpy(), n_buckets))
+        )
+
+    def emit_pairs(group: pa.Table) -> pa.Table:
+        gram = group["gram"].to_numpy()
+        did = group["did"].to_numpy()
+        order_ix = np.lexsort((did, gram))
+        gram, did = gram[order_ix], did[order_ix]
+        starts = np.ones(len(gram), dtype=bool)
+        starts[1:] = gram[1:] != gram[:-1]
+        run_id = np.cumsum(starts) - 1
+        run_len = np.bincount(run_id)
+        # All unordered pairs within each gram run, vectorized: for a run
+        # of length k emit k*(k-1)/2 (a<b by position = by did after sort).
+        a_ix, b_ix = [], []
+        run_off = np.concatenate([[0], np.cumsum(run_len)])
+        for r in np.nonzero(run_len > 1)[0]:
+            s, e = run_off[r], run_off[r + 1]
+            k = e - s
+            ii, jj = np.triu_indices(k, k=1)
+            a_ix.append(s + ii)
+            b_ix.append(s + jj)
+        if not a_ix:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        a_ix = np.concatenate(a_ix)
+        b_ix = np.concatenate(b_ix)
+        return pa.table(
+            {"id_a": pa.array(did[a_ix]), "id_b": pa.array(did[b_ix])}
+        )
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy()
+        b = batch["id_b"].to_numpy()
+        with np.errstate(over="ignore"):
+            key = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
+                np.uint64
+            )
+        return batch.append_column(
+            "_pb", pa.array(hash_buckets(key, n_buckets))
+        )
+
+    def distinct_pairs(group: pa.Table) -> pa.Table:
+        mat = np.unique(
+            np.stack([group["id_a"].to_numpy(), group["id_b"].to_numpy()], axis=1),
+            axis=0,
+        )
+        return pa.table(
+            {"id_a": pa.array(mat[:, 0]), "id_b": pa.array(mat[:, 1])}
+        )
+
+    cand = (
+        prefixes.map_batches(add_gram_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_gb")
+        .map_groups(emit_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_pb")
+        .map_groups(distinct_pairs, batch_format="pyarrow")
+    )
+
+    # Exact verify: count common grams per candidate pair with two native
+    # hash joins (candidates explode to |A| rows, shrink to |A∩B| after the
+    # second join) — fully distributed, partitioned on doc then gram.
+    grams_a = grams.map_batches(
+        lambda b: pa.table(
+            {"a_did": b["did"], "a_gram": b["gram"], "a_sz": b["set_sz"]}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    grams_b = grams.map_batches(
+        lambda b: pa.table(
+            {"b_did": b["did"], "b_gram": b["gram"], "b_sz": b["set_sz"]}
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    j1 = cand.join(
+        grams_a, join_type="inner", num_partitions=join_parts, on=("id_a",),
+        right_on=("a_did",),
+    )
+    j2 = j1.join(
+        grams_b,
+        join_type="inner",
+        num_partitions=join_parts,
+        on=("id_b", "a_gram"),
+        right_on=("b_did", "b_gram"),
+    )
+    agg = (
+        j2.groupby(["id_a", "id_b"])
+        .aggregate(
+            Count(alias_name="inter_n"),
+            Max("a_sz", alias_name="na"),
+            Max("b_sz", alias_name="nb"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter = batch["inter_n"].to_numpy().astype(np.int64)
+        na = batch["na"].to_numpy().astype(np.int64)
+        nb = batch["nb"].to_numpy().astype(np.int64)
+        union = na + nb - inter
+        keep = inter * 1000 >= t_x1000 * union
+        jac = np.zeros(len(inter), dtype=np.int64)
+        nz = union > 0
+        jac[nz] = (1000 * inter[nz]) // union[nz]
+        return pa.table(
+            {
+                "id_a": pc.filter(batch["id_a"], pa.array(keep)),
+                "id_b": pc.filter(batch["id_b"], pa.array(keep)),
+                "inter_n": pa.array(inter[keep]),
+                "union_n": pa.array(union[keep]),
+                "jac_x1000": pa.array(jac[keep]),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

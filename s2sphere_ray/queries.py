@@ -1530,6 +1530,39 @@ SQL_QUANTILES = (
 )
 
 
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-bigram Jaccard similarity join (threshold 0.5) via
+    distributed prefix filtering + native-join verification — the
+    guaranteed-complete dedup path (vs probabilistic MinHash-LSH), fully
+    oracle-checked. See functions/dedup.py ngram_jaccard_pairs for the
+    prefix-bound proof and scale notes."""
+    from .functions.dedup import ngram_jaccard_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ngram_jaccard_pairs(
+        ds, n=2, threshold=0.5, num_rows=ds.count()
+    )
+
+
+SQL_NGRAM_JACCARD = (
+    "WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws"
+    " FROM documents),"
+    " grams AS (SELECT DISTINCT doc_id,"
+    " list_extract(ws, i) || ' ' || list_extract(ws, i + 1) AS g"
+    " FROM words, unnest(range(1, len(ws))) AS t(i)),"
+    " sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),"
+    " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    " COUNT(*) AS inter_n FROM grams a"
+    " JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    " SELECT id_a, id_b, inter_n,"
+    " sa.n + sb.n - inter_n AS union_n,"
+    " CAST(1000 * inter_n // (sa.n + sb.n - inter_n) AS BIGINT) AS jac_x1000"
+    " FROM inter JOIN sizes sa ON sa.doc_id = id_a"
+    " JOIN sizes sb ON sb.doc_id = id_b"
+    " WHERE inter_n * 1000 >= 500 * (sa.n + sb.n - inter_n)"
+)
+
+
 def q_quantiles_float(sf_dir: str):
     """Exact quantiles of the continuous ``events.value`` double column via
     the fixed-point grid (×100 cents): sparse per-block value_counts
@@ -1694,6 +1727,7 @@ QUERIES = {
     "q_token_regex": q_token_regex,
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_quantiles": q_quantiles,
+    "q_ngram_jaccard": q_ngram_jaccard,
     "q_quantiles_float": q_quantiles_float,
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_label_centroids": q_label_centroids,
@@ -1757,6 +1791,7 @@ ORACLE_SQL = {
     "q_token_regex": SQL_TOKEN_REGEX,
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "q_quantiles": SQL_QUANTILES,
+    "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_quantiles_float": SQL_QUANTILES_FLOAT,
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
