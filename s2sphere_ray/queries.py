@@ -240,6 +240,47 @@ SQL_JOIN_RECT = (
 )
 
 
+def q_join_anti(sf_dir: str):
+    """Spatial ANTI-join: documents whose geocoded point lies in NO rect
+    and NO cap region — the curation-style negative geo filter, via the
+    broadcast index with mode="anti" (one lookup pass, complement mask;
+    no shuffle). Oracle = double NOT EXISTS."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey"]
+    )
+    regions = pa.concat_tables(
+        [
+            make_rect_regions(nation["n_nationkey"].to_numpy().astype(np.int64)),
+            make_cap_regions(supplier["s_suppkey"].to_numpy().astype(np.int64)),
+        ],
+        promote_options="default",
+    )
+    return spatial_join(
+        _points(sf_dir),
+        regions,
+        strategy="broadcast",
+        point_cols=("doc_id",),
+        mode="anti",
+    )
+
+
+SQL_JOIN_ANTI = (
+    f"WITH {_POINTS_CTE}, rects AS ({rect_regions_sql()}),"
+    f" caps AS ({cap_regions_sql()})"
+    " SELECT p.doc_id FROM points p"
+    " WHERE NOT EXISTS (SELECT 1 FROM rects r"
+    " WHERE p.lat >= r.lat_lo AND p.lat <= r.lat_hi"
+    " AND p.lng >= r.lng_lo AND p.lng <= r.lng_hi)"
+    " AND NOT EXISTS (SELECT 1 FROM caps c"
+    " WHERE " + CAP_DIST_SQL.format(
+        lat="p.lat", lng="p.lng", alat="c.axis_lat", alng="c.axis_lng"
+    ) + " <= radians(c.radius_deg))"
+)
+
+
 def q_join_cap(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1612,6 +1653,81 @@ SQL_QUANTILES_BRACKET = (
 )
 
 
+def q_quantiles_by_group(sf_dir: str):
+    """Exact PER-GROUP quantiles (l_quantity by l_returnflag): sparse
+    (group, value, count) partials via np.unique per block → tiny
+    groupby-sum → per-group cumulative pick. Same driver-state bound as
+    the grid quantiles (distinct (group, value) combos), per key."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    qs = [25, 50, 75, 99]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"]
+        if isinstance(flags, pa.ChunkedArray):
+            flags = flags.combine_chunks()
+        codes = flags.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["l_quantity"].to_numpy().astype(np.int64)
+        # combined key (group_idx, value) -> count, sparse per block
+        key = idx * 1_000_000 + v
+        u, c = np.unique(key, return_counts=True)
+        gi = u // 1_000_000
+        return pa.table(
+            {
+                "l_returnflag": codes.dictionary.take(pa.array(gi)),
+                "v": pa.array((u % 1_000_000).astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    from collections import defaultdict
+
+    per_group: dict = defaultdict(list)
+    for r in rows:
+        per_group[r["l_returnflag"]].append((int(r["v"]), int(r["n"])))
+    out_flag, out_q, out_v = [], [], []
+    for flag in sorted(per_group):
+        pairs = sorted(per_group[flag])
+        vals = np.array([p[0] for p in pairs], dtype=np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        n = int(cum[-1])
+        for q in qs:
+            k = int(np.floor(q / 100.0 * (n - 1)))
+            out_flag.append(flag)
+            out_q.append(q)
+            out_v.append(int(vals[np.searchsorted(cum, k + 1, side="left")]))
+    return pa.table(
+        {
+            "l_returnflag": pa.array(out_flag, pa.string()),
+            "q": pa.array(out_q, pa.int64()),
+            "value": pa.array(out_v, pa.int64()),
+        }
+    )
+
+
+SQL_QUANTILES_BY_GROUP = (
+    "WITH s AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v"
+    " FROM lineitem),"
+    " o AS (SELECT l_returnflag, v, ROW_NUMBER() OVER"
+    " (PARTITION BY l_returnflag ORDER BY v) - 1 AS r FROM s),"
+    " n AS (SELECT l_returnflag, COUNT(*) AS cnt FROM s GROUP BY 1)"
+    " SELECT o.l_returnflag, CAST(q.q AS BIGINT) AS q, o.v AS value"
+    " FROM (VALUES (25),(50),(75),(99)) AS q(q)"
+    " JOIN n ON true JOIN o ON o.l_returnflag = n.l_returnflag"
+    " AND o.r = CAST(floor(q.q / 100.0 * (n.cnt - 1)) AS BIGINT)"
+)
+
+
 def q_label_centroids(sf_dir: str):
     """Vector aggregation: per-label embedding centroid, computed as exact
     integer milli-unit sums (floor(v·1000)) so the oracle compare is exact
@@ -1685,6 +1801,7 @@ QUERIES = {
     "q_join_rect": q_join_rect,
     "q_join_rect_skew": q_join_rect_skew,
     "q_join_cap": q_join_cap,
+    "q_join_anti": q_join_anti,
     "q_join_poly": q_join_poly,
     "q_join_poly_concave": q_join_poly_concave,
     "q_knn": q_knn,
@@ -1730,6 +1847,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_quantiles_float": q_quantiles_float,
     "q_quantiles_bracket": q_quantiles_bracket,
+    "q_quantiles_by_group": q_quantiles_by_group,
     "q_label_centroids": q_label_centroids,
 }
 
@@ -1765,6 +1883,7 @@ ORACLE_SQL = {
     "q_join_rect": SQL_JOIN_RECT,
     "q_join_rect_skew": SQL_JOIN_RECT,
     "q_join_cap": SQL_JOIN_CAP,
+    "q_join_anti": SQL_JOIN_ANTI,
     "q_knn": SQL_KNN,
     "q_knn_pruned": SQL_KNN,
     "q_join_poly": SQL_JOIN_POLY,
@@ -1794,6 +1913,7 @@ ORACLE_SQL = {
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_quantiles_float": SQL_QUANTILES_FLOAT,
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
+    "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
     # Round-trip invariant: engine must produce ok=true for every row.
     "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",

@@ -386,11 +386,13 @@ class BroadcastJoinStage:
     ramp-up.
     """
 
-    def __init__(self, index_ref, point_cols, lat_col="lat", lng_col="lng"):
+    def __init__(self, index_ref, point_cols, lat_col="lat", lng_col="lng",
+                 mode: str = "inner"):
         self.index_ref = index_ref
         self.point_cols = list(point_cols)
         self.lat_col = lat_col
         self.lng_col = lng_col
+        self.mode = mode  # "inner" (point, region) rows | "anti" unmatched points
 
     @property
     def index(self) -> "_BroadcastIndex":
@@ -408,6 +410,14 @@ class BroadcastJoinStage:
         else:
             keep = np.array([], dtype=np.int64)
             rid = np.array([], dtype=np.int64)
+        if self.mode == "anti":
+            # Spatial anti-join: emit points contained in NO region (the
+            # negative filter — "outside every boundary"). Same candidate
+            # lookup + refinement; the kept set is the complement.
+            matched = np.zeros(batch.num_rows, dtype=bool)
+            matched[keep] = True
+            take = pa.array(np.nonzero(~matched)[0].astype(np.int64))
+            return pa.table({c: batch[c].take(take) for c in self.point_cols})
         take = pa.array(keep)
         result = {c: batch[c].take(take) for c in self.point_cols}
         result["region_id"] = pa.array(rid.astype(np.int64))
@@ -774,8 +784,16 @@ def spatial_join(
     concurrency=None,
     **kwargs,
 ):
-    """Spatial containment join points⋈regions → (point_cols…, region_id)."""
+    """Spatial containment join points⋈regions → (point_cols…, region_id).
+
+    ``mode="anti"`` (broadcast strategy only) inverts the join: emit the
+    point columns of rows contained in NO region, with no region_id column
+    — the distributed "outside every boundary" filter.
+    """
+    mode = kwargs.pop("mode", "inner")
     if strategy == "shuffle":
+        if mode != "inner":
+            raise ValueError("mode='anti' requires strategy='broadcast'")
         return spatial_join_shuffle(
             points_ds,
             regions,
@@ -792,6 +810,7 @@ def spatial_join(
     index = _BroadcastIndex(key_table, regions, levels)
     index_ref = ray.put(index)
     stage = BroadcastJoinStage(
-        index_ref, list(point_cols), lat_col=lat_col, lng_col=lng_col
+        index_ref, list(point_cols), lat_col=lat_col, lng_col=lng_col,
+        mode=mode,
     )
     return points_ds.map_batches(stage, batch_format="pyarrow", batch_size=None)

@@ -310,3 +310,41 @@ def test_loop_shuffle_join_equals_brute(ray_session):
         _points_ds(doc_id, lat, lng), regions, strategy="shuffle"
     )
     assert _pairs(out) == expected
+
+
+def test_spatial_anti_join_complement(ray_session):
+    """mode='anti' is the exact complement of the inner broadcast join's
+    matched point set: inner ∪ anti = all points, inner ∩ anti = ∅."""
+    import ray.data as rd
+    import numpy as np
+    import pyarrow as pa
+    from s2sphere_ray.pages import geocode_from_doc_id
+    from s2sphere_ray.regions import make_cap_regions, make_rect_regions
+    from s2sphere_ray.stages.join import spatial_join
+
+    doc_id = np.arange(3000, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    pts = rd.from_arrow(pa.table({"doc_id": doc_id, "lat": lat, "lng": lng}))
+    regions = pa.concat_tables(
+        [
+            make_rect_regions(np.arange(10, dtype=np.int64)),
+            make_cap_regions(np.arange(1, 20, dtype=np.int64)),
+        ],
+        promote_options="default",
+    )
+    inner = {
+        r["doc_id"]
+        for r in spatial_join(
+            pts, regions, strategy="broadcast", point_cols=("doc_id",)
+        ).take_all()
+    }
+    anti = {
+        r["doc_id"]
+        for r in spatial_join(
+            pts, regions, strategy="broadcast", point_cols=("doc_id",),
+            mode="anti",
+        ).take_all()
+    }
+    assert inner | anti == set(doc_id.tolist())
+    assert not (inner & anti)
+    assert anti and inner  # both sides non-trivial
