@@ -245,6 +245,10 @@ def run_bench() -> dict:
     timed("text_quality", lambda: q_quality(SF_DIR).count())
     timed("sessions", lambda: q_sessions(SF_DIR).count())
     timed("asof_join", lambda: q_asof_orders(SF_DIR).count())
+    from s2sphere_ray.queries import q_join_anti, q_quantiles_float
+
+    timed("join_anti", lambda: q_join_anti(SF_DIR).count())
+    timed("quantiles_float", lambda: q_quantiles_float(SF_DIR).num_rows)
 
     total = round(time.time() - t0, 3)
     result = {
