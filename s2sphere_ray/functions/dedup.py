@@ -1086,3 +1086,96 @@ def ngram_jaccard_pairs(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def decontaminate(
+    ds,
+    probe_texts,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    mode: str = "flag",
+):
+    """Test-set decontamination: mark (or drop) documents sharing any word
+    n-gram with a probe/benchmark corpus — the standard leakage guard in
+    front of LLM training data.
+
+    Scale shape: the probe side is small by definition (benchmarks are
+    KBs–MBs); its distinct gram hashes are computed driver-side, sorted,
+    and broadcast once via ``ray.put`` (read zero-copy per worker). The
+    corpus side is one stateless ``map_batches`` pass — vectorized
+    shingle hashing off Arrow buffers + ``np.searchsorted`` membership —
+    with NO shuffle. 10¹² docs stream through at map speed.
+
+    ``mode="flag"`` appends ``contaminated: bool`` + ``n_hits: int64``
+    (matched distinct grams); ``mode="drop"`` keeps only clean rows.
+    """
+    import ray
+
+    probe_hashes: list = []
+    for t in probe_texts:
+        probe_hashes.append(_shingle_hashes(t or "", n=n))
+    probes = np.unique(np.concatenate(probe_hashes)) if probe_hashes else (
+        np.zeros(0, dtype=np.uint64)
+    )
+    probes_ref = ray.put(probes)
+
+    def check(batch: pa.Table) -> pa.Table:
+        pr = _get_broadcast(probes_ref)
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        th, toff = _token_hash_batch(texts)
+        tcounts = np.diff(toff)
+        n_docs = batch.num_rows
+        if len(th) >= n:
+            acc = th[: len(th) - n + 1].copy()
+            for k in range(1, n):
+                acc = acc * _FNV_PRIME + th[k : len(th) - n + 1 + k]
+            doc_all = np.repeat(np.arange(n_docs), tcounts)
+            valid = doc_all[: len(th) - n + 1] == doc_all[n - 1 :]
+            g = acc[valid]
+            doc_of = doc_all[: len(th) - n + 1][valid]
+        else:
+            g = np.zeros(0, dtype=np.uint64)
+            doc_of = np.zeros(0, dtype=np.int64)
+        # membership via searchsorted on the sorted broadcast set
+        if len(pr) and len(g):
+            pos = np.searchsorted(pr, g)
+            hit = (pos < len(pr)) & (pr[np.minimum(pos, len(pr) - 1)] == g)
+        else:
+            hit = np.zeros(len(g), dtype=bool)
+        # distinct matched grams per doc
+        if hit.any():
+            hg, hd = g[hit], doc_of[hit]
+            order = np.lexsort((hg, hd))
+            hg, hd = hg[order], hd[order]
+            first = np.ones(len(hg), dtype=bool)
+            first[1:] = (hg[1:] != hg[:-1]) | (hd[1:] != hd[:-1])
+            n_hits = np.bincount(hd[first], minlength=n_docs).astype(np.int64)
+        else:
+            n_hits = np.zeros(n_docs, dtype=np.int64)
+        if mode == "drop":
+            take = pa.array(np.nonzero(n_hits == 0)[0].astype(np.int64))
+            return batch.take(take)
+        batch = batch.append_column(
+            "contaminated", pa.array(n_hits > 0)
+        )
+        return batch.append_column("n_hits", pa.array(n_hits))
+
+    return ds.map_batches(check, batch_format="pyarrow", batch_size=None)
+
+
+def _get_broadcast(ref):
+    """Per-process cache for ray.put broadcasts (fetch once per worker)."""
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    hit = _BROADCAST_CACHE.get(key)
+    if hit is None:
+        import ray
+
+        hit = ray.get(ref)
+        _BROADCAST_CACHE[key] = hit
+    return hit
+
+
+_BROADCAST_CACHE: dict = {}

@@ -1604,6 +1604,41 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def q_decontaminate(sf_dir: str):
+    """Test-set decontamination: flag documents sharing any word bigram
+    with a deterministic probe set (docs with doc_id % 100 == 7 stand in
+    for the benchmark corpus). Probe gram hashes broadcast once; the
+    corpus side is one shuffle-free vectorized map pass
+    (functions/dedup.decontaminate)."""
+    import pyarrow.parquet as pq
+
+    from .functions.dedup import decontaminate
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    probe_mask = pa.array(docs["doc_id"].to_numpy() % 100 == 7)
+    probe_texts = docs.filter(probe_mask)["text"].to_pylist()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    out = decontaminate(ds, probe_texts, n=2, mode="flag")
+    return out.select_columns(["doc_id", "contaminated", "n_hits"])
+
+
+SQL_DECONTAMINATE = (
+    "WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws"
+    " FROM documents),"
+    " grams AS (SELECT DISTINCT doc_id,"
+    " list_extract(ws, i) || ' ' || list_extract(ws, i + 1) AS g"
+    " FROM words, unnest(range(1, len(ws))) AS t(i)),"
+    " probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 100 = 7),"
+    " hits AS (SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits"
+    " FROM grams g JOIN probe p ON g.g = p.g GROUP BY 1)"
+    " SELECT d.doc_id, COALESCE(h.n_hits, 0) > 0 AS contaminated,"
+    " CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits"
+    " FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"
+)
+
+
 def q_quantiles_float(sf_dir: str):
     """Exact quantiles of the continuous ``events.value`` double column via
     the fixed-point grid (×100 cents): sparse per-block value_counts
@@ -1845,6 +1880,7 @@ QUERIES = {
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_quantiles": q_quantiles,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_decontaminate": q_decontaminate,
     "q_quantiles_float": q_quantiles_float,
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
@@ -1911,6 +1947,7 @@ ORACLE_SQL = {
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "q_quantiles": SQL_QUANTILES,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "q_decontaminate": SQL_DECONTAMINATE,
     "q_quantiles_float": SQL_QUANTILES_FLOAT,
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,

@@ -906,3 +906,42 @@ def test_ngram_jaccard_pairs_vs_bruteforce(ray_session):
         }
         assert got == want, (order, got ^ want)
     assert want, "test corpus produced no pairs — not a real check"
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    """Docs sharing a bigram with the probe set are flagged with the right
+    distinct-hit count; mode='drop' removes exactly those rows."""
+    import ray.data as rd
+    from s2sphere_ray.functions.dedup import decontaminate
+
+    texts = [
+        "alpha beta gamma delta",          # shares "alpha beta" with probe
+        "omega psi chi phi",               # clean
+        "gamma delta epsilon zeta",        # shares "gamma delta"
+        "single",                          # < n tokens -> clean by def
+        "beta gamma unrelated tail",       # shares "beta gamma"
+    ]
+    probes = ["alpha beta gamma", "nothing else here"]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    flagged = {
+        r["doc_id"]: (r["contaminated"], r["n_hits"])
+        for r in decontaminate(ds, probes, n=2, mode="flag").take_all()
+    }
+    # probe grams: {alpha beta, beta gamma, nothing else, else here}
+    assert flagged[0] == (True, 2)   # alpha beta + beta gamma
+    assert flagged[1] == (False, 0)
+    assert flagged[2] == (False, 0)  # gamma delta is NOT a probe bigram
+    assert flagged[3] == (False, 0)
+    assert flagged[4] == (True, 1)   # beta gamma
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(ds, probes, n=2, mode="drop").take_all()
+    )
+    assert kept == [1, 2, 3]
