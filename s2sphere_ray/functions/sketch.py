@@ -107,3 +107,112 @@ def hll_distinct(ds, col: str, p: int = 12):
     return pa.table(
         {"n_distinct_est": pa.array([int(round(est))], pa.int64())}
     )
+
+
+def frequent_items(
+    ds,
+    col: str,
+    phi_denom: int = 128,
+    capacity: int | None = None,
+    num_rows: int | None = None,
+) -> pa.Table:
+    """EXACT φ-frequent items (heavy hitters): every value with
+    ``count * phi_denom >= n`` and its exact count — in two bounded-memory
+    passes, never a full-cardinality groupby.
+
+    Pass 1 (candidate generation): each block keeps only its ``capacity``
+    most frequent values with their in-block counts (space-bounded
+    summary, vectorized ``np.unique`` + ``argpartition``). An evicted
+    value's in-block count is at most ``n_block/(capacity+1)`` (the
+    (capacity+1)-th largest count cannot exceed it — otherwise capacity+1
+    values would sum past the block), so after the tiny groupby-sum merge
+    every value's estimate satisfies ``est >= true - n/capacity``. With
+    ``capacity = 4 * phi_denom`` (default), every qualifying value has
+    ``est >= n/phi_denom - n/capacity``, an integer-exact candidate
+    threshold; the candidate set is at most ``~capacity`` values.
+
+    Pass 2 (exact recount): the candidate set is broadcast and each block
+    emits exact candidate counts (searchsorted membership + bincount);
+    the final filter ``count * phi_denom >= n`` is exact regardless of
+    sketch parameters — the sketch only bounds WHO gets recounted.
+
+    Driver/exchange state: pass-1 partials are ``blocks × capacity``
+    rows; pass-2 partials are ``blocks × |candidates|``; neither depends
+    on the column's cardinality. Integer columns only (the item value is
+    returned verbatim).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if capacity is None:
+        capacity = 4 * phi_denom
+    if capacity <= phi_denom:
+        raise ValueError("capacity must exceed phi_denom for the bound")
+    n = num_rows if num_rows is not None else ds.count()
+
+    def summary(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        if len(u) > capacity:
+            keep = np.argpartition(c, -capacity)[-capacity:]
+            u, c = u[keep], c[keep]
+        return pa.table(
+            {"item": pa.array(u), "est": pa.array(c.astype(np.int64))}
+        )
+
+    ests = (
+        ds.map_batches(summary, batch_format="pyarrow", batch_size=None)
+        .groupby("item")
+        .aggregate(Sum("est", alias_name="est"))
+        .take_all()
+    )
+    # est*phi_denom*capacity >= n*(capacity - phi_denom)  <=>
+    # est >= n/phi_denom - n/capacity, in exact integer arithmetic.
+    cand = np.sort(
+        np.array(
+            [
+                r["item"]
+                for r in ests
+                if r["est"] * phi_denom * capacity
+                >= n * (capacity - phi_denom)
+            ],
+            dtype=np.int64,
+        )
+    )
+    if not len(cand):
+        return pa.table(
+            {"item": pa.array([], pa.int64()), "n_rows": pa.array([], pa.int64())}
+        )
+    cand_ref = ray.put(cand)
+
+    def exact(batch: pa.Table) -> pa.Table:
+        from .dedup import _get_broadcast
+
+        cd = _get_broadcast(cand_ref)
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(cd, v)
+        hit = (pos < len(cd)) & (cd[np.minimum(pos, len(cd) - 1)] == v)
+        cnt = np.bincount(pos[hit], minlength=len(cd))
+        present = cnt > 0
+        return pa.table(
+            {
+                "item": pa.array(cd[present]),
+                "n_rows": pa.array(cnt[present].astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(exact, batch_format="pyarrow", batch_size=None)
+        .groupby("item")
+        .aggregate(Sum("n_rows", alias_name="n_rows"))
+        .take_all()
+    )
+    items = [r["item"] for r in rows if r["n_rows"] * phi_denom >= n]
+    counts = [r["n_rows"] for r in rows if r["n_rows"] * phi_denom >= n]
+    order = np.argsort(np.array(items, dtype=np.int64))
+    return pa.table(
+        {
+            "item": pa.array(np.array(items, dtype=np.int64)[order]),
+            "n_rows": pa.array(np.array(counts, dtype=np.int64)[order]),
+        }
+    )

@@ -1604,6 +1604,24 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact φ-frequent users (count·128 ≥ n of events) via the two-pass
+    bounded-memory heavy-hitter operator (functions/sketch.frequent_items)
+    — per-block top-capacity summaries generate candidates, an exact
+    broadcast recount finalizes; never a full-cardinality groupby."""
+    from .functions.sketch import frequent_items
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = frequent_items(ds, "user_id", phi_denom=128, num_rows=ds.count())
+    return out.rename_columns(["user_id", "n_events"])
+
+
+SQL_HEAVY_HITTERS = (
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id"
+    " HAVING COUNT(*) * 128 >= (SELECT COUNT(*) FROM events)"
+)
+
+
 def q_decontaminate(sf_dir: str):
     """Test-set decontamination: flag documents sharing any word bigram
     with a deterministic probe set (docs with doc_id % 100 == 7 stand in
@@ -1881,6 +1899,7 @@ QUERIES = {
     "q_quantiles": q_quantiles,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_decontaminate": q_decontaminate,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_quantiles_float": q_quantiles_float,
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
@@ -1948,6 +1967,7 @@ ORACLE_SQL = {
     "q_quantiles": SQL_QUANTILES,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_decontaminate": SQL_DECONTAMINATE,
+    "q_heavy_hitters": SQL_HEAVY_HITTERS,
     "q_quantiles_float": SQL_QUANTILES_FLOAT,
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,

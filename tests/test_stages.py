@@ -945,3 +945,36 @@ def test_decontaminate_planted_overlap(ray_session):
         for r in decontaminate(ds, probes, n=2, mode="drop").take_all()
     )
     assert kept == [1, 2, 3]
+
+
+def test_frequent_items_exact_under_eviction(ray_session):
+    """Heavy hitters stay exact when per-block cardinality far exceeds the
+    summary capacity (evictions happen in every block) and hitters are
+    spread thinly across many blocks — the case a naive one-pass top-k
+    per block gets wrong."""
+    import collections
+
+    import ray.data as rd
+    from s2sphere_ray.functions.sketch import frequent_items
+
+    rng = np.random.default_rng(13)
+    # background noise: 5000 distinct values, ~10 rows each
+    noise = rng.integers(10_000, 15_000, size=50_000)
+    # true hitters: values 1..6 with counts straddling the threshold
+    phi_denom = 16
+    planted = np.concatenate(
+        [np.full(c, v) for v, c in ((1, 4200), (2, 3600), (3, 3400), (4, 200), (5, 3350), (6, 10))]
+    )
+    v = np.concatenate([noise, planted])
+    rng.shuffle(v)  # hitters spread across every block
+    n = len(v)
+    want = {
+        int(k): int(c)
+        for k, c in collections.Counter(v.tolist()).items()
+        if c * phi_denom >= n
+    }
+    ds = rd.from_arrow(pa.table({"x": pa.array(v.astype(np.int64))})).repartition(16)
+    out = frequent_items(ds, "x", phi_denom=phi_denom, capacity=64, num_rows=n)
+    got = dict(zip(out["item"].to_pylist(), out["n_rows"].to_pylist()))
+    assert got == want
+    assert want, "threshold produced no hitters — test is vacuous"
