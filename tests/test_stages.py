@@ -978,3 +978,19 @@ def test_frequent_items_exact_under_eviction(ray_session):
     got = dict(zip(out["item"].to_pylist(), out["n_rows"].to_pylist()))
     assert got == want
     assert want, "threshold produced no hitters — test is vacuous"
+
+
+def test_exact_float_quantiles_pure_gather(ray_session):
+    """n below the gather cap: zero histogram passes, the initial 'range'
+    bracket gathers everything — the small-input fast path."""
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import exact_float_quantiles
+
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal(500)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)}))
+    out = exact_float_quantiles(ds, "x", [10, 50, 90], gather_cap=10_000)
+    sv = np.sort(v)
+    for q, got in zip([10, 50, 90], out["value"].to_pylist()):
+        k = int(np.floor(q / 100.0 * (len(v) - 1)))
+        assert got == sv[k]
