@@ -232,6 +232,26 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
+def strict_ngram_hashes(texts, n: int):
+    """(gram_hashes uint64, doc_of int64) for word n-grams of a whole
+    batch: rolling _FNV_PRIME combine over token hashes, windows crossing
+    a doc boundary dropped, and docs with fewer than n tokens contribute
+    NO grams — the SQL-parity convention shared by ngram_jaccard_pairs
+    and decontaminate (unlike _shingle_batch's short-doc fallback, which
+    minhash keeps). ONE definition so the three consumers cannot drift."""
+    th, toff = _token_hash_batch(texts)
+    tcounts = np.diff(toff)
+    n_docs = len(tcounts)
+    if len(th) >= n:
+        acc = th[: len(th) - n + 1].copy()
+        for k in range(1, n):
+            acc = acc * _FNV_PRIME + th[k : len(th) - n + 1 + k]
+        doc_all = np.repeat(np.arange(n_docs), tcounts)
+        valid = doc_all[: len(th) - n + 1] == doc_all[n - 1 :]
+        return acc[valid], doc_all[: len(th) - n + 1][valid]
+    return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64)
+
+
 def exact_dedup(
     ds,
     key_col: str = "text",
@@ -836,12 +856,9 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, inter_n, union_n, jac_x1000), id_a < id_b.
     """
-    import ray.data as rd
     from ray.data.aggregate import Count, Max, Sum
 
-    from ._buckets import derive_buckets, derive_concurrency, hash_buckets
-
-    from ._buckets import _cluster_cpus
+    from ._buckets import _cluster_cpus, derive_buckets, hash_buckets
 
     t_x1000 = int(round(threshold * 1000))
     n_buckets = derive_buckets(num_rows)
@@ -864,23 +881,7 @@ def ngram_jaccard_pairs(
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         ids = batch[id_col].to_numpy()
-        th, toff = _token_hash_batch(texts)
-        tcounts = np.diff(toff)
-        # n-gram combine over the concatenated token stream; positions
-        # whose window crosses a doc boundary are dropped, so docs with
-        # fewer than n tokens contribute NO grams (empty set — matching
-        # the SQL oracle, unlike _shingle_batch's short-doc fallback).
-        if len(th) >= n:
-            acc = th[: len(th) - n + 1].copy()
-            for k in range(1, n):
-                acc = acc * _FNV_PRIME + th[k : len(th) - n + 1 + k]
-            doc_all = np.repeat(np.arange(len(ids)), tcounts)
-            valid = doc_all[: len(th) - n + 1] == doc_all[n - 1 :]
-            h = acc[valid]
-            doc_of = doc_all[: len(th) - n + 1][valid]
-        else:
-            h = np.zeros(0, dtype=np.uint64)
-            doc_of = np.zeros(0, dtype=np.int64)
+        h, doc_of = strict_ngram_hashes(texts, n)
         # Per-doc DISTINCT grams: lexsort by (doc, hash), drop adjacent dups.
         order_ix = np.lexsort((h, doc_of))
         hs, ds_ = h[order_ix], doc_of[order_ix]
@@ -1112,12 +1113,11 @@ def decontaminate(
     """
     import ray
 
-    probe_hashes: list = []
-    for t in probe_texts:
-        probe_hashes.append(_shingle_hashes(t or "", n=n))
-    probes = np.unique(np.concatenate(probe_hashes)) if probe_hashes else (
-        np.zeros(0, dtype=np.uint64)
-    )
+    # Strict grams on the probe side too: a probe shorter than n tokens
+    # contributes nothing (matching the corpus convention and the SQL
+    # oracle) instead of _shingle_hashes' token-hash fallback.
+    ph, _pd = strict_ngram_hashes(list(probe_texts), n)
+    probes = np.unique(ph)
     probes_ref = ray.put(probes)
 
     def check(batch: pa.Table) -> pa.Table:
@@ -1125,20 +1125,8 @@ def decontaminate(
         texts = batch[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        th, toff = _token_hash_batch(texts)
-        tcounts = np.diff(toff)
         n_docs = batch.num_rows
-        if len(th) >= n:
-            acc = th[: len(th) - n + 1].copy()
-            for k in range(1, n):
-                acc = acc * _FNV_PRIME + th[k : len(th) - n + 1 + k]
-            doc_all = np.repeat(np.arange(n_docs), tcounts)
-            valid = doc_all[: len(th) - n + 1] == doc_all[n - 1 :]
-            g = acc[valid]
-            doc_of = doc_all[: len(th) - n + 1][valid]
-        else:
-            g = np.zeros(0, dtype=np.uint64)
-            doc_of = np.zeros(0, dtype=np.int64)
+        g, doc_of = strict_ngram_hashes(texts, n)
         # membership via searchsorted on the sorted broadcast set
         if len(pr) and len(g):
             pos = np.searchsorted(pr, g)

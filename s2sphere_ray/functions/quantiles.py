@@ -75,7 +75,15 @@ def fixed_point_quantiles(ds, col: str, qs, scale: int = 100) -> pa.Table:
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # Nulls are dropped (SQL quantile semantics); without this a null
+        # becomes NaN -> INT64_MIN on the grid and silently shifts every
+        # quantile.
+        col_arr = batch[col]
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        v = col_arr.drop_null().to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
         g = np.floor(v * scale + 0.5).astype(np.int64)
         u, c = np.unique(g, return_counts=True)
         return pa.table({"v": pa.array(u), "n": pa.array(c.astype(np.int64))})
@@ -88,10 +96,12 @@ def fixed_point_quantiles(ds, col: str, qs, scale: int = 100) -> pa.Table:
     )
     vals = np.array([r["v"] for r in rows], dtype=np.int64)
     cnts = np.array([r["n"] for r in rows], dtype=np.int64)
+    if not len(vals):
+        raise ValueError("fixed_point_quantiles: empty input")
     order = np.argsort(vals)
     vals, cnts = vals[order], cnts[order]
     cum = np.cumsum(cnts)
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     ks = _quantile_indices(qs, n)
     picked = vals[np.searchsorted(cum, ks + 1, side="left")]
     return pa.table(
@@ -120,8 +130,13 @@ def _bracket_histogram(ds, col: str, lo: float, hi: float, bins: int):
     def partial(batch: pa.Table) -> pa.Table:
         v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
         b = np.floor((v - lo) / width).astype(np.int64)
+        # Under-range rows go ONLY to the `below` slot — clipping them
+        # into bin 0 as well would double-count and corrupt every
+        # cumulative rank on passes after the first (where lo > global
+        # min). Over-range rows clip into the last bin on purpose; the
+        # gather mirrors both conventions.
         under = int(np.count_nonzero(b < 0))
-        np.clip(b, 0, bins - 1, out=b)
+        b = np.minimum(b[b >= 0], bins - 1)
         hist = np.bincount(b, minlength=bins)
         return pa.table(
             {
@@ -271,8 +286,9 @@ def exact_float_quantiles(
                     mask |= (v >= blo) & (v <= bhi)
                 else:
                     bj = np.floor((v - plo) / pwidth).astype(np.int64)
-                    np.clip(bj, 0, bins - 1, out=bj)
-                    mask |= bj == j
+                    # mirror the histogram: under-range (bj<0) is NOT a
+                    # member of bin 0; over-range clips into the last bin
+                    mask |= (np.minimum(bj, bins - 1) == j) & (bj >= 0)
             return pa.table({col: pa.array(v[mask])})
 
         if total <= gather_cap:
@@ -323,8 +339,8 @@ def exact_float_quantiles(
                 mask = (vals >= blo) & (vals <= bhi)
             else:
                 bj = np.floor((vals - plo) / pwidth).astype(np.int64)
-                np.clip(bj, 0, bins - 1, out=bj)
-                mask = bj == j
+                # mirror the histogram: under-range is not in bin 0
+                mask = (np.minimum(bj, bins - 1) == j) & (bj >= 0)
             mv, mc = vals[mask], cnts[mask]
             # Rank is relative to this bracket's own exclusive-below count.
             cum = np.cumsum(mc)

@@ -1725,6 +1725,11 @@ def q_quantiles_by_group(sf_dir: str):
         codes = flags.dictionary_encode()
         idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch["l_quantity"].to_numpy().astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() >= 1_000_000):
+            raise ValueError(
+                "q_quantiles_by_group: value outside the pack domain"
+                f" [0, 1e6): [{v.min()}, {v.max()}]"
+            )
         # combined key (group_idx, value) -> count, sparse per block
         key = idx * 1_000_000 + v
         u, c = np.unique(key, return_counts=True)

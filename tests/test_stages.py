@@ -994,3 +994,37 @@ def test_exact_float_quantiles_pure_gather(ray_session):
     for q, got in zip([10, 50, 90], out["value"].to_pylist()):
         k = int(np.floor(q / 100.0 * (len(v) - 1)))
         assert got == sv[k]
+
+
+def test_exact_float_quantiles_multipass_under_range(ray_session):
+    """Regression (r3 code review): on passes after the first, rows below
+    the union bracket must count ONLY in the `below` slot — clipping them
+    into bin 0 double-counts, corrupting every rank. 200k N(0,1) rows with
+    the registered q_quantiles_bracket parameters force multiple passes
+    whose union bracket excludes most of the data."""
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import exact_float_quantiles
+
+    rng = np.random.default_rng(42)
+    v = rng.standard_normal(200_000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(8)
+    qs = [25, 50, 75, 90, 99]
+    out = exact_float_quantiles(
+        ds, "x", qs, bins=512, max_passes=2, gather_cap=2000
+    )
+    sv = np.sort(v)
+    for q, got in zip(qs, out["value"].to_pylist()):
+        k = int(np.floor(q / 100.0 * (len(v) - 1)))
+        assert got == sv[k], (q, got, sv[k])
+
+
+def test_fixed_point_quantiles_nulls_dropped(ray_session):
+    """Nulls are dropped (SQL semantics) instead of becoming INT64_MIN
+    grid values that shift every quantile."""
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import fixed_point_quantiles
+
+    v = pa.array([1.0, None, 2.0, 3.0, None, 4.0, 5.0], pa.float64())
+    ds = rd.from_arrow(pa.table({"value": v}))
+    out = fixed_point_quantiles(ds, "value", [0, 50, 100], scale=100)
+    assert out["value_cents"].to_pylist() == [100, 300, 500]
