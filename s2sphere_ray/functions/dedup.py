@@ -822,6 +822,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     order: str = "freq",
     num_rows: int | None = None,
+    max_candidates: int = 1_000_000,
+    max_gram_run: int = 100_000,
 ):
     """EXACT word-n-gram Jaccard similarity join via distributed prefix
     filtering (AllPairs/PPJoin family) — the guaranteed-complete companion
@@ -981,6 +983,19 @@ def ngram_jaccard_pairs(
         starts[1:] = gram[1:] != gram[:-1]
         run_id = np.cumsum(starts) - 1
         run_len = np.bincount(run_id)
+        if len(run_len) and run_len.max() > max_gram_run:
+            # A prefix gram shared by k docs emits k(k-1)/2 pairs in this
+            # task — k past this bound means the corpus is too
+            # self-similar for an EXACT threshold join at this threshold
+            # (every pair is a candidate). Fail actionably rather than
+            # OOM: raise the threshold, increase n, or use the
+            # probabilistic minhash_lsh_pairs path.
+            raise ValueError(
+                f"ngram_jaccard_pairs: a prefix gram is shared by "
+                f"{int(run_len.max())} docs (> max_gram_run="
+                f"{max_gram_run}); corpus too self-similar for an exact "
+                "threshold join — raise threshold/n or use MinHash-LSH"
+            )
         # All unordered pairs within each gram run, vectorized: for a run
         # of length k emit k*(k-1)/2 (a<b by position = by did after sort).
         a_ix, b_ix = [], []
@@ -1029,6 +1044,20 @@ def ngram_jaccard_pairs(
         .groupby("_pb")
         .map_groups(distinct_pairs, batch_format="pyarrow")
     )
+    # Guard before the verify joins: candidates x set-size rows flow
+    # through j1, so a degenerate candidate set (low-diversity corpus,
+    # low threshold => nearly all pairs survive prefix filtering) must
+    # fail loudly here, not grind through an O(n^2) join.
+    cand = cand.materialize()
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"ngram_jaccard_pairs: {n_cand} candidate pairs exceed "
+            f"max_candidates={max_candidates}; the corpus is too "
+            "self-similar for an exact threshold join at "
+            f"threshold={threshold} — raise threshold/n or use "
+            "MinHash-LSH"
+        )
 
     # Exact verify: count common grams per candidate pair with two native
     # hash joins (candidates explode to |A| rows, shrink to |A∩B| after the
