@@ -1604,6 +1604,79 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def golden_sketch_docs() -> pa.Table:
+    """Fixed 64-doc corpus for the sketch golden — generated in code from
+    a seeded vocabulary, independent of ``sf_dir`` so one frozen golden
+    serves every scale factor (same pattern as golden_cover_regions)."""
+    rng = np.random.default_rng(20260817)
+    vocab = np.array(
+        [f"tok{i}" for i in range(300)] + ["the", "and", "data", "ray"]
+    )
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(5, 60))))
+        for _ in range(60)
+    ]
+    # edge rows: empty, single token, repeated token, unicode-ish
+    texts += ["", "one", "dup dup dup dup", "café touché naïve"]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def q_sketch_golden(sf_dir: str):
+    """CORRECTNESS row for the sketch kernels that SQL cannot express
+    (minhash signature, simhash, rolling-hash fingerprint): computed over
+    the fixed in-code corpus through the real Ray stages, compared to a
+    frozen parquet golden (regression anchor, not an independent
+    derivation — regenerate via tools/make_sketch_golden.py only on an
+    intentional semantic change)."""
+    from .functions.dedup import MinHashStage, simhash_batch
+    from .functions.text import fingerprint_batch
+
+    docs = golden_sketch_docs()
+    ds = _rd().from_arrow(docs).repartition(4)
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        sigs = MinHashStage(num_hashes=16, shingle_n=3)(batch)
+        sh = simhash_batch(batch)["simhash"].to_numpy().view(np.int64)
+        fp = fingerprint_batch(batch)["fingerprint"].to_numpy().view(np.int64)
+        sig = sigs["minhash"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        heads = (
+            sig.flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, 16)[:, 0]
+            .copy()
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "minhash_head": pa.array(heads),
+                "simhash": pa.array(sh),
+                "fingerprint": pa.array(fp),
+            }
+        )
+
+    return ds.map_batches(sketch, batch_format="pyarrow", batch_size=None)
+
+
+_SKETCH_GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "sketch_golden.parquet",
+)
+SQL_SKETCH_GOLDEN = (
+    "SELECT doc_id, minhash_head, simhash, fingerprint"
+    f" FROM read_parquet('{_SKETCH_GOLDEN_PATH}')"
+)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact φ-frequent users (count·128 ≥ n of events) via the two-pass
     bounded-memory heavy-hitter operator (functions/sketch.frequent_items)
@@ -1905,6 +1978,7 @@ QUERIES = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_decontaminate": q_decontaminate,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_sketch_golden": q_sketch_golden,
     "q_quantiles_float": q_quantiles_float,
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
@@ -1973,6 +2047,8 @@ ORACLE_SQL = {
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_heavy_hitters": SQL_HEAVY_HITTERS,
+    # Frozen self-golden for non-SQL sketch kernels (see q_sketch_golden)
+    "q_sketch_golden": SQL_SKETCH_GOLDEN,
     "q_quantiles_float": SQL_QUANTILES_FLOAT,
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
