@@ -791,6 +791,19 @@ def spatial_join(
     — the distributed "outside every boundary" filter.
     """
     mode = kwargs.pop("mode", "inner")
+    if strategy == "hash":
+        if mode != "inner":
+            raise ValueError("mode='anti' requires strategy='broadcast'")
+        return spatial_join_hash(
+            points_ds,
+            regions,
+            point_cols=point_cols,
+            snap_levels=snap_levels,
+            max_cells=max_cells,
+            lat_col=lat_col,
+            lng_col=lng_col,
+            **kwargs,
+        )
     if strategy == "shuffle":
         if mode != "inner":
             raise ValueError("mode='anti' requires strategy='broadcast'")
@@ -814,3 +827,156 @@ def spatial_join(
         mode=mode,
     )
     return points_ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
+
+
+def spatial_join_hash(
+    points_ds,
+    regions: pa.Table,
+    point_cols=("doc_id",),
+    snap_levels=DEFAULT_SNAP_LEVELS,
+    max_cells: int = 8,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    num_rows: int | None = None,
+    bloom_threshold: int = 4_000_000,
+):
+    """E9 via Ray's NATIVE hash-partitioned join (``strategy="hash"``).
+
+    Same key algebra as the sort-shuffle path (normalized per-region key
+    sets at canonical snap levels + point ancestor keys, semi-join
+    pushdown at emission), but the exchange is the hash-join operator
+    instead of union → global sort → map_groups: both sides partition by
+    ``hash(join_key)`` in parallel aggregator actors, so there is no
+    global sort barrier and no single-task SortMap (the sort path's
+    observed Ray quirk). Candidate (point, region) pairs stream out of
+    the join and are refined by a stateless vectorized map — the
+    normalized region key sets guarantee each pair appears at most once,
+    so no post-join dedup is needed.
+
+    Join partition count is data-proportional capped at half the cluster
+    CPUs (hash joins spawn ``num_partitions`` aggregator actors — the
+    ngram-join lesson). Hot-key splitting is NOT wired into this
+    strategy; for city-scale skew use ``strategy="shuffle"`` with
+    ``hot_threshold`` — at 10¹² rows a hot cell key lands one join
+    partition with the whole city, exactly what the split pre-pass
+    exists to prevent.
+
+    MEASURED (1M points, 40 regions, 16 CPUs, single node): byte-equal
+    output to broadcast and shuffle; wall 28 s vs shuffle 9.3 s vs
+    broadcast 3.9 s — Ray 2.49's join operator moves ~350 k rows/s
+    through its aggregator exchange for this shape (the emit stage is
+    0.26 s, the join itself 18 s), so this strategy is the right choice
+    only when the regions table is too large to broadcast AND the sort
+    path's single-exchange barrier is the binding constraint (e.g.
+    object-store pressure from a giant sort spill on a real cluster).
+    """
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from ..functions._buckets import _cluster_cpus
+
+    covered = covers_for_regions(regions, max_cells=max_cells)
+    key_table, levels = build_region_keys(
+        regions, snap_levels, max_cells, covered=covered
+    )
+    params_ref = ray.put({"rows": regions.to_pylist(), "levels": levels})
+    region_key_set = np.unique(key_table["join_key"].to_numpy())
+    if len(region_key_set) > bloom_threshold:
+        from ..state import BloomFilter
+
+        keys_ref = ray.put(("bloom", BloomFilter.build(region_key_set)))
+    else:
+        keys_ref = ray.put(("exact", region_key_set))
+    point_cols = list(point_cols)
+
+    def emit_point_keys(batch: pa.Table) -> pa.Table:
+        mode, keys = _get_params(keys_ref)
+        lat = batch[lat_col].to_numpy()
+        lng = batch[lng_col].to_numpy()
+        leaf = ck.cell_id_from_latlng(lat, lng)
+        pk = _point_keys(leaf, levels)
+        n, L = pk.shape
+        flat = pk.T.reshape(-1)
+        idx = np.tile(np.arange(n), L)
+        if mode == "bloom":
+            hit = keys.contains(flat)
+        elif len(keys):
+            pos = np.searchsorted(keys, flat)
+            hit = (pos < len(keys)) & (
+                keys[np.minimum(pos, len(keys) - 1)] == flat
+            )
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        flat, idx = flat[hit], idx[hit]
+        cols = {
+            "join_key": pa.array(flat, pa.int64()),
+            "lat": pa.array(lat[idx]),
+            "lng": pa.array(lng[idx]),
+        }
+        take = pa.array(idx)
+        for c in point_cols:
+            cols[c] = batch[c].take(take)
+        return pa.table(cols)
+
+    p_side = points_ds.map_batches(
+        emit_point_keys, batch_format="pyarrow", batch_size=None
+    )
+    r_side = rd.from_arrow(
+        pa.table(
+            {
+                "r_key": key_table["join_key"],
+                "region_idx": key_table["region_idx"],
+            }
+        )
+    )
+    # Emitted key rows ~= points x levels_present; target ~125k rows per
+    # join partition, capped at half the CPUs (aggregator-actor lesson).
+    est_emitted = (num_rows or 1_000_000) * max(1, len(levels))
+    parts = max(
+        2, min(_cluster_cpus() // 2, math.ceil(est_emitted / 125_000))
+    )
+    joined = p_side.join(
+        r_side,
+        join_type="inner",
+        num_partitions=parts,
+        on=("join_key",),
+        right_on=("r_key",),
+    )
+
+    def refine(batch: pa.Table) -> pa.Table:
+        params = _get_params(params_ref)
+        if not batch.num_rows:
+            return pa.table(
+                {
+                    **{c: batch[c] for c in point_cols},
+                    "region_id": pa.array([], pa.int64()),
+                }
+            )
+        ridx = batch["region_idx"].to_numpy()
+        lat = batch["lat"].to_numpy()
+        lng = batch["lng"].to_numpy()
+        order = np.argsort(ridx, kind="stable")
+        takes, rids = [], []
+        # contiguous runs per region after the sort; refine each run with
+        # one vectorized predicate call
+        sorted_r = ridx[order]
+        starts = np.ones(len(sorted_r), dtype=bool)
+        starts[1:] = sorted_r[1:] != sorted_r[:-1]
+        run_bounds = np.nonzero(starts)[0].tolist() + [len(sorted_r)]
+        for s, e in zip(run_bounds[:-1], run_bounds[1:]):
+            sel = order[s:e]
+            row = params["rows"][int(sorted_r[s])]
+            mask = refine_mask(lat[sel], lng[sel], row)
+            kept = sel[mask]
+            takes.append(kept)
+            rids.append(np.full(len(kept), row["region_id"], dtype=np.int64))
+        take = pa.array(np.concatenate(takes) if takes else np.array([], dtype=np.int64))
+        cols = {c: batch[c].take(take) for c in point_cols}
+        cols["region_id"] = pa.array(
+            np.concatenate(rids) if rids else np.array([], dtype=np.int64)
+        )
+        return pa.table(cols)
+
+    return joined.map_batches(refine, batch_format="pyarrow", batch_size=None)

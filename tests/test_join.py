@@ -348,3 +348,35 @@ def test_spatial_anti_join_complement(ray_session):
     assert inner | anti == set(doc_id.tolist())
     assert not (inner & anti)
     assert anti and inner  # both sides non-trivial
+
+
+def test_spatial_join_hash_equals_broadcast(ray_session):
+    """strategy='hash' (native hash-partitioned join) emits exactly the
+    same (point, region) pairs as broadcast and shuffle on mixed
+    rect+cap+poly regions."""
+    import ray.data as rd
+    import numpy as np
+    import pyarrow as pa
+    from s2sphere_ray.pages import geocode_from_doc_id
+    from s2sphere_ray.regions import regions_from_sf_dir
+    from s2sphere_ray.stages.join import spatial_join
+
+    doc_id = np.arange(4000, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    pts = rd.from_arrow(
+        pa.table({"doc_id": doc_id, "lat": lat, "lng": lng})
+    ).materialize()
+    regions = regions_from_sf_dir("/root/testdata/sf0.001")
+
+    def pairs(strategy, **kw):
+        return sorted(
+            (r["doc_id"], r["region_id"])
+            for r in spatial_join(
+                pts, regions, strategy=strategy, point_cols=("doc_id",), **kw
+            ).take_all()
+        )
+
+    want = pairs("broadcast")
+    assert want, "no matches — vacuous"
+    assert pairs("hash", num_rows=4000) == want
+    assert pairs("shuffle") == want
