@@ -823,7 +823,7 @@ def ngram_jaccard_pairs(
     order: str = "freq",
     num_rows: int | None = None,
     max_candidates: int = 1_000_000,
-    max_gram_run: int = 100_000,
+    max_gram_run: int = 2_000,
 ):
     """EXACT word-n-gram Jaccard similarity join via distributed prefix
     filtering (AllPairs/PPJoin family) — the guaranteed-complete companion
@@ -984,11 +984,13 @@ def ngram_jaccard_pairs(
         run_id = np.cumsum(starts) - 1
         run_len = np.bincount(run_id)
         if len(run_len) and run_len.max() > max_gram_run:
-            # A prefix gram shared by k docs emits k(k-1)/2 pairs in this
-            # task — k past this bound means the corpus is too
-            # self-similar for an EXACT threshold join at this threshold
-            # (every pair is a candidate). Fail actionably rather than
-            # OOM: raise the threshold, increase n, or use the
+            # A prefix gram shared by k docs emits k(k-1)/2 pairs IN THIS
+            # TASK (np.triu_indices allocates them all at once), so this
+            # guard must fire BEFORE expansion: any k > ~sqrt(2 *
+            # max_candidates) already guarantees the candidate cap fails
+            # later, and k in the tens of thousands OOMs the task first.
+            # Default 2000 => at most ~2M pairs per run pre-guard. Fail
+            # actionably: raise the threshold, increase n, or use the
             # probabilistic minhash_lsh_pairs path.
             raise ValueError(
                 f"ngram_jaccard_pairs: a prefix gram is shared by "

@@ -185,6 +185,18 @@ def exact_float_quantiles(
     """
     from ray.data.aggregate import Count, Max, Min
 
+    # Drop nulls up front (SQL quantile semantics) — otherwise a null
+    # becomes NaN -> INT64_MIN bin on every histogram pass, inflating
+    # `below`, while Count() includes the null rows in n: every rank
+    # shifts silently (the same failure class fixed in
+    # fixed_point_quantiles).
+    def _drop_null(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        return pa.table({col: c.drop_null()})
+
+    ds = ds.map_batches(_drop_null, batch_format="pyarrow", batch_size=None)
     agg = ds.aggregate(Min(col), Max(col), Count())
     glo, ghi = float(agg[f"min({col})"]), float(agg[f"max({col})"])
     n = int(agg["count()"])

@@ -262,6 +262,73 @@ def build_region_keys(
     )
 
 
+def _empty_join_result(points_ds, point_cols):
+    """Zero-region edge: an inner containment join against no regions is
+    empty; emit the correct (point_cols..., region_id) schema instead of
+    crashing in _point_keys on levels=[]."""
+    point_cols = list(point_cols)
+
+    def _empty(batch: pa.Table) -> pa.Table:
+        none = pa.array([], pa.int64())
+        cols = {c: batch[c].take(none) for c in point_cols}
+        cols["region_id"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    return points_ds.map_batches(_empty, batch_format="pyarrow", batch_size=None)
+
+
+def _make_point_key_emitter(keys_ref, levels, point_cols, lat_col, lng_col):
+    """Point-side key emitter shared by the shuffle and hash strategies:
+    one output row per (point, matching region key), after the broadcast
+    exact/Bloom semi-join pushdown. ONE definition so a fix to key
+    emission cannot miss one strategy."""
+    point_cols = list(point_cols)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        mode, keys = _get_params(keys_ref)
+        lat = batch[lat_col].to_numpy()
+        lng = batch[lng_col].to_numpy()
+        leaf = ck.cell_id_from_latlng(lat, lng)
+        pk = _point_keys(leaf, levels)  # (n, L)
+        n, L = pk.shape
+        flat = pk.T.reshape(-1)
+        idx = np.tile(np.arange(n), L)
+        if mode == "bloom":
+            hit = keys.contains(flat)
+        elif len(keys):
+            pos = np.searchsorted(keys, flat)
+            hit = (pos < len(keys)) & (
+                keys[np.minimum(pos, len(keys) - 1)] == flat
+            )
+        else:
+            hit = np.zeros(len(flat), dtype=bool)
+        flat, idx = flat[hit], idx[hit]
+        cols = {
+            "join_key": pa.array(flat, pa.int64()),
+            "lat": pa.array(lat[idx]),
+            "lng": pa.array(lng[idx]),
+        }
+        take = pa.array(idx)
+        for c in point_cols:
+            cols[c] = batch[c].take(take)
+        return pa.table(cols)
+
+    return emit
+
+
+def _region_keys_ref(key_table, bloom_threshold):
+    """ray.put the distinct region key set (exact sorted array, or a Bloom
+    filter above ``bloom_threshold`` keys) — shared by both strategies."""
+    import ray
+
+    region_key_set = np.unique(key_table["join_key"].to_numpy())
+    if len(region_key_set) > bloom_threshold:
+        from ..state import BloomFilter
+
+        return ray.put(("bloom", BloomFilter.build(region_key_set)))
+    return ray.put(("exact", region_key_set))
+
+
 def _point_keys(leaf_ids: np.ndarray, levels: list[int]) -> np.ndarray:
     """(n,) leaf ids → (n, len(levels)) ancestor keys viewed as int64."""
     cols = [ck.parent(leaf_ids, l).view(np.int64) for l in levels]
@@ -484,48 +551,28 @@ def spatial_join_shuffle(
     # by a Bloom filter (~1.2 B/key at 1 % FP) — false positives only add
     # shuffle volume; the in-bucket sort-merge matches exact keys, so
     # correctness is unaffected.
-    region_key_set = np.unique(key_table["join_key"].to_numpy())
-    if len(region_key_set) > bloom_threshold:
-        from ..state import BloomFilter
-
-        keys_ref = ray.put(("bloom", BloomFilter.build(region_key_set)))
-    else:
-        keys_ref = ray.put(("exact", region_key_set))
     point_cols = list(point_cols)
+    if key_table.num_rows == 0 or not levels:
+        return _empty_join_result(points_ds, point_cols)
+    keys_ref = _region_keys_ref(key_table, bloom_threshold)
 
     # --- side P: one row per (point, matching region key) -----------------
+    base_emit = _make_point_key_emitter(
+        keys_ref, levels, point_cols, lat_col, lng_col
+    )
+    union_order = ["join_key", "side", "lat", "lng", "region_idx"] + point_cols
+
     def emit_point_keys(batch: pa.Table) -> pa.Table:
-        mode, keys = _get_params(keys_ref)
-        lat = batch[lat_col].to_numpy()
-        lng = batch[lng_col].to_numpy()
-        leaf = ck.cell_id_from_latlng(lat, lng)
-        pk = _point_keys(leaf, levels)  # (n, L)
-        n, L = pk.shape
-        flat = pk.T.reshape(-1)
-        idx = np.tile(np.arange(n), L)
-        if mode == "bloom":
-            hit = keys.contains(flat)
-        elif len(keys):
-            pos = np.searchsorted(keys, flat)
-            hit = (pos < len(keys)) & (
-                keys[np.minimum(pos, len(keys) - 1)] == flat
-            )
-        else:
-            hit = np.zeros(len(flat), dtype=bool)
-        flat, idx = flat[hit], idx[hit]
-        cols = {
-            "join_key": pa.array(flat, pa.int64()),
-            "side": pa.array(np.zeros(len(flat), dtype=np.int8)),
-            "lat": pa.array(lat[idx]),
-            "lng": pa.array(lng[idx]),
-            "region_idx": pa.array(
-                np.full(len(flat), -1, dtype=np.int32), pa.int32()
-            ),
-        }
-        take = pa.array(idx)
-        for c in point_cols:
-            cols[c] = batch[c].take(take)
-        return pa.table(cols)
+        t = base_emit(batch)
+        t = t.append_column(
+            "side", pa.array(np.zeros(t.num_rows, dtype=np.int8))
+        )
+        t = t.append_column(
+            "region_idx",
+            pa.array(np.full(t.num_rows, -1, dtype=np.int32), pa.int32()),
+        )
+        # Union with the region side requires identical column order.
+        return t.select(union_order)
 
     p_side = points_ds.map_batches(
         emit_point_keys, batch_format="pyarrow", batch_size=None
@@ -881,47 +928,18 @@ def spatial_join_hash(
     key_table, levels = build_region_keys(
         regions, snap_levels, max_cells, covered=covered
     )
-    params_ref = ray.put({"rows": regions.to_pylist(), "levels": levels})
-    region_key_set = np.unique(key_table["join_key"].to_numpy())
-    if len(region_key_set) > bloom_threshold:
-        from ..state import BloomFilter
-
-        keys_ref = ray.put(("bloom", BloomFilter.build(region_key_set)))
-    else:
-        keys_ref = ray.put(("exact", region_key_set))
     point_cols = list(point_cols)
-
-    def emit_point_keys(batch: pa.Table) -> pa.Table:
-        mode, keys = _get_params(keys_ref)
-        lat = batch[lat_col].to_numpy()
-        lng = batch[lng_col].to_numpy()
-        leaf = ck.cell_id_from_latlng(lat, lng)
-        pk = _point_keys(leaf, levels)
-        n, L = pk.shape
-        flat = pk.T.reshape(-1)
-        idx = np.tile(np.arange(n), L)
-        if mode == "bloom":
-            hit = keys.contains(flat)
-        elif len(keys):
-            pos = np.searchsorted(keys, flat)
-            hit = (pos < len(keys)) & (
-                keys[np.minimum(pos, len(keys) - 1)] == flat
-            )
-        else:
-            hit = np.zeros(len(flat), dtype=bool)
-        flat, idx = flat[hit], idx[hit]
-        cols = {
-            "join_key": pa.array(flat, pa.int64()),
-            "lat": pa.array(lat[idx]),
-            "lng": pa.array(lng[idx]),
-        }
-        take = pa.array(idx)
-        for c in point_cols:
-            cols[c] = batch[c].take(take)
-        return pa.table(cols)
+    if key_table.num_rows == 0 or not levels:
+        return _empty_join_result(points_ds, point_cols)
+    params_ref = ray.put({"rows": regions.to_pylist(), "levels": levels})
+    keys_ref = _region_keys_ref(key_table, bloom_threshold)
 
     p_side = points_ds.map_batches(
-        emit_point_keys, batch_format="pyarrow", batch_size=None
+        _make_point_key_emitter(
+            keys_ref, levels, point_cols, lat_col, lng_col
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
     r_side = rd.from_arrow(
         pa.table(

@@ -380,3 +380,24 @@ def test_spatial_join_hash_equals_broadcast(ray_session):
     assert want, "no matches — vacuous"
     assert pairs("hash", num_rows=4000) == want
     assert pairs("shuffle") == want
+
+
+def test_spatial_join_empty_regions(ray_session):
+    """Zero-region table: every strategy returns an empty result with the
+    right schema instead of crashing in key emission."""
+    import ray.data as rd
+    import numpy as np
+    import pyarrow as pa
+    from s2sphere_ray.pages import geocode_from_doc_id
+    from s2sphere_ray.regions import regions_from_sf_dir
+    from s2sphere_ray.stages.join import spatial_join
+
+    doc_id = np.arange(100, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    pts = rd.from_arrow(pa.table({"doc_id": doc_id, "lat": lat, "lng": lng}))
+    empty = regions_from_sf_dir("/root/testdata/sf0.001").slice(0, 0)
+    for strategy in ("broadcast", "shuffle", "hash"):
+        out = spatial_join(
+            pts, empty, strategy=strategy, point_cols=("doc_id",)
+        ).take_all()
+        assert out == [], strategy

@@ -1028,3 +1028,17 @@ def test_fixed_point_quantiles_nulls_dropped(ray_session):
     ds = rd.from_arrow(pa.table({"value": v}))
     out = fixed_point_quantiles(ds, "value", [0, 50, 100], scale=100)
     assert out["value_cents"].to_pylist() == [100, 300, 500]
+
+
+def test_exact_float_quantiles_nulls_dropped(ray_session):
+    """Bracketing path drops nulls (SQL semantics) — they must not inflate
+    n or the below-rank via the NaN -> INT64_MIN bin."""
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import exact_float_quantiles
+
+    vals = [float(x) for x in range(1, 101)]
+    v = pa.array(vals + [None] * 30, pa.float64())
+    ds = rd.from_arrow(pa.table({"x": v}))
+    out = exact_float_quantiles(ds, "x", [0, 50, 99], bins=16, gather_cap=10)
+    # lower order statistic over the 100 non-null values
+    assert out["value"].to_pylist() == [1.0, 50.0, 100.0]
