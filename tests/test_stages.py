@@ -1039,6 +1039,7 @@ def test_exact_float_quantiles_nulls_dropped(ray_session):
     vals = [float(x) for x in range(1, 101)]
     v = pa.array(vals + [None] * 30, pa.float64())
     ds = rd.from_arrow(pa.table({"x": v}))
-    out = exact_float_quantiles(ds, "x", [0, 50, 99], bins=16, gather_cap=10)
-    # lower order statistic over the 100 non-null values
-    assert out["value"].to_pylist() == [1.0, 50.0, 100.0]
+    out = exact_float_quantiles(ds, "x", [0, 50, 99], bins=16, gather_cap=60)
+    # lower order statistic over the 100 non-null values:
+    # k = floor(q/100 * 99) -> indices 0, 49, 98 -> values 1, 50, 99
+    assert out["value"].to_pylist() == [1.0, 50.0, 99.0]
