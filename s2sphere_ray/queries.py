@@ -1859,6 +1859,96 @@ SQL_QUANTILES_BY_GROUP = (
 )
 
 
+def q_median_filter(sf_dir: str):
+    """Composite curation pattern: keep documents whose token count is at
+    or above their LANGUAGE's median — a per-group quantile (sparse
+    (lang, n_tokens) count partials → tiny merge → lower-order-statistic
+    medians) broadcast into a stateless filter pass. The per-lang median
+    table is O(languages), so the only exchange is the tiny count
+    merge; the corpus streams through twice (count pass + filter pass)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    counted = ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        codes = langs.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n_tokens"].to_numpy().astype(np.int64)
+        if len(n) and (n.min() < 0 or n.max() >= 1_000_000):
+            raise ValueError("q_median_filter: n_tokens outside pack domain")
+        key = idx * 1_000_000 + n
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": codes.dictionary.take(pa.array(u // 1_000_000)),
+                "v": pa.array((u % 1_000_000).astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        counted.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    from collections import defaultdict
+
+    per_lang: dict = defaultdict(list)
+    for r in rows:
+        per_lang[r["lang"]].append((int(r["v"]), int(r["n"])))
+    medians = {}
+    for lang, pairs in per_lang.items():
+        pairs.sort()
+        vals = np.array([p[0] for p in pairs], dtype=np.int64)
+        cum = np.cumsum([p[1] for p in pairs])
+        k = int(np.floor(0.5 * (int(cum[-1]) - 1)))
+        medians[lang] = int(vals[np.searchsorted(cum, k + 1, side="left")])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"]
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        codes = langs.dictionary_encode()
+        # per-dictionary-entry threshold (languages are few), then one
+        # vectorized compare — no per-row Python
+        med_by_code = np.array(
+            [medians.get(d, 0) for d in codes.dictionary.to_pylist()],
+            dtype=np.int64,
+        )
+        n = batch["n_tokens"].to_numpy().astype(np.int64)
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = pa.array(n >= med_by_code[idx])
+        out = batch.filter(mask)
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "lang": out["lang"],
+                "n_tokens": pc.cast(out["n_tokens"], pa.int64()),
+            }
+        )
+
+    return counted.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+SQL_MEDIAN_FILTER = (
+    "WITH t AS (SELECT doc_id, lang,"
+    " CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens"
+    " FROM documents),"
+    " m AS (SELECT lang, n_tokens AS n,"
+    " ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tokens) - 1 AS r,"
+    " COUNT(*) OVER (PARTITION BY lang) AS c FROM t),"
+    " med AS (SELECT lang, n AS median_tokens FROM m"
+    " WHERE r = CAST(floor(0.5 * (c - 1)) AS BIGINT))"
+    " SELECT t.doc_id, t.lang, t.n_tokens FROM t"
+    " JOIN med ON t.lang = med.lang WHERE t.n_tokens >= med.median_tokens"
+)
+
+
 def q_label_centroids(sf_dir: str):
     """Vector aggregation: per-label embedding centroid, computed as exact
     integer milli-unit sums (floor(v·1000)) so the oracle compare is exact
@@ -1982,6 +2072,7 @@ QUERIES = {
     "q_quantiles_float": q_quantiles_float,
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
+    "q_median_filter": q_median_filter,
     "q_label_centroids": q_label_centroids,
 }
 
@@ -2052,6 +2143,7 @@ ORACLE_SQL = {
     "q_quantiles_float": SQL_QUANTILES_FLOAT,
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
+    "q_median_filter": SQL_MEDIAN_FILTER,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
     # Round-trip invariant: engine must produce ok=true for every row.
     "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",
