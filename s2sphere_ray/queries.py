@@ -1779,6 +1779,82 @@ SQL_QUANTILES_BRACKET = (
 )
 
 
+def q_events_pivot(sf_dir: str):
+    """Wide (pivoted) aggregate: events per day × event_type as columns —
+    per-block (day, type) count partials via one np.unique on a packed
+    key, tiny groupby merge, then the pivot itself is a driver-side
+    reshape of the (days × types) result (bounded by the date range, not
+    the row count). Column set is derived from the data deterministically
+    (sorted type names)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        day = pc.cast(pc.floor_temporal(ts, unit="day"), pa.date32())
+        days = day.to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]"
+        ).astype(np.int64)
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = days * 64 + idx
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array((u // 64).astype(np.int32)).cast(pa.date32()),
+                "event_type": codes.dictionary.take(pa.array(u % 64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    days = sorted({r["day"] for r in rows})
+    # Pivot columns are PINNED (testdata event_type domain), not derived
+    # from the data — a type absent at some scale factor must still
+    # produce its zero column so engine and oracle schemas agree.
+    types = _EVENT_TYPES
+    counts = {(r["day"], r["event_type"]): int(r["n"]) for r in rows}
+    # day as ISO string: the driver's value-hash compare is dtype-exact,
+    # and date32 vs DuckDB's DATE->timestamp round-trip differently
+    # through pandas.
+    cols: dict = {"day": pa.array([d.isoformat() for d in days], pa.string())}
+    for t in types:
+        cols[f"n_{t}"] = pa.array(
+            [counts.get((d, t), 0) for d in days], pa.int64()
+        )
+    return pa.table(cols)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _sql_events_pivot() -> str:
+    # Pivot columns pinned to the testdata event_type domain (verified
+    # identical at sf0.001/0.01/0.1), mirrored by the engine side.
+    cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+        f" AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    return (
+        f"SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,"
+        f" {cols} FROM events GROUP BY 1"
+    )
+
+
 def q_quantiles_by_group(sf_dir: str):
     """Exact PER-GROUP quantiles (l_quantity by l_returnflag): sparse
     (group, value, count) partials via np.unique per block → tiny
@@ -2072,6 +2148,7 @@ QUERIES = {
     "q_quantiles_float": q_quantiles_float,
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
+    "q_events_pivot": q_events_pivot,
     "q_median_filter": q_median_filter,
     "q_label_centroids": q_label_centroids,
 }
@@ -2143,6 +2220,7 @@ ORACLE_SQL = {
     "q_quantiles_float": SQL_QUANTILES_FLOAT,
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
+    "q_events_pivot": _sql_events_pivot(),
     "q_median_filter": SQL_MEDIAN_FILTER,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
     # Round-trip invariant: engine must produce ok=true for every row.
