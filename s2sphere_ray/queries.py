@@ -1779,6 +1779,120 @@ SQL_QUANTILES_BRACKET = (
 )
 
 
+def q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group, two-level: per-block distinct
+    (event_type, user_id) pairs (np.unique on a packed key — the shuffle
+    carries distinct pairs, not rows), groupby-dedup across blocks, then
+    a tiny per-type count. Exchange volume is bounded by the true
+    distinct-pair cardinality."""
+    from ray.data.aggregate import Count
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        key = idx * (1 << 40) + uid
+        u = np.unique(key)
+        return pa.table(
+            {
+                "event_type": codes.dictionary.take(pa.array(u >> 40)),
+                "user_id": pa.array((u & ((1 << 40) - 1)).astype(np.int64)),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["event_type", "user_id"])
+        .map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+SQL_DISTINCT_USERS_BY_TYPE = (
+    "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users"
+    " FROM events GROUP BY event_type"
+)
+
+
+def q_moment_stats(sf_dir: str):
+    """Multi-moment aggregate with integer-exact compare: per returnflag
+    Σqty, Σprice_cents and Σ(qty·price_cents) — the sufficient statistics
+    for mean/variance/covariance — as per-block partials. All sums are
+    int64, so engine and oracle match bit-for-bit (no float folding
+    order issues)."""
+    from ray.data.aggregate import Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = batch["l_returnflag"]
+        if isinstance(flags, pa.ChunkedArray):
+            flags = flags.combine_chunks()
+        codes = flags.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy().astype(np.int64)
+        cents = np.floor(
+            _np(batch["l_extendedprice"]) * 100.0 + 0.5
+        ).astype(np.int64)
+        k = int(idx.max()) + 1 if len(idx) else 0
+
+        def isum(vals: np.ndarray) -> np.ndarray:
+            # int64 scatter-add: np.bincount's float64 weights would lose
+            # exactness past 2^53 on large blocks.
+            acc = np.zeros(k, dtype=np.int64)
+            np.add.at(acc, idx, vals)
+            return acc
+
+        return pa.table(
+            {
+                "l_returnflag": codes.dictionary.take(
+                    pa.array(np.arange(k, dtype=np.int64))
+                ),
+                "n_rows": pa.array(np.bincount(idx, minlength=k).astype(np.int64)),
+                "sum_qty": pa.array(isum(qty)),
+                "sum_cents": pa.array(isum(cents)),
+                "sum_qty_cents": pa.array(isum(qty * cents)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+        )
+    )
+
+
+SQL_MOMENT_STATS = (
+    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,"
+    " CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS BIGINT)"
+    " AS sum_qty,"
+    " CAST(CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))"
+    " AS HUGEINT) AS BIGINT) AS sum_cents,"
+    " CAST(CAST(SUM(CAST(l_quantity AS BIGINT) *"
+    " CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS HUGEINT)"
+    " AS BIGINT) AS sum_qty_cents"
+    " FROM lineitem GROUP BY l_returnflag"
+)
+
+
 def q_events_pivot(sf_dir: str):
     """Wide (pivoted) aggregate: events per day × event_type as columns —
     per-block (day, type) count partials via one np.unique on a packed
@@ -2149,6 +2263,8 @@ QUERIES = {
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
     "q_events_pivot": q_events_pivot,
+    "q_distinct_users_by_type": q_distinct_users_by_type,
+    "q_moment_stats": q_moment_stats,
     "q_median_filter": q_median_filter,
     "q_label_centroids": q_label_centroids,
 }
@@ -2221,6 +2337,8 @@ ORACLE_SQL = {
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
     "q_events_pivot": _sql_events_pivot(),
+    "q_distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
+    "q_moment_stats": SQL_MOMENT_STATS,
     "q_median_filter": SQL_MEDIAN_FILTER,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
     # Round-trip invariant: engine must produce ok=true for every row.
