@@ -1779,6 +1779,73 @@ SQL_QUANTILES_BRACKET = (
 )
 
 
+def q_latest_event_per_user(sf_dir: str):
+    """CDC-style compaction: the latest event row per user (argmax by
+    (ts, event_id)). Per-block partials reduce each block to at most one
+    row per user (vectorized lexsort + last-of-run), so the shuffle
+    carries ≤ users-per-block rows; a hash-bucketed groupby applies the
+    same reduction once more for the global answer."""
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    from .functions._buckets import derive_buckets, hash_buckets
+
+    n_buckets = derive_buckets(ds.count())
+
+    def argmax_rows(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy().astype(np.int64)
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        last = np.ones(len(order), dtype=bool)
+        su = uid[order]
+        last[:-1] = su[1:] != su[:-1]
+        take = pa.array(order[last])
+        out = batch.take(take)
+        return pa.table(
+            {
+                "user_id": out["user_id"],
+                "last_ts": out["ts"].cast(pa.timestamp("us")),
+                "last_event_id": out["event_id"],
+                "last_event_type": out["event_type"],
+            }
+        )
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_cb",
+            pa.array(hash_buckets(batch["user_id"].to_numpy(), n_buckets)),
+        )
+
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        uid = group["user_id"].to_numpy().astype(np.int64)
+        ts = group["last_ts"].to_numpy().astype(np.int64)
+        eid = group["last_event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        last = np.ones(len(order), dtype=bool)
+        su = uid[order]
+        last[:-1] = su[1:] != su[:-1]
+        take = pa.array(order[last])
+        return group.take(take).drop_columns(["_cb"])
+
+    return (
+        ds.map_batches(argmax_rows, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_cb")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
+
+
+SQL_LATEST_EVENT = (
+    "SELECT user_id, ts AS last_ts, event_id AS last_event_id,"
+    " event_type AS last_event_type FROM ("
+    " SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id"
+    " ORDER BY ts DESC, event_id DESC) AS rn FROM events)"
+    " WHERE rn = 1"
+)
+
+
 def q_distinct_users_by_type(sf_dir: str):
     """Exact COUNT(DISTINCT) per group, two-level: per-block distinct
     (event_type, user_id) pairs (np.unique on a packed key — the shuffle
@@ -2263,6 +2330,7 @@ QUERIES = {
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
     "q_events_pivot": q_events_pivot,
+    "q_latest_event_per_user": q_latest_event_per_user,
     "q_distinct_users_by_type": q_distinct_users_by_type,
     "q_moment_stats": q_moment_stats,
     "q_median_filter": q_median_filter,
@@ -2337,6 +2405,7 @@ ORACLE_SQL = {
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
     "q_events_pivot": _sql_events_pivot(),
+    "q_latest_event_per_user": SQL_LATEST_EVENT,
     "q_distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "q_moment_stats": SQL_MOMENT_STATS,
     "q_median_filter": SQL_MEDIAN_FILTER,
