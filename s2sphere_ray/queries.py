@@ -1779,6 +1779,86 @@ SQL_QUANTILES_BRACKET = (
 )
 
 
+def q_semi_join_customers(sf_dir: str):
+    """Relational SEMI-join (EXISTS): customers with at least one order
+    above 400k cents·10³ — Ray's native left_semi join type, so the
+    probe side streams through the hash exchange and only matching build
+    keys survive (no row multiplication, no dedup needed)."""
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["o_totalprice"], 400_000.0)
+        return pa.table({"o_custkey": batch.filter(keep)["o_custkey"]})
+
+    big_orders = orders.map_batches(big, batch_format="pyarrow", batch_size=None)
+    return cust.join(
+        big_orders,
+        join_type="left_semi",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+
+SQL_SEMI_JOIN = (
+    "SELECT c_custkey, c_mktsegment FROM customer c"
+    " WHERE EXISTS (SELECT 1 FROM orders o"
+    " WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)"
+)
+
+
+def q_outer_join_counts(sf_dir: str):
+    """LEFT OUTER join: per-customer order count INCLUDING zero-order
+    customers (the rows an inner join silently drops) — Ray's native
+    left_outer join, then a count of non-null order keys per customer."""
+    from ray.data.aggregate import Sum
+
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    joined = cust.join(
+        orders,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = batch["o_orderkey"]
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        has = pc.is_valid(ok).to_numpy(zero_copy_only=False).astype(np.int64)
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.zeros(len(u), dtype=np.int64)
+        np.add.at(n, inv, has)
+        return pa.table(
+            {"c_custkey": pa.array(u), "n_orders": pa.array(n)}
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("c_custkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+SQL_OUTER_JOIN_COUNTS = (
+    "SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders"
+    " FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey"
+    " GROUP BY c.c_custkey"
+)
+
+
 def q_latest_event_per_user(sf_dir: str):
     """CDC-style compaction: the latest event row per user (argmax by
     (ts, event_id)). Per-block partials reduce each block to at most one
@@ -2330,6 +2410,8 @@ QUERIES = {
     "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
     "q_events_pivot": q_events_pivot,
+    "q_semi_join_customers": q_semi_join_customers,
+    "q_outer_join_counts": q_outer_join_counts,
     "q_latest_event_per_user": q_latest_event_per_user,
     "q_distinct_users_by_type": q_distinct_users_by_type,
     "q_moment_stats": q_moment_stats,
@@ -2405,6 +2487,8 @@ ORACLE_SQL = {
     "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
     "q_events_pivot": _sql_events_pivot(),
+    "q_semi_join_customers": SQL_SEMI_JOIN,
+    "q_outer_join_counts": SQL_OUTER_JOIN_COUNTS,
     "q_latest_event_per_user": SQL_LATEST_EVENT,
     "q_distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
     "q_moment_stats": SQL_MOMENT_STATS,
