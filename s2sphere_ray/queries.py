@@ -1779,6 +1779,47 @@ SQL_QUANTILES_BRACKET = (
 )
 
 
+def _grouped_value_counts(group_col: str, value_col: str):
+    """Per-block sparse (group, value, count) partial via one np.unique on
+    a packed key — ONE definition shared by the grouped-quantile and
+    median-filter queries (the pack constant and domain guard must never
+    drift between call sites)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        groups = batch[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        codes = groups.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch[value_col].to_numpy().astype(np.int64)
+        if len(v) and (v.min() < 0 or v.max() >= 1_000_000):
+            raise ValueError(
+                f"_grouped_value_counts: {value_col} outside the pack"
+                f" domain [0, 1e6): [{v.min()}, {v.max()}]"
+            )
+        key = idx * 1_000_000 + v
+        u, c = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                group_col: codes.dictionary.take(pa.array(u // 1_000_000)),
+                "v": pa.array((u % 1_000_000).astype(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return partial
+
+
+def _order_stat(pairs: list, q: float) -> int:
+    """Lower order statistic at fraction q from sorted (value, count)
+    pairs — the one shared rank convention (floor(q*(n-1)))."""
+    pairs = sorted(pairs)
+    vals = np.array([p[0] for p in pairs], dtype=np.int64)
+    cum = np.cumsum([p[1] for p in pairs])
+    k = int(np.floor(q * (int(cum[-1]) - 1)))
+    return int(vals[np.searchsorted(cum, k + 1, side="left")])
+
+
 def q_semi_join_customers(sf_dir: str):
     """Relational SEMI-join (EXISTS): customers with at least one order
     above 400k cents·10³ — Ray's native left_semi join type, so the
@@ -1796,10 +1837,16 @@ def q_semi_join_customers(sf_dir: str):
         return pa.table({"o_custkey": batch.filter(keep)["o_custkey"]})
 
     big_orders = orders.map_batches(big, batch_format="pyarrow", batch_size=None)
+    from .functions._buckets import _cluster_cpus
+    import math
+
+    parts = max(
+        2, min(_cluster_cpus() // 2, math.ceil(orders.count() / 250_000))
+    )
     return cust.join(
         big_orders,
         join_type="left_semi",
-        num_partitions=8,
+        num_partitions=parts,
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -1824,10 +1871,16 @@ def q_outer_join_counts(sf_dir: str):
     orders = _rd().read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
     )
+    from .functions._buckets import _cluster_cpus
+    import math
+
+    parts = max(
+        2, min(_cluster_cpus() // 2, math.ceil(orders.count() / 250_000))
+    )
     joined = cust.join(
         orders,
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=parts,
         on=("c_custkey",),
         right_on=("o_custkey",),
     )
@@ -1873,15 +1926,22 @@ def q_latest_event_per_user(sf_dir: str):
 
     n_buckets = derive_buckets(ds.count())
 
-    def argmax_rows(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy().astype(np.int64)
-        ts = batch["ts"].cast(pa.timestamp("us")).to_numpy().astype(np.int64)
-        eid = batch["event_id"].to_numpy().astype(np.int64)
+    def _argmax_take(uid, ts, eid):
+        # last-of-run per uid after lexsort by (uid, ts, eid): the ONE
+        # tie-break definition shared by the block partial and the
+        # global reduce (divergence would silently disagree).
         order = np.lexsort((eid, ts, uid))
         last = np.ones(len(order), dtype=bool)
         su = uid[order]
         last[:-1] = su[1:] != su[:-1]
-        take = pa.array(order[last])
+        return pa.array(order[last])
+
+    def argmax_rows(batch: pa.Table) -> pa.Table:
+        take = _argmax_take(
+            batch["user_id"].to_numpy().astype(np.int64),
+            batch["ts"].cast(pa.timestamp("us")).to_numpy().astype(np.int64),
+            batch["event_id"].to_numpy().astype(np.int64),
+        )
         out = batch.take(take)
         return pa.table(
             {
@@ -1899,14 +1959,11 @@ def q_latest_event_per_user(sf_dir: str):
         )
 
     def reduce_bucket(group: pa.Table) -> pa.Table:
-        uid = group["user_id"].to_numpy().astype(np.int64)
-        ts = group["last_ts"].to_numpy().astype(np.int64)
-        eid = group["last_event_id"].to_numpy().astype(np.int64)
-        order = np.lexsort((eid, ts, uid))
-        last = np.ones(len(order), dtype=bool)
-        su = uid[order]
-        last[:-1] = su[1:] != su[:-1]
-        take = pa.array(order[last])
+        take = _argmax_take(
+            group["user_id"].to_numpy().astype(np.int64),
+            group["last_ts"].to_numpy().astype(np.int64),
+            group["last_event_id"].to_numpy().astype(np.int64),
+        )
         return group.take(take).drop_columns(["_cb"])
 
     return (
@@ -1938,6 +1995,10 @@ def q_distinct_users_by_type(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
 
+    from .functions._buckets import derive_buckets, hash_buckets
+
+    n_buckets = derive_buckets(ds.count())
+
     def pairs(batch: pa.Table) -> pa.Table:
         et = batch["event_type"]
         if isinstance(et, pa.ChunkedArray):
@@ -1945,6 +2006,11 @@ def q_distinct_users_by_type(sf_dir: str):
         codes = et.dictionary_encode()
         idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         uid = batch["user_id"].to_numpy().astype(np.int64)
+        if len(uid) and (uid.min() < 0 or uid.max() >= (1 << 40)):
+            raise ValueError(
+                "q_distinct_users_by_type: user_id outside the pack domain"
+                f" [0, 2^40): [{uid.min()}, {uid.max()}]"
+            )
         key = idx * (1 << 40) + uid
         u = np.unique(key)
         return pa.table(
@@ -1954,14 +2020,44 @@ def q_distinct_users_by_type(sf_dir: str):
             }
         )
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_cb",
+            pa.array(hash_buckets(batch["user_id"].to_numpy(), n_buckets)),
+        )
+
+    def dedup_count(group: pa.Table) -> pa.Table:
+        # vectorized cross-block dedup + per-type count within the bucket
+        # (one numpy pass per bucket — no per-pair Python dispatch)
+        et = group["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = group["user_id"].to_numpy().astype(np.int64)
+        u = np.unique(idx * (1 << 40) + uid)
+        tcode = (u >> 40).astype(np.int64)
+        k = int(tcode.max()) + 1 if len(tcode) else 0
+        return pa.table(
+            {
+                "event_type": codes.dictionary.take(
+                    pa.array(np.arange(k, dtype=np.int64))
+                ),
+                "n_users": pa.array(
+                    np.bincount(tcode, minlength=k).astype(np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
     return (
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["event_type", "user_id"])
-        .map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow"
-        )
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_cb")
+        .map_groups(dedup_count, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+        .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
 
@@ -2045,8 +2141,10 @@ def q_events_pivot(sf_dir: str):
     per-block (day, type) count partials via one np.unique on a packed
     key, tiny groupby merge, then the pivot itself is a driver-side
     reshape of the (days × types) result (bounded by the date range, not
-    the row count). Column set is derived from the data deterministically
-    (sorted type names)."""
+    the row count). Pivot columns are PINNED to the testdata event_type
+    domain (_EVENT_TYPES) so engine and oracle schemas agree at every
+    scale factor; a type outside the pinned set would need a new column
+    on both sides."""
     from ray.data.aggregate import Sum
 
     ds = _rd().read_parquet(
@@ -2065,6 +2163,11 @@ def q_events_pivot(sf_dir: str):
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
         codes = et.dictionary_encode()
+        if len(codes.dictionary) >= 64:
+            raise ValueError(
+                "q_events_pivot: more than 63 distinct event types in one"
+                " batch — widen the day*64 pack"
+            )
         idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         key = days * 64 + idx
         u, c = np.unique(key, return_counts=True)
@@ -2127,30 +2230,7 @@ def q_quantiles_by_group(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
     )
     qs = [25, 50, 75, 99]
-
-    def partial(batch: pa.Table) -> pa.Table:
-        flags = batch["l_returnflag"]
-        if isinstance(flags, pa.ChunkedArray):
-            flags = flags.combine_chunks()
-        codes = flags.dictionary_encode()
-        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        v = batch["l_quantity"].to_numpy().astype(np.int64)
-        if len(v) and (v.min() < 0 or v.max() >= 1_000_000):
-            raise ValueError(
-                "q_quantiles_by_group: value outside the pack domain"
-                f" [0, 1e6): [{v.min()}, {v.max()}]"
-            )
-        # combined key (group_idx, value) -> count, sparse per block
-        key = idx * 1_000_000 + v
-        u, c = np.unique(key, return_counts=True)
-        gi = u // 1_000_000
-        return pa.table(
-            {
-                "l_returnflag": codes.dictionary.take(pa.array(gi)),
-                "v": pa.array((u % 1_000_000).astype(np.int64)),
-                "n": pa.array(c.astype(np.int64)),
-            }
-        )
+    partial = _grouped_value_counts("l_returnflag", "l_quantity")
 
     rows = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -2165,15 +2245,10 @@ def q_quantiles_by_group(sf_dir: str):
         per_group[r["l_returnflag"]].append((int(r["v"]), int(r["n"])))
     out_flag, out_q, out_v = [], [], []
     for flag in sorted(per_group):
-        pairs = sorted(per_group[flag])
-        vals = np.array([p[0] for p in pairs], dtype=np.int64)
-        cum = np.cumsum([p[1] for p in pairs])
-        n = int(cum[-1])
         for q in qs:
-            k = int(np.floor(q / 100.0 * (n - 1)))
             out_flag.append(flag)
             out_q.append(q)
-            out_v.append(int(vals[np.searchsorted(cum, k + 1, side="left")]))
+            out_v.append(_order_stat(per_group[flag], q / 100.0))
     return pa.table(
         {
             "l_returnflag": pa.array(out_flag, pa.string()),
@@ -2208,24 +2283,7 @@ def q_median_filter(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
     counted = ds.map_batches(token_count_batch, batch_format="pyarrow")
 
-    def partial(batch: pa.Table) -> pa.Table:
-        langs = batch["lang"]
-        if isinstance(langs, pa.ChunkedArray):
-            langs = langs.combine_chunks()
-        codes = langs.dictionary_encode()
-        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        n = batch["n_tokens"].to_numpy().astype(np.int64)
-        if len(n) and (n.min() < 0 or n.max() >= 1_000_000):
-            raise ValueError("q_median_filter: n_tokens outside pack domain")
-        key = idx * 1_000_000 + n
-        u, c = np.unique(key, return_counts=True)
-        return pa.table(
-            {
-                "lang": codes.dictionary.take(pa.array(u // 1_000_000)),
-                "v": pa.array((u % 1_000_000).astype(np.int64)),
-                "n": pa.array(c.astype(np.int64)),
-            }
-        )
+    partial = _grouped_value_counts("lang", "n_tokens")
 
     rows = (
         counted.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -2238,13 +2296,9 @@ def q_median_filter(sf_dir: str):
     per_lang: dict = defaultdict(list)
     for r in rows:
         per_lang[r["lang"]].append((int(r["v"]), int(r["n"])))
-    medians = {}
-    for lang, pairs in per_lang.items():
-        pairs.sort()
-        vals = np.array([p[0] for p in pairs], dtype=np.int64)
-        cum = np.cumsum([p[1] for p in pairs])
-        k = int(np.floor(0.5 * (int(cum[-1]) - 1)))
-        medians[lang] = int(vals[np.searchsorted(cum, k + 1, side="left")])
+    medians = {
+        lang: _order_stat(pairs, 0.5) for lang, pairs in per_lang.items()
+    }
 
     def keep(batch: pa.Table) -> pa.Table:
         langs = batch["lang"]
