@@ -488,8 +488,16 @@ def minhash_lsh_pairs(
     ).groupby("_cb").map_groups(bucket_pairs, batch_format="pyarrow")
     if verify == "none":
         # Distributed dedupe, streamed result — nothing reaches the driver.
-        return cand.groupby(["id_a", "id_b"]).map_groups(
-            lambda grp: grp.slice(0, 1), batch_format="pyarrow"
+        # The map_groups output MUST be schema-stabilized: empty hash
+        # partitions emit schema-less blocks that break any downstream
+        # native join on id_a/id_b (observed at num_cpus=32).
+        from ._schema import PAIR_SCHEMA, stabilize_schema
+
+        return stabilize_schema(
+            cand.groupby(["id_a", "id_b"]).map_groups(
+                lambda grp: grp.slice(0, 1), batch_format="pyarrow"
+            ),
+            PAIR_SCHEMA,
         )
     # Candidate pairs are driver-materialized here: bounded by the number
     # of genuine near-dups + band collisions, orders of magnitude smaller
@@ -833,13 +841,14 @@ def ngram_jaccard_pairs(
 
     1. gram sets: one tokenize pass (``_shingle_batch`` rolling hashes off
        Arrow buffers) → DISTINCT (doc, gram_hash) rows + per-doc set size.
-    2. global gram frequencies (``order="freq"``): tiny (gram, count)
-       groupby; joined back so every gram row knows its document
-       frequency. Frequency-ascending prefix order keeps prefix posting
-       lists short (the classic AllPairs trick — rare grams first), which
-       is what bounds candidate blowup at crawl scale. ``order="hash"``
-       skips the two extra exchanges and uses hash order (correct but
-       hot-gram-prone; test/compat path).
+    2. global gram frequencies (``order="freq"``): ONE gram-bucketed
+       exchange — all rows of a gram co-locate, so the in-bucket count
+       is the global document frequency, appended in place (no separate
+       aggregate + join). Frequency-ascending prefix order keeps prefix
+       posting lists short (the classic AllPairs trick — rare grams
+       first), which is what bounds candidate blowup at crawl scale.
+       ``order="hash"`` skips the exchange and uses hash order (correct
+       but hot-gram-prone; test/compat path).
     3. prefix marking: hash-bucketed per-doc pass sorts each doc's grams
        by the global order and keeps the first
        ``l(X) = |X| - ceil(t/(1+t)·|X|) + 1`` as the prefix.
@@ -851,32 +860,21 @@ def ngram_jaccard_pairs(
        "prefixes share ≥1 gram" misses nothing.
     4. candidates: groupby(prefix gram) emits in-group pairs
        (vectorized run expansion), then a bucketed distinct.
-    5. exact verify: two native ``Dataset.join``s — candidates ⋈ grams of
-       id_a, then matching grams of id_b — and a pair groupby counts the
-       true intersection; integer-exact threshold test
+    5. exact verify, ONE exchange: the capped candidate set (≤
+       ``max_candidates`` pairs, 16 B each) is gathered and a
+       doc → pair-slot index broadcast via ``ray.put``; a stateless map
+       expands each candidate doc's gram rows to (pair, gram, side,
+       set_sz) — non-candidate docs never leave their block — and a
+       single pk-bucketed groupby counts each pair's true intersection
+       vectorized (lexsort + run scan); integer-exact threshold test
        ``1000·inter ≥ 1000·t·union`` (no float boundary).
 
     Returns (id_a, id_b, inter_n, union_n, jac_x1000), id_a < id_b.
     """
-    from ray.data.aggregate import Count, Max, Sum
-
-    from ._buckets import _cluster_cpus, derive_buckets, hash_buckets
+    from ._buckets import derive_buckets, hash_buckets
 
     t_x1000 = int(round(threshold * 1000))
     n_buckets = derive_buckets(num_rows)
-    # Native hash joins spawn num_partitions aggregator ACTORS per join.
-    # Too many (bucket-count partitions at 8 CPUs) deadlocks the
-    # scheduler; too many for the DATA (16 actors for 500 rows) pays
-    # startup for nothing (measured 71 s vs 22 s at sf0.01). So: data-
-    # proportional (~100k gram rows per partition, using num_rows x ~50
-    # grams/doc as the estimate) capped by half the cluster CPUs.
-    import math as _math
-
-    est_gram_rows = (num_rows or 2_000) * 50
-    join_parts = max(
-        2,
-        min(_cluster_cpus() // 2, _math.ceil(est_gram_rows / 100_000)),
-    )
 
     def gram_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col]
@@ -909,17 +907,34 @@ def ngram_jaccard_pairs(
     grams = grams.materialize()
 
     if order == "freq":
-        freqs = (
-            grams.map_batches(
-                lambda b: pa.table({"gram": b["gram"]}),
-                batch_format="pyarrow",
-                batch_size=None,
+        # Global doc-frequency per gram in ONE gram-bucketed exchange:
+        # all (doc, gram) rows of a gram land in the same bucket, so the
+        # in-bucket count IS the global frequency — this replaces the
+        # round-3 plan's separate count-aggregate + native hash join
+        # (which re-shuffled the full gram table AND was exposed to the
+        # 0-row-first-block schema-broadcast bug, see
+        # functions/_schema.py).
+        def add_freq_bucket(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "_fb",
+                pa.array(hash_buckets(batch["gram"].to_numpy(), n_buckets)),
             )
-            .groupby("gram")
-            .aggregate(Count(alias_name="gfreq"))
-        )
-        grams = grams.join(
-            freqs, join_type="inner", num_partitions=join_parts, on=("gram",)
+
+        def attach_freq(group: pa.Table) -> pa.Table:
+            gram = group["gram"].to_numpy()
+            _, inv, cnt = np.unique(
+                gram, return_inverse=True, return_counts=True
+            )
+            return group.drop_columns(["_fb"]).append_column(
+                "gfreq", pa.array(cnt[inv].astype(np.int64))
+            )
+
+        grams = (
+            grams.map_batches(
+                add_freq_bucket, batch_format="pyarrow", batch_size=None
+            )
+            .groupby("_fb")
+            .map_groups(attach_freq, batch_format="pyarrow")
         )
     else:
         grams = grams.map_batches(
@@ -1038,20 +1053,35 @@ def ngram_jaccard_pairs(
             {"id_a": pa.array(mat[:, 0]), "id_b": pa.array(mat[:, 1])}
         )
 
-    cand = (
+    from ._schema import PAIR_SCHEMA, stabilize_schema
+
+    cand = stabilize_schema(
         prefixes.map_batches(add_gram_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_gb")
         .map_groups(emit_pairs, batch_format="pyarrow")
         .map_batches(add_pair_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_pb")
-        .map_groups(distinct_pairs, batch_format="pyarrow")
+        .map_groups(distinct_pairs, batch_format="pyarrow"),
+        PAIR_SCHEMA,
     )
-    # Guard before the verify joins: candidates x set-size rows flow
-    # through j1, so a degenerate candidate set (low-diversity corpus,
-    # low threshold => nearly all pairs survive prefix filtering) must
-    # fail loudly here, not grind through an O(n^2) join.
-    cand = cand.materialize()
-    n_cand = cand.count()
+    # Guard before the verify expansion: candidates x set-size rows flow
+    # through the pair-gram exchange, so a degenerate candidate set
+    # (low-diversity corpus, low threshold => nearly all pairs survive
+    # prefix filtering) must fail loudly here, not grind through an
+    # O(n^2) exchange. The gather is BOUNDED by this same cap (pairs are
+    # 16 B/row — <=16 MB at the default cap), which is what licenses the
+    # driver-side pair index below.
+    cand_batches = [
+        b for b in cand.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    cand_tbl = (
+        pa.concat_tables(cand_batches)
+        if cand_batches
+        else pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    )
+    n_cand = cand_tbl.num_rows
     if n_cand > max_candidates:
         raise ValueError(
             f"ngram_jaccard_pairs: {n_cand} candidate pairs exceed "
@@ -1060,45 +1090,150 @@ def ngram_jaccard_pairs(
             f"threshold={threshold} — raise threshold/n or use "
             "MinHash-LSH"
         )
+    if n_cand == 0:
+        import ray.data as _rd
 
-    # Exact verify: count common grams per candidate pair with two native
-    # hash joins (candidates explode to |A| rows, shrink to |A∩B| after the
-    # second join) — fully distributed, partitioned on doc then gram.
-    grams_a = grams.map_batches(
-        lambda b: pa.table(
-            {"a_did": b["did"], "a_gram": b["gram"], "a_sz": b["set_sz"]}
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    grams_b = grams.map_batches(
-        lambda b: pa.table(
-            {"b_did": b["did"], "b_gram": b["gram"], "b_sz": b["set_sz"]}
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    j1 = cand.join(
-        grams_a, join_type="inner", num_partitions=join_parts, on=("id_a",),
-        right_on=("a_did",),
-    )
-    j2 = j1.join(
-        grams_b,
-        join_type="inner",
-        num_partitions=join_parts,
-        on=("id_b", "a_gram"),
-        right_on=("b_did", "b_gram"),
-    )
-    agg = (
-        j2.groupby(["id_a", "id_b"])
-        .aggregate(
-            Count(alias_name="inter_n"),
-            Max("a_sz", alias_name="na"),
-            Max("b_sz", alias_name="nb"),
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "inter_n": pa.array([], pa.int64()),
+                    "union_n": pa.array([], pa.int64()),
+                    "jac_x1000": pa.array([], pa.int64()),
+                }
+            )
         )
+
+    # Exact verify, ONE exchange (round-4 rewrite; the previous two
+    # native Dataset.joins shuffled the FULL gram table twice and paid
+    # ~25 s of fixed join cost at sf0.01 — and native joins crash when a
+    # 0-row first block suppresses Ray's one-shot schema broadcast, see
+    # functions/_schema.py). Instead: broadcast a doc -> pair-slot index
+    # built from the capped candidate set, expand each candidate doc's
+    # gram rows to (pair, gram, side, set_sz) in one stateless map (docs
+    # NOT in any candidate pair never leave their block), then a single
+    # bucketed exchange co-locates each pair's rows and counts the true
+    # intersection vectorized.
+    import ray as _ray
+
+    a_ids = cand_tbl["id_a"].to_numpy().astype(np.int64)
+    b_ids = cand_tbl["id_b"].to_numpy().astype(np.int64)
+    all_did = np.concatenate([a_ids, b_ids])
+    all_pk = np.concatenate([np.arange(n_cand), np.arange(n_cand)])
+    all_side = np.concatenate(
+        [np.zeros(n_cand, np.int8), np.ones(n_cand, np.int8)]
     )
+    order_ix = np.argsort(all_did, kind="stable")
+    did_sorted = all_did[order_ix]
+    uniq_docs, first_ix = np.unique(did_sorted, return_index=True)
+    slot_offs = np.append(first_ix, len(did_sorted)).astype(np.int64)
+    index_ref = _ray.put(
+        (uniq_docs, slot_offs, all_pk[order_ix], all_side[order_ix])
+    )
+
+    def emit_pair_grams(batch: pa.Table) -> pa.Table:
+        uniq, offs, pk_arr, side_arr = _ray.get(index_ref)
+        did = batch["did"].to_numpy()
+        pos = np.searchsorted(uniq, did)
+        pos[pos >= len(uniq)] = 0
+        valid = uniq[pos] == did if len(uniq) else np.zeros(len(did), bool)
+        if not valid.any():
+            return pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "gram": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "sz": pa.array([], pa.int64()),
+                }
+            )
+        pos = pos[valid]
+        cnt = offs[pos + 1] - offs[pos]  # pair slots per gram row
+        total = int(cnt.sum())
+        # slot index for every replicated row: offs[pos] + within-run rank
+        starts = np.repeat(offs[pos], cnt)
+        run0 = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        slot = starts + (np.arange(total) - run0)
+        return pa.table(
+            {
+                "pk": pa.array(pk_arr[slot].astype(np.int64)),
+                "gram": pa.array(
+                    np.repeat(batch["gram"].to_numpy()[valid], cnt)
+                ),
+                "side": pa.array(side_arr[slot]),
+                "sz": pa.array(
+                    np.repeat(
+                        batch["set_sz"].to_numpy()[valid].astype(np.int64), cnt
+                    )
+                ),
+            }
+        )
+
+    def add_pk_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_kb", pa.array(hash_buckets(batch["pk"].to_numpy(), n_buckets))
+        )
+
+    def count_pairs(group: pa.Table) -> pa.Table:
+        pk = group["pk"].to_numpy()
+        gram = group["gram"].to_numpy()
+        side = group["side"].to_numpy()
+        sz = group["sz"].to_numpy()
+        order_ix = np.lexsort((side, gram, pk))
+        pk, gram, side, sz = (
+            pk[order_ix], gram[order_ix], side[order_ix], sz[order_ix]
+        )
+        # runs of identical (pk, gram); a run holding both sides is one
+        # intersection element for that pair
+        new_run = np.ones(len(pk), dtype=bool)
+        new_run[1:] = (pk[1:] != pk[:-1]) | (gram[1:] != gram[:-1])
+        run_id = np.cumsum(new_run) - 1
+        n_runs = int(run_id[-1]) + 1 if len(run_id) else 0
+        has0 = np.zeros(n_runs, dtype=bool)
+        has1 = np.zeros(n_runs, dtype=bool)
+        has0[run_id[side == 0]] = True
+        has1[run_id[side == 1]] = True
+        upk, pk_local = np.unique(pk, return_inverse=True)
+        upk_of_run = pk_local[new_run]
+        inter = np.bincount(
+            upk_of_run[has0 & has1], minlength=len(upk)
+        ).astype(np.int64)
+        na = np.zeros(len(upk), dtype=np.int64)
+        nb = np.zeros(len(upk), dtype=np.int64)
+        na[pk_local[side == 0]] = sz[side == 0]
+        nb[pk_local[side == 1]] = sz[side == 1]
+        return pa.table(
+            {
+                "pk": pa.array(upk),
+                "inter_n": pa.array(inter),
+                "na": pa.array(na),
+                "nb": pa.array(nb),
+            }
+        )
+
+    counted = (
+        grams.map_batches(
+            emit_pair_grams, batch_format="pyarrow", batch_size=None
+        )
+        .map_batches(add_pk_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_kb")
+        .map_groups(count_pairs, batch_format="pyarrow")
+    )
+    ids_ref = _ray.put((a_ids, b_ids))
 
     def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "inter_n": pa.array([], pa.int64()),
+                    "union_n": pa.array([], pa.int64()),
+                    "jac_x1000": pa.array([], pa.int64()),
+                }
+            )
+        aa, bb = _ray.get(ids_ref)
+        pk = batch["pk"].to_numpy()
         inter = batch["inter_n"].to_numpy().astype(np.int64)
         na = batch["na"].to_numpy().astype(np.int64)
         nb = batch["nb"].to_numpy().astype(np.int64)
@@ -1109,15 +1244,15 @@ def ngram_jaccard_pairs(
         jac[nz] = (1000 * inter[nz]) // union[nz]
         return pa.table(
             {
-                "id_a": pc.filter(batch["id_a"], pa.array(keep)),
-                "id_b": pc.filter(batch["id_b"], pa.array(keep)),
+                "id_a": pa.array(aa[pk[keep]]),
+                "id_b": pa.array(bb[pk[keep]]),
                 "inter_n": pa.array(inter[keep]),
                 "union_n": pa.array(union[keep]),
                 "jac_x1000": pa.array(jac[keep]),
             }
         )
 
-    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return counted.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def decontaminate(

@@ -1109,12 +1109,28 @@ def q_curation_export(sf_dir: str):
     # At crawl dup rates the drop set is a large fraction of the corpus,
     # so it must never become a driver-side array or a broadcast set.
     pairs = minhash_lsh_pairs(deduped, verify="none", num_rows=n_docs)
-    curated = deduped.join(
+    # Round-4: the native left_anti join is OFF the table here — its left
+    # side (the deduped corpus) comes out of a groupby whose empty shuffle
+    # partitions emit 0-row blocks, and a 0-row FIRST block silently
+    # suppresses Ray's one-shot join-schema broadcast (crash at
+    # num_cpus=32; see stages/join.anti_join_drop_ids for the mechanism).
+    # The union + sort-groupby anti-join moves the same bytes and is
+    # parallelism-independent.
+    from .stages.join import anti_join_drop_ids
+
+    curated = anti_join_drop_ids(
+        deduped,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+            ]
+        ),
+        "doc_id",
         pairs.select_columns(["id_b"]),
-        join_type="left_anti",
-        num_partitions=max(8, derive_buckets(n_docs, target_rows=500_000)),
-        on=("doc_id",),
-        right_on=("id_b",),
+        "id_b",
+        num_rows=n_docs,
     )
 
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
@@ -1837,6 +1853,14 @@ def q_semi_join_customers(sf_dir: str):
         return pa.table({"o_custkey": batch.filter(keep)["o_custkey"]})
 
     big_orders = orders.map_batches(big, batch_format="pyarrow", batch_size=None)
+    # The filter can empty whole blocks; a 0-row FIRST block on a native
+    # join input suppresses Ray's one-shot schema broadcast (see
+    # functions/_schema.py). The filtered key stream is compact — heal it.
+    from .functions._schema import stabilize_schema
+
+    big_orders = stabilize_schema(
+        big_orders, pa.schema([("o_custkey", pa.int64())])
+    )
     from .functions._buckets import _cluster_cpus
     import math
 

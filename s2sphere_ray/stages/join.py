@@ -998,3 +998,87 @@ def spatial_join_hash(
         return pa.table(cols)
 
     return joined.map_batches(refine, batch_format="pyarrow", batch_size=None)
+
+
+def anti_join_drop_ids(
+    left,
+    left_schema: pa.Schema,
+    id_col: str,
+    drop,
+    drop_col: str,
+    num_rows: int | None = None,
+):
+    """Distributed left-anti join: drop every ``left`` row whose
+    ``id_col`` value appears in ``drop[drop_col]`` — built on the same
+    union + bucketed sort-groupby machinery as the shuffle spatial join
+    instead of ``Dataset.join``.
+
+    WHY NOT the native join: Ray's hash-shuffle join learns each input's
+    schema from that input's FIRST block; a 0-row first block suppresses
+    the broadcast while the has-broadcast flag is still set
+    (``hash_shuffle.py:224,584-589``, see ``functions/_schema.py``), so
+    any join partition receiving no real rows for that input finalizes
+    against a schema-less table → ``ArrowInvalid`` on the key FieldRef.
+    Upstream groupby stages (exact_dedup, LSH pair dedupe) routinely
+    emit 0-row blocks, and the LEFT side here is the full corpus — too
+    big for the materialize+repartition healing that fixes compact
+    streams. The sort-based groupby shuffle skips empty input blocks
+    without any schema broadcast, so this composition is parallelism-
+    independent.
+
+    Scale: ONE sort exchange moving the left payload plus the drop ids
+    (8 B each) — the same volume the native hash join would move.
+    Duplicate drop ids are harmless (membership test), so callers can
+    feed un-deduplicated pair streams. ``left_schema`` is declared by
+    the caller (no plan execution needed to infer it).
+    """
+    from ..functions._buckets import derive_buckets, hash_buckets
+
+    n_buckets = derive_buckets(num_rows)
+    names = list(left_schema.names)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            batch = left_schema.empty_table()
+        t = batch.select(names).cast(left_schema)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = t.append_column(
+            "_anti", pa.array(np.zeros(len(ids), np.int8))
+        )
+        return t.append_column(
+            "_ab", pa.array(hash_buckets(ids, n_buckets))
+        )
+
+    id_type = left_schema.field(id_col).type
+
+    def tag_drop(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            ids = np.zeros(0, np.int64)
+        else:
+            ids = (
+                batch[drop_col]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+        n = len(ids)
+        arrays = []
+        for f in left_schema:
+            if f.name == id_col:
+                arrays.append(pa.array(ids).cast(id_type))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        t = pa.Table.from_arrays(arrays, schema=left_schema)
+        t = t.append_column("_anti", pa.array(np.ones(n, np.int8)))
+        return t.append_column("_ab", pa.array(hash_buckets(ids, n_buckets)))
+
+    def drop_group(group: pa.Table) -> pa.Table:
+        anti = group["_anti"].to_numpy()
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        drop_ids = np.unique(ids[anti == 1])
+        keep = (anti == 0) & ~np.isin(ids, drop_ids)
+        return group.filter(pa.array(keep)).drop_columns(["_anti", "_ab"])
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        drop.map_batches(tag_drop, batch_format="pyarrow")
+    )
+    return both.groupby("_ab").map_groups(drop_group, batch_format="pyarrow")

@@ -4,8 +4,10 @@ DuckDB oracle exactly as the driver does.
 Usage: python tools/oracle_harness.py [sf_dir] [q1,q2,...]
 """
 import sys, time, traceback
+import os
 import ray, duckdb, pandas as pd, numpy as np
-ray.init(address="local", num_cpus=8, include_dashboard=False,
+ray.init(address="local", num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+         include_dashboard=False,
          ignore_reinit_error=True, logging_level="ERROR")
 import ray.data as rd
 rd.DataContext.get_current().enable_progress_bars = False
