@@ -56,11 +56,11 @@ def run_bench() -> dict:
     from s2sphere_ray.stages.join import spatial_join
     from s2sphere_ray.stages.tiles import tile_counts
     from s2sphere_ray.queries import (
-        q_knn,
+        knn_base,
         q_pricing_summary,
-        q_simsearch,
-        q_minhash_pairs,
-        q_tile_counts_l8,
+        simsearch_base,
+        minhash_pairs_base,
+        tile_counts_base,
     )
 
     queries: dict[str, float] = {}
@@ -86,10 +86,12 @@ def run_bench() -> dict:
     calibration_sec = _calibrate()
 
     def timed(name, fn):
+        print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         out = fn()
         dt = time.time() - t0
         queries[name] = round(dt, 3)
+        print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr, flush=True)
         return out
 
     # Materialize the deterministic bench input ONCE (untimed input prep —
@@ -229,11 +231,11 @@ def run_bench() -> dict:
         ).count()
 
     timed("cover_1k_regions", cover_1k)
-    timed("tile_counts", lambda: q_tile_counts_l8(SF_DIR).count())
-    timed("knn", lambda: q_knn(SF_DIR).count())
+    timed("tile_counts", lambda: tile_counts_base(SF_DIR).count())
+    timed("knn", lambda: knn_base(SF_DIR).count())
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())
-    timed("simsearch", lambda: q_simsearch(SF_DIR).count())
-    timed("minhash", lambda: q_minhash_pairs(SF_DIR).count())
+    timed("simsearch", lambda: simsearch_base(SF_DIR).count())
+    timed("minhash", lambda: minhash_pairs_base(SF_DIR).count())
     from s2sphere_ray.queries import (
         q_dedup_exact,
         q_quality,
@@ -245,10 +247,20 @@ def run_bench() -> dict:
     timed("text_quality", lambda: q_quality(SF_DIR).count())
     timed("sessions", lambda: q_sessions(SF_DIR).count())
     timed("asof_join", lambda: q_asof_orders(SF_DIR).count())
-    from s2sphere_ray.queries import q_join_anti, q_quantiles_float
+    from s2sphere_ray.queries import q_join_anti
+    from s2sphere_ray.functions.quantiles import fixed_point_quantiles
 
     timed("join_anti", lambda: q_join_anti(SF_DIR).count())
-    timed("quantiles_float", lambda: q_quantiles_float(SF_DIR).num_rows)
+
+    def quantiles_float():
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{SF_DIR}/events.parquet", columns=["value"])
+        return fixed_point_quantiles(
+            ds, "value", [25, 50, 75, 90, 99], scale=100
+        ).num_rows
+
+    timed("quantiles_float", quantiles_float)
 
     total = round(time.time() - t0, 3)
     result = {

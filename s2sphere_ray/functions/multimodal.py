@@ -46,6 +46,51 @@ def _resolve_mode(mode: str, module, err, what: str):
         )
     return module is not None
 
+
+def _resolve_image_tier(mode: str, pil) -> str:
+    """Image stages have THREE codec tiers (VERDICT r3 #6):
+    ``pil`` (real library, when importable) → ``numpy`` (vendored
+    pure-numpy PPM/PGM/BMP codec, always importable — see _npimage.py)
+    → ``fake`` (deterministic byte arithmetic, never decodes).
+
+    ``mode="real"`` resolves to pil-else-numpy, so the real decode
+    branch is exercisable even in codec-less containers (payloads must
+    then be PPM/PGM/BMP — anything else raises ValueError).
+    ``mode="auto"`` does the same but falls back to the fake rule
+    PER ROW for payloads the numpy codec cannot sniff, keeping the
+    stage total on arbitrary binary. ``mode="fake"`` never decodes."""
+    if mode == "fake":
+        return "fake"
+    if mode not in ("auto", "real"):
+        raise ValueError(f"unknown codec mode {mode!r}")
+    return "pil" if pil is not None else "numpy"
+
+def _any_sniffable(col: pa.Array, n: int) -> bool:
+    """Vectorized 2-byte magic sniff over an Arrow binary column — lets
+    mode='auto' under the numpy tier keep the fully-vectorized fake
+    path for batches with no PPM/PGM/BMP payload at all (the common
+    case for opaque blobs), paying the per-row decode loop only when
+    something might actually decode."""
+    if n == 0:
+        return False
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offsets)
+    ok = lens >= 2
+    if not ok.any():
+        return False
+    first = data[offsets[:-1][ok]]
+    second = data[offsets[:-1][ok] + 1]
+    return bool(
+        (
+            ((first == ord("P")) & ((second == ord("5")) | (second == ord("6"))))
+            | ((first == ord("B")) & (second == ord("M")))
+        ).any()
+    )
+
+
 MEDIA_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),
@@ -87,10 +132,9 @@ class ImageFeatureStage:
         if fake is not None:  # legacy kwarg from round-2 call sites
             mode = "fake" if fake else "real"
         self._pil, self.codec_error = _try_import("PIL.Image")
-        self._use_real = _resolve_mode(
-            mode, self._pil, self.codec_error, "image decode"
-        )
-        self.codec = "pil" if self._use_real else "fake"
+        self.codec = _resolve_image_tier(mode, self._pil)
+        self._strict = mode == "real"
+        self._use_real = self.codec == "pil"
 
     def _real_features(self, col: pa.Array) -> np.ndarray:
         """PIL path: decode → grayscale pixel stream → dim chunk means.
@@ -112,14 +156,43 @@ class ImageFeatureStage:
             ]
         return feats
 
+    def _numpy_features(self, col: pa.Array) -> np.ndarray:
+        """Vendored-codec path (_npimage): decode PPM/PGM/BMP →
+        grayscale pixel stream → the same ``dim``-chunk means as the
+        PIL path. mode='real' raises on undecodable payloads;
+        mode='auto' applies the fake raw-byte rule to those rows."""
+        from . import _npimage
+
+        feats = np.zeros((len(col), self.dim), dtype=np.float32)
+        for i, p in enumerate(col):
+            buf = p.as_py()
+            if not buf:
+                continue
+            try:
+                px = _npimage.to_gray(_npimage.decode(buf))
+            except ValueError:
+                if self._strict:
+                    raise
+                px = np.frombuffer(buf, dtype=np.uint8).astype(np.float64)
+            feats[i] = [
+                c.mean() if len(c) else 0.0
+                for c in np.array_split(px, self.dim)
+            ]
+        return feats
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch["payload"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         n = batch.num_rows
         dim = self.dim
+        decode_numpy = self.codec == "numpy" and (
+            self._strict or _any_sniffable(col, n)
+        )
         if self._use_real:
             feats = self._real_features(col)
+        elif decode_numpy:
+            feats = self._numpy_features(col)
         else:
             # Deterministic fake feature: per-row byte stream split into
             # `dim` contiguous chunks (np.array_split sizing), chunk means.
@@ -192,10 +265,9 @@ class ResizeStage:
         if fake is not None:  # legacy kwarg
             mode = "fake" if fake else "real"
         self._pil, self.codec_error = _try_import("PIL.Image")
-        self._use_real = _resolve_mode(
-            mode, self._pil, self.codec_error, "image resize"
-        )
-        self.codec = "pil" if self._use_real else "fake"
+        self.codec = _resolve_image_tier(mode, self._pil)
+        self._strict = mode == "real"
+        self._use_real = self.codec == "pil"
 
     def _real_resize(self, col, scale_w, scale_h):
         from io import BytesIO
@@ -214,6 +286,44 @@ class ResizeStage:
             out.append(sink.getvalue())
         return pa.array(out, pa.binary())
 
+    def _numpy_resize(self, col, scale_w, scale_h):
+        """Vendored-codec path: decode PPM/PGM/BMP → nearest-neighbor
+        resample → re-encode in the source format. mode='real' raises on
+        undecodable payloads; mode='auto' falls back to the fake
+        byte-slice rule per row."""
+        from . import _npimage
+
+        out = []
+        for i, p in enumerate(col):
+            buf = p.as_py()
+            if not buf:
+                out.append(b"")
+                continue
+            kind = _npimage.sniff(buf)
+            if kind is None:
+                if self._strict:
+                    raise ValueError(
+                        "npimage: payload is not PPM/PGM/BMP — the "
+                        "vendored codec tier only resizes these formats"
+                    )
+                # fake rule for this row: keep area-proportional bytes
+                ratio = (scale_w[i] * scale_h[i]) / max(
+                    1, len(buf)
+                )  # len stands in for w*h when undecodable
+                keep = max(1, min(len(buf), int(np.ceil(len(buf) * ratio))))
+                out.append(buf[:keep])
+                continue
+            arr = _npimage.decode(buf)
+            out.append(
+                _npimage.encode(
+                    _npimage.resize_nearest(
+                        arr, int(scale_w[i]), int(scale_h[i])
+                    ),
+                    kind,
+                )
+            )
+        return pa.array(out, pa.binary())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch["payload"]
         if isinstance(col, pa.ChunkedArray):
@@ -223,8 +333,15 @@ class ResizeStage:
         h = batch["height"].to_numpy().astype(np.int64)
         scale_w = np.minimum(w, self.target)
         scale_h = np.minimum(h, self.target)
-        if self._use_real:
-            payload = self._real_resize(col, scale_w, scale_h)
+        decode_numpy = self.codec == "numpy" and (
+            self._strict or _any_sniffable(col, n)
+        )
+        if self._use_real or decode_numpy:
+            payload = (
+                self._real_resize(col, scale_w, scale_h)
+                if self._use_real
+                else self._numpy_resize(col, scale_w, scale_h)
+            )
             batch = batch.drop_columns(["payload", "width", "height"])
             batch = batch.append_column("payload", payload)
             batch = batch.append_column(

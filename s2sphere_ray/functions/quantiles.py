@@ -230,7 +230,9 @@ def exact_float_quantiles(
         active = [
             b
             for b in brackets
-            if b["resolved"] is None and b["count"] > per_cap
+            if b["resolved"] is None
+            and not b.get("collapsed")
+            and b["count"] > per_cap
         ]
         if not active:
             break
@@ -259,14 +261,20 @@ def exact_float_quantiles(
                 width=width,
                 j=j,
             )
+            # Remember the pass frame so the gather can reproduce the
+            # binning bit-for-bit.
+            b["pass_lo"], b["pass_width"] = lo, width
             if np.nextafter(b_lo, np.inf) >= b_lo + width:
-                # Bin narrower than float resolution: every row in it is
-                # the same double.
-                b["resolved"] = b_lo
-            else:
-                # Remember the pass frame so the gather can reproduce the
-                # binning bit-for-bit.
-                b["pass_lo"], b["pass_width"] = lo, width
+                # Bin narrower than float resolution: it cannot refine
+                # further — but do NOT shortcut to ``b_lo`` (ADVICE r3):
+                # the one-distinct-double assumption fails at edges (a
+                # value 1 ulp below ``b_lo`` can floor-round into bin j,
+                # and over-range rows deliberately clip into the LAST
+                # bin), so mark it terminal and resolve it through the
+                # same exact gather path as every other bracket. The
+                # gather's membership formula mirrors the histogram
+                # (clip included), so rank arithmetic stays consistent.
+                b["collapsed"] = True
 
     # Final exact gather over the union of unresolved brackets.
     unresolved = [b for b in brackets if b["resolved"] is None]

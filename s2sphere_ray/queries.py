@@ -39,8 +39,8 @@ from .stages.encode import cell_encode, cell_token, _np
 from .stages.join import CAP_DIST_SQL, spatial_join
 from .stages.knn import knn_points
 from .stages.tiles import tile_counts, top_k_tiles, hilbert_sort
-from .functions.dedup import exact_dedup, minhash_lsh_pairs, simhash_batch
-from .functions.text import token_count_batch, quality_batch, fingerprint_batch
+from .functions.dedup import exact_dedup, minhash_lsh_pairs
+from .functions.text import token_count_batch, quality_batch
 from .functions.sim import cosine_topk
 from .functions.multimodal import synth_media_table, extract_features
 
@@ -68,29 +68,26 @@ def _points(sf_dir: str):
     return ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
 
 
+def _tag_ds(ds, col: str, val: str):
+    """Append a constant string column — used by the consolidated registry
+    entries that union several kernel variants into one driver-checked
+    result (the driver's correctness window holds at most 50 queries, so
+    same-oracle variants share one entry distinguished by this label)."""
+
+    def add(batch: pa.Table) -> pa.Table:
+        return batch.append_column(col, pa.array([val] * len(batch), pa.string()))
+
+    return ds.map_batches(add, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------------------
 # Geocode + cell ops
 # ---------------------------------------------------------------------------
 
 
-def q_geocode(sf_dir: str):
-    """(doc_id, lat, lng) — E1, bit-exact vs integer-hash oracle."""
-    return _points(sf_dir)
-
-
 SQL_GEOCODE = (
     f"SELECT doc_id, {LAT_SQL} AS lat, {LNG_SQL} AS lng FROM documents"
 )
-
-
-def q_cell_tokens_l12(sf_dir: str):
-    """(doc_id, cell_token) at level 12 — E3/E4, exact-checked against the
-    generated in-SQL Hilbert encode (oracle_sql.py)."""
-    ds = _points(sf_dir)
-    ds = ds.map_batches(
-        lambda b: cell_token(cell_encode(b, level=12)), batch_format="pyarrow"
-    )
-    return ds.select_columns(["doc_id", "cell_token"])
 
 
 def _sql_cell_tokens(level: int, with_order_key: bool = False) -> str:
@@ -104,10 +101,17 @@ def _sql_cell_tokens(level: int, with_order_key: bool = False) -> str:
     return f"SELECT doc_id, cell_token FROM ({inner})"
 
 
-def q_cell_roundtrip(sf_dir: str):
-    """(doc_id, ok) leaf encode→decode→encode identity — E3/E5 invariant."""
+def q_encode_suite(sf_dir: str):
+    """Per-document encode suite in ONE pass over the geocoded points:
+    geocode (E1, bit-exact integer-hash lat/lng), level-12 cell token
+    (E3/E4, checked against the in-SQL Hilbert encode), and the leaf
+    encode→decode→encode identity (E5): (doc_id, lat, lng, cell_token,
+    ok). Consolidates the former q_geocode / q_cell_tokens_l12 /
+    q_cell_roundtrip registry rows — one read + one map instead of
+    three — so the 50-entry driver window covers every kernel."""
 
-    def check(batch: pa.Table) -> pa.Table:
+    def suite(batch: pa.Table) -> pa.Table:
+        tok = cell_token(cell_encode(batch, level=12))
         lat = _np(batch["lat"])
         lng = _np(batch["lng"])
         ids = ck.cell_id_from_latlng(lat, lng)
@@ -116,38 +120,23 @@ def q_cell_roundtrip(sf_dir: str):
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
+                "lat": batch["lat"],
+                "lng": batch["lng"],
+                "cell_token": tok["cell_token"],
                 "ok": pa.array(ids == ids2),
             }
         )
 
-    return _points(sf_dir).map_batches(check, batch_format="pyarrow")
+    return _points(sf_dir).map_batches(suite, batch_format="pyarrow")
 
 
-def q_cover_regions(sf_dir: str):
-    """(region_id, n_cover_cells, cover_tokens, n_interior_cells) — E7
-    exterior + interior coverings (rows-only)."""
-    from .stages.cover import cover_table
-
-    regions = regions_from_sf_dir(sf_dir)
-    covered = cover_table(regions, max_cells=8)
-    interior = cover_table(
-        regions, max_cells=8, interior=True, interior_work_budget=400
-    )
-    toks = []
-    for ids in covered["cover"].to_pylist():
-        toks.append(",".join(ck.token_from_cell_id(np.array(ids, dtype=np.uint64))))
-    return pa.table(
-        {
-            "region_id": covered["region_id"],
-            "n_cover_cells": pa.array(
-                [len(x) for x in covered["cover"].to_pylist()], pa.int64()
-            ),
-            "cover_tokens": pa.array(toks, pa.string()),
-            "n_interior_cells": pa.array(
-                [len(x) for x in interior["cover"].to_pylist()], pa.int64()
-            ),
-        }
-    )
+SQL_ENCODE_SUITE = (
+    f"WITH pts AS (SELECT doc_id, {LAT_SQL} AS lat, {LNG_SQL} AS lng"
+    " FROM documents),"
+    " tok AS (" + _sql_cell_tokens(12) + ")"
+    " SELECT p.doc_id, p.lat, p.lng, t.cell_token,"
+    " CAST(1 AS BOOLEAN) AS ok FROM pts p JOIN tok t USING (doc_id)"
+)
 
 
 def golden_cover_regions() -> pa.Table:
@@ -173,18 +162,17 @@ def golden_cover_regions() -> pa.Table:
 
 
 def q_cover_regions_golden(sf_dir: str):
-    """Coverer CORRECTNESS row (VERDICT r2 item 8): covers for a fixed
-    135-region set computed through the distributed actor-pool stage
-    (E7), exploded to one row per (region_id, cell_rank, cover_token) so
-    cover CONTENT and ORDER are both pinned. The oracle is the frozen
-    self-golden parquet (tests/fixtures/cover_golden.parquet) — a
-    regression anchor, not an independent derivation (DuckDB cannot run
-    the best-first coverer); regenerate only on an intentional semantic
-    change via tools/make_cover_golden.py."""
+    """Coverer CORRECTNESS row (VERDICT r2 item 8, widened in r4):
+    EXTERIOR (I2) and INTERIOR (I3) covers for a fixed 135-region set,
+    both computed through the distributed actor-pool stage (E7) and
+    exploded to one row per (variant, region_id, cell_rank, cover_token)
+    so cover CONTENT and ORDER are pinned for both modes. The oracle is
+    the frozen self-golden parquet (tests/fixtures/cover_golden.parquet)
+    — a regression anchor, not an independent derivation (DuckDB cannot
+    run the best-first coverer); regenerate only on an intentional
+    semantic change via tools/make_cover_golden.py. Interior covers were
+    rows-only before this consolidation (former q_cover_regions)."""
     from .stages.cover import cover_regions
-
-    ds = _rd().from_arrow(golden_cover_regions())
-    covered = cover_regions(ds, max_cells=8, tokens=True)
 
     def explode(batch: pa.Table) -> pa.Table:
         toks = batch["cover_tokens"].to_pylist()
@@ -202,7 +190,20 @@ def q_cover_regions_golden(sf_dir: str):
             }
         )
 
-    return covered.map_batches(explode, batch_format="pyarrow")
+    regions = golden_cover_regions()
+    ext = cover_regions(
+        _rd().from_arrow(regions), max_cells=8, tokens=True
+    ).map_batches(explode, batch_format="pyarrow")
+    intr = cover_regions(
+        _rd().from_arrow(regions),
+        max_cells=8,
+        tokens=True,
+        interior=True,
+        interior_work_budget=400,
+    ).map_batches(explode, batch_format="pyarrow")
+    return _tag_ds(ext, "variant", "exterior").union(
+        _tag_ds(intr, "variant", "interior")
+    )
 
 
 _COVER_GOLDEN_PATH = os.path.join(
@@ -212,7 +213,7 @@ _COVER_GOLDEN_PATH = os.path.join(
     "cover_golden.parquet",
 )
 SQL_COVER_GOLDEN = (
-    "SELECT region_id, cell_rank, cover_token"
+    "SELECT variant, region_id, cell_rank, cover_token"
     f" FROM read_parquet('{_COVER_GOLDEN_PATH}')"
 )
 
@@ -222,21 +223,52 @@ SQL_COVER_GOLDEN = (
 # ---------------------------------------------------------------------------
 
 
-def q_join_rect(sf_dir: str):
+def _rect_regions(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
-    regions = make_rect_regions(nation["n_nationkey"].to_numpy().astype(np.int64))
-    return spatial_join(
+    return make_rect_regions(nation["n_nationkey"].to_numpy().astype(np.int64))
+
+
+def q_join_rect(sf_dir: str):
+    """Rect containment join through ALL THREE E9 strategies — plain
+    shuffle, shuffle with hot-key splitting, and Ray's native
+    hash-partitioned join — each tagged and unioned, all against ONE
+    oracle (the strategies must be byte-equal). Consolidates the former
+    q_join_rect / q_join_rect_skew rows and promotes the hash strategy
+    (previously pytest-only) into the driver's correctness window."""
+    regions = _rect_regions(sf_dir)
+    shuffle = spatial_join(
         _points(sf_dir), regions, strategy="shuffle", point_cols=("doc_id",)
+    )
+    skew = spatial_join(
+        _points(sf_dir),
+        regions,
+        strategy="shuffle",
+        point_cols=("doc_id",),
+        hot_threshold=500,
+        split_delta=3,
+    )
+    hashj = spatial_join(
+        _points(sf_dir), regions, strategy="hash", point_cols=("doc_id",)
+    )
+    return (
+        _tag_ds(shuffle, "strategy", "shuffle")
+        .union(_tag_ds(skew, "strategy", "skew"))
+        .union(_tag_ds(hashj, "strategy", "hash"))
     )
 
 
-SQL_JOIN_RECT = (
+_SQL_JOIN_RECT_ONE = (
     f"WITH {_POINTS_CTE}, rects AS ({rect_regions_sql()})"
     " SELECT p.doc_id, r.region_id FROM points p JOIN rects r"
     " ON p.lat >= r.lat_lo AND p.lat <= r.lat_hi"
     " AND p.lng >= r.lng_lo AND p.lng <= r.lng_hi"
+)
+SQL_JOIN_RECT = (
+    f"SELECT doc_id, region_id, 'shuffle' AS strategy FROM ({_SQL_JOIN_RECT_ONE})"
+    f" UNION ALL SELECT doc_id, region_id, 'skew' FROM ({_SQL_JOIN_RECT_ONE})"
+    f" UNION ALL SELECT doc_id, region_id, 'hash' FROM ({_SQL_JOIN_RECT_ONE})"
 )
 
 
@@ -427,69 +459,50 @@ SQL_JOIN_LOOP = (
 )
 
 
-def q_knn_pruned(sf_dir: str):
-    """Cell-ring-pruned exact kNN (E11 scale path) — same oracle as q_knn."""
-    import pyarrow.parquet as pq
-
-    from .regions import cap_params_from_key
-    from .stages.knn import knn_points_pruned
-
-    supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
-    keys = supplier["s_suppkey"].to_numpy().astype(np.int64)
-    qlat, qlng, _ = cap_params_from_key(keys)
-    queries = pa.table(
-        {
-            "query_id": pa.array(keys),
-            "lat": pa.array(qlat.astype(np.float64)),
-            "lng": pa.array(qlng.astype(np.float64)),
-        }
-    )
-    out = knn_points_pruned(_points(sf_dir), queries, k=5, level=6)
-    return out.select_columns(["query_id", "rank", "doc_id"])
-
-
-def q_join_rect_skew(sf_dir: str):
-    """Rect join via the shuffle path WITH hot-key splitting — must produce
-    identical rows to q_join_rect (and the same oracle)."""
-    import pyarrow.parquet as pq
-
-    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
-    regions = make_rect_regions(nation["n_nationkey"].to_numpy().astype(np.int64))
-    return spatial_join(
-        _points(sf_dir),
-        regions,
-        strategy="shuffle",
-        point_cols=("doc_id",),
-        hot_threshold=500,
-        split_delta=3,
-    )
-
-
 # ---------------------------------------------------------------------------
 # kNN (E11)
 # ---------------------------------------------------------------------------
 
 
-def q_knn(sf_dir: str):
+def _knn_queries(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
+
+    from .regions import cap_params_from_key
 
     supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
     keys = supplier["s_suppkey"].to_numpy().astype(np.int64)
-    from .regions import cap_params_from_key
-
     qlat, qlng, _ = cap_params_from_key(keys)
-    queries = pa.table(
+    return pa.table(
         {
             "query_id": pa.array(keys),
             "lat": pa.array(qlat.astype(np.float64)),
             "lng": pa.array(qlng.astype(np.float64)),
         }
     )
-    out = knn_points(_points(sf_dir), queries, k=5)
+
+
+def knn_base(sf_dir: str):
+    """Brute-force exact kNN (bench headline 'knn' — kept single-variant
+    so BENCH series stay comparable across rounds)."""
+    out = knn_points(_points(sf_dir), _knn_queries(sf_dir), k=5)
     return out.select_columns(["query_id", "rank", "doc_id"])
 
 
-SQL_KNN = (
+def q_knn(sf_dir: str):
+    """Exact kNN through BOTH E11 paths — brute-force and cell-ring-pruned
+    — tagged and unioned against one oracle (identical rows required).
+    Consolidates the former q_knn / q_knn_pruned registry rows."""
+    from .stages.knn import knn_points_pruned
+
+    pruned = knn_points_pruned(
+        _points(sf_dir), _knn_queries(sf_dir), k=5, level=6
+    ).select_columns(["query_id", "rank", "doc_id"])
+    return _tag_ds(knn_base(sf_dir), "method", "brute").union(
+        _tag_ds(pruned, "method", "pruned")
+    )
+
+
+_SQL_KNN_ONE = (
     f"WITH {_POINTS_CTE}, q AS (SELECT CAST(s_suppkey AS BIGINT) AS query_id,"
     " CAST((s_suppkey*7919)%140-70 AS DOUBLE) AS qlat,"
     " CAST((s_suppkey*104729)%360-180 AS DOUBLE) AS qlng FROM supplier),"
@@ -500,6 +513,10 @@ SQL_KNN = (
     " ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank"
     " FROM d) t WHERE rank <= 5"
 )
+SQL_KNN = (
+    f"SELECT query_id, rank, doc_id, 'brute' AS method FROM ({_SQL_KNN_ONE})"
+    f" UNION ALL SELECT query_id, rank, doc_id, 'pruned' FROM ({_SQL_KNN_ONE})"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -507,11 +524,25 @@ SQL_KNN = (
 # ---------------------------------------------------------------------------
 
 
-def q_tile_counts_l8(sf_dir: str):
-    """Per-tile page counts at level 8 — E13/E15, exact-checked: the oracle
-    recomputes tile tokens wholly in SQL (oracle_sql.py) and groups."""
+def tile_counts_base(sf_dir: str):
+    """Per-tile page counts at level 8 (bench headline 'tile_counts' —
+    kept single-variant so BENCH series stay comparable)."""
     out = tile_counts(_points(sf_dir), 8, num_rows=_docs(sf_dir, ["doc_id"]).count())
     return out.select_columns(["tile_token", "n_rows"])
+
+
+def q_tile_counts_l8(sf_dir: str):
+    """E13/E15 tile aggregate AND the E14 densest-20 top-k over it, tagged
+    ('all' / 'top20') and unioned — exact-checked: the oracle recomputes
+    tile tokens wholly in SQL (oracle_sql.py). Consolidates the former
+    q_tile_counts_l8 / q_top_tiles_l8 registry rows."""
+    n = _docs(sf_dir, ["doc_id"]).count()
+    top = top_k_tiles(_points(sf_dir), 8, 20, num_rows=n).select_columns(
+        ["tile_token", "n_rows"]
+    )
+    return _tag_ds(tile_counts_base(sf_dir), "variant", "all").union(
+        _tag_ds(top, "variant", "top20")
+    )
 
 
 def q_write_tiles_roundtrip(sf_dir: str):
@@ -566,12 +597,6 @@ def q_write_tiles_roundtrip(sf_dir: str):
     )
 
 
-def q_top_tiles_l8(sf_dir: str):
-    """Densest 20 level-8 tiles (ties by token) — exact-checked in SQL."""
-    out = top_k_tiles(_points(sf_dir), 8, 20, num_rows=_docs(sf_dir, ["doc_id"]).count())
-    return out.select_columns(["tile_token", "n_rows"])
-
-
 def q_hilbert_order(sf_dir: str):
     """First 100 pages in Hilbert (leaf cell id) order, ties by doc_id —
     exact-checked against the in-SQL encode's order key."""
@@ -607,14 +632,28 @@ SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
 def q_token_count(sf_dir: str):
+    """Whitespace token count, character count AND the BPE-ish regex token
+    count (one RE2 pass in Arrow C++), all in ONE map over the documents —
+    consolidates the former q_token_count / q_token_regex registry rows."""
+    from .functions.text import regex_token_count_batch
+
     ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(token_count_batch, batch_format="pyarrow")
-    return out.select_columns(["doc_id", "n_tokens", "n_chars_obs"])
+    out = ds.map_batches(
+        lambda b: regex_token_count_batch(token_count_batch(b)),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_chars_obs", "n_bpe_tokens"]
+    )
 
 
 SQL_TOKEN_COUNT = (
     "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,"
-    " CAST(length(text) AS BIGINT) AS n_chars_obs FROM documents"
+    " CAST(length(text) AS BIGINT) AS n_chars_obs,"
+    " CAST(len(regexp_extract_all(coalesce(text, ''),"
+    " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens"
+    " FROM documents"
 )
 
 
@@ -640,104 +679,119 @@ SQL_QUALITY = (
 
 
 def q_lang_counts(sf_dir: str):
-    ds = _docs(sf_dir, ["lang"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch["lang"].combine_chunks())
-        return pa.table(
-            {
-                "lang": vc.field("values"),
-                "n_docs": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
-
+    """Language histograms from BOTH sources — the declared ``lang``
+    column and the marker-heuristic language-ID actor pool (E22) — tagged
+    and unioned. Consolidates the former q_lang_counts / q_langid_counts
+    registry rows; both legs pre-aggregate per block before the tiny
+    groupby."""
     from ray.data.aggregate import Sum
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    from .functions.text import LangIdStage
+    from .functions._buckets import derive_concurrency
+
+    def counts_of(ds, col):
+        def partial(batch: pa.Table) -> pa.Table:
+            vc = pc.value_counts(batch[col].combine_chunks())
+            return pa.table(
+                {
+                    "lang": vc.field("values"),
+                    "n_docs": pc.cast(vc.field("counts"), pa.int64()),
+                }
+            )
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+        )
+
+    declared = counts_of(_docs(sf_dir, ["lang"]), "lang")
+    guessed = counts_of(
+        _docs(sf_dir, ["doc_id", "text"]).map_batches(
+            LangIdStage,
+            batch_format="pyarrow",
+            num_cpus=1,
+            concurrency=derive_concurrency(0.5),
+        ),
+        "lang_guess",
+    )
+    return _tag_ds(declared, "variant", "declared").union(
+        _tag_ds(guessed, "variant", "guessed")
     )
 
 
-SQL_LANG_COUNTS = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+_SQL_LANG_DECLARED = (
+    "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+)
 
 
-def q_minhash_pairs(sf_dir: str):
+def minhash_pairs_base(sf_dir: str):
+    """MinHash-LSH pairs alone (bench headline 'minhash' — kept
+    single-variant so BENCH series stay comparable)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     return minhash_lsh_pairs(ds, jaccard_threshold=0.8)
 
 
-def q_simhash_pairs(sf_dir: str):
-    """SimHash hamming-distance near-dup pairs (pigeonhole banding over
-    64-bit signatures; rows-only — bit voting is not SQL-expressible)."""
+def q_neardup_pairs(sf_dir: str):
+    """Near-duplicate candidate pairs from BOTH probabilistic sketches —
+    MinHash-LSH (Jaccard ≥ 0.8) and SimHash pigeonhole banding (hamming
+    ≤ 3) — tagged (method) and unioned; rows-only (bit voting / banding
+    are not SQL-expressible; the underlying sketch kernels are
+    golden-pinned by q_sketch_golden). Consolidates the former
+    q_minhash_pairs / q_simhash_pairs registry rows."""
     from .functions.dedup import simhash_neardup_pairs
+    from .functions._schema import PAIR_SCHEMA, stabilize_schema
 
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return simhash_neardup_pairs(ds, max_hamming=3, num_rows=ds.count())
+    # The exact-verify pair stream comes off a groupby shuffle and can
+    # carry schema-less empty blocks (functions/_schema.py) — heal the
+    # compact pair table before projecting/unioning.
+    mh = stabilize_schema(
+        minhash_pairs_base(sf_dir), PAIR_SCHEMA
+    ).select_columns(["id_a", "id_b"])
+    sh = _rd().from_arrow(
+        simhash_neardup_pairs(ds, max_hamming=3, num_rows=ds.count())
+    ).select_columns(["id_a", "id_b"])
+    return _tag_ds(mh, "method", "minhash_lsh").union(
+        _tag_ds(sh, "method", "simhash")
+    )
 
 
-def q_simhash(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(simhash_batch, batch_format="pyarrow")
+def _embedding_queries(sf_dir: str):
+    import pyarrow.parquet as pq
 
-    def to_i64(batch: pa.Table) -> pa.Table:
-        v = batch["simhash"].to_numpy().view(np.int64)
-        return pa.table(
-            {"doc_id": batch["doc_id"], "simhash_i64": pa.array(v, pa.int64())}
-        )
-
-    return out.map_batches(to_i64, batch_format="pyarrow")
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    return emb.filter(pc.less(emb["vec_id"], 3)).rename_columns(
+        ["query_id", "embedding", "label"]
+    )
 
 
-def q_fingerprint(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow")
-
-    def to_i64(batch: pa.Table) -> pa.Table:
-        v = batch["fingerprint"].to_numpy().view(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "fingerprint_i64": pa.array(v, pa.int64()),
-            }
-        )
-
-    return out.map_batches(to_i64, batch_format="pyarrow")
+def simsearch_base(sf_dir: str):
+    """Brute-force cosine top-k alone (bench headline 'simsearch')."""
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(ds, _embedding_queries(sf_dir), k=10)
+    return out.select_columns(["query_id", "rank", "vec_id"])
 
 
 def q_simsearch(sf_dir: str):
-    import pyarrow.parquet as pq
-
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(pc.less(emb["vec_id"], 3)).rename_columns(
-        ["query_id", "embedding", "label"]
-    )
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_topk(ds, queries, k=10)
-    return out.select_columns(["query_id", "rank", "vec_id"])
-
-
-def q_simsearch_ivf(sf_dir: str):
-    """IVF top-k with ``nprobe == n_centroids`` — probing every inverted
-    list makes the approximate path exact, so the same SQL oracle as
-    q_simsearch applies while the full IVF machinery (deterministic
-    k-means train, broadcast centroids, per-batch assignment pruning)
-    runs end-to-end. Recall-vs-nprobe behavior is covered in pytest."""
-    import pyarrow.parquet as pq
-
+    """ANN top-k through BOTH E21 paths — brute-force cosine and IVF with
+    ``nprobe == n_centroids`` (probing every inverted list makes the
+    approximate path exact, so one oracle covers both while the full IVF
+    machinery — deterministic k-means train, broadcast centroids,
+    per-batch assignment pruning — runs end-to-end; recall-vs-nprobe is
+    covered in pytest). Consolidates q_simsearch / q_simsearch_ivf."""
     from .functions.sim import ivf_topk
 
-    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    queries = emb.filter(pc.less(emb["vec_id"], 3)).rename_columns(
-        ["query_id", "embedding", "label"]
-    )
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    out = ivf_topk(ds, queries, k=10, n_centroids=8, nprobe=8)
-    return out.select_columns(["query_id", "rank", "vec_id"])
+    ivf = ivf_topk(
+        ds, _embedding_queries(sf_dir), k=10, n_centroids=8, nprobe=8
+    ).select_columns(["query_id", "rank", "vec_id"])
+    return _tag_ds(simsearch_base(sf_dir), "method", "brute").union(
+        _tag_ds(ivf, "method", "ivf")
+    )
 
 
-SQL_SIMSEARCH = (
+_SQL_SIMSEARCH_ONE = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
     " WHERE vec_id < 3), s AS (SELECT q.query_id, e.vec_id,"
     " list_cosine_similarity(e.embedding, q.qe) AS sim FROM embeddings e"
@@ -745,19 +799,28 @@ SQL_SIMSEARCH = (
     " vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC,"
     " vec_id) AS rank FROM s) t WHERE rank <= 10"
 )
+SQL_SIMSEARCH = (
+    "SELECT query_id, rank, vec_id, 'brute' AS method"
+    f" FROM ({_SQL_SIMSEARCH_ONE})"
+    " UNION ALL SELECT query_id, rank, vec_id, 'ivf'"
+    f" FROM ({_SQL_SIMSEARCH_ONE})"
+)
 
 
-def q_media_frames(sf_dir: str):
-    """Multimodal frame-sampling plumbing (stubbed video decode): resize →
-    1→k frame expansion per media row; returns per-frame byte sizes
-    (rows-only; deterministic)."""
+def q_media(sf_dir: str):
+    """Multimodal plumbing (E25) — BOTH pipelines in one entry, long
+    format (variant, media_id, idx, val): 'frames' rows are resize →
+    1→k frame-sample expansion with per-frame byte sizes (idx=frame_idx,
+    val=n_bytes); 'features' rows are per-media decode→feature-extract
+    sums (idx=0, val=feat_sum_x1000). mode="fake" throughout — synthetic
+    payloads are random bytes, not decodable media; real codecs (when
+    installed) must not be pointed at them. Rows-only; deterministic.
+    Consolidates the former q_media_frames / q_media_features rows."""
     from .functions.multimodal import ResizeStage, sample_frames
-
     from .functions._buckets import derive_concurrency
 
     media = synth_media_table(200)
-    # mode="fake" throughout: synthetic payloads are not decodable media.
-    ds = _rd().from_arrow(media).map_batches(
+    resized = _rd().from_arrow(media).map_batches(
         ResizeStage,
         fn_constructor_kwargs=dict(target=32, mode="fake"),
         batch_format="pyarrow",
@@ -765,45 +828,47 @@ def q_media_frames(sf_dir: str):
         concurrency=derive_concurrency(0.5),
         num_cpus=1,
     )
-    frames = sample_frames(ds, n_frames=8, stride=2, mode="fake")
+    frames = sample_frames(resized, n_frames=8, stride=2, mode="fake")
 
-    def sizes(batch: pa.Table) -> pa.Table:
+    def frame_rows(batch: pa.Table) -> pa.Table:
         pl = batch["frame_payload"]
         if isinstance(pl, pa.ChunkedArray):
             pl = pl.combine_chunks()
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "frame_idx": batch["frame_idx"],
-                "n_bytes": pc.cast(pc.binary_length(pl), pa.int64()),
+                "idx": pc.cast(batch["frame_idx"], pa.int64()),
+                "val": pc.cast(pc.binary_length(pl), pa.int64()),
             }
         )
 
-    return frames.map_batches(sizes, batch_format="pyarrow")
+    feats = extract_features(_rd().from_arrow(media), dim=16, mode="fake")
 
-
-def q_media_features(sf_dir: str):
-    """Multimodal plumbing (stubbed decode): feature means per media row."""
-    media = synth_media_table(200)
-    ds = _rd().from_arrow(media)
-    # mode="fake": synthetic payloads are random bytes, not decodable
-    # images — real codecs (when installed) must not be pointed at them.
-    out = extract_features(ds, dim=16, mode="fake")
-
-    def summarize(batch: pa.Table) -> pa.Table:
+    def feature_rows(batch: pa.Table) -> pa.Table:
         f = (
             batch["features"].combine_chunks().flatten().to_numpy().reshape(-1, 16)
         )
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "feat_sum_x1000": pa.array(
+                "idx": pa.array(np.zeros(len(batch), dtype=np.int64)),
+                "val": pa.array(
                     np.round(f.sum(axis=1) * 1000).astype(np.int64)
                 ),
             }
         )
 
-    return out.map_batches(summarize, batch_format="pyarrow")
+    return _tag_ds(
+        frames.map_batches(frame_rows, batch_format="pyarrow"),
+        "variant",
+        "frames",
+    ).union(
+        _tag_ds(
+            feats.map_batches(feature_rows, batch_format="pyarrow"),
+            "variant",
+            "features",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -842,8 +907,17 @@ def q_pricing_summary(sf_dir: str):
         agg = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("sum_qty", "sum"), ("sum_rev_cents", "sum"), ([], "count_all")]
         )
-        return agg.rename_columns(
-            ["l_returnflag", "l_linestatus", "sum_qty", "sum_rev_cents", "n_rows"]
+        # Select by the deterministic generated names, not position —
+        # pyarrow's key/aggregate column ordering has differed across
+        # releases (ADVICE r3).
+        return pa.table(
+            {
+                "l_returnflag": agg["l_returnflag"],
+                "l_linestatus": agg["l_linestatus"],
+                "sum_qty": agg["sum_qty_sum"],
+                "sum_rev_cents": agg["sum_rev_cents_sum"],
+                "n_rows": agg["count_all"],
+            }
         )
 
     from ray.data.aggregate import Sum
@@ -903,8 +977,12 @@ def q_orders_by_segment(sf_dir: str):
         agg = t.group_by("c_mktsegment").aggregate(
             [("sum_total_cents", "sum"), ([], "count_all")]
         )
-        return agg.rename_columns(
-            ["c_mktsegment", "sum_total_cents", "n_orders"]
+        return pa.table(
+            {
+                "c_mktsegment": agg["c_mktsegment"],
+                "sum_total_cents": agg["sum_total_cents_sum"],
+                "n_orders": agg["count_all"],
+            }
         )
 
     from ray.data.aggregate import Sum
@@ -946,8 +1024,13 @@ def q_events_hourly(sf_dir: str):
         agg = t.group_by(["event_type", "hour"]).aggregate(
             [([], "count_all"), ("sum_value_cents", "sum")]
         )
-        return agg.rename_columns(
-            ["event_type", "hour", "n_events", "sum_value_cents"]
+        return pa.table(
+            {
+                "event_type": agg["event_type"],
+                "hour": agg["hour"],
+                "n_events": agg["count_all"],
+                "sum_value_cents": agg["sum_value_cents_sum"],
+            }
         )
 
     from ray.data.aggregate import Sum
@@ -1000,34 +1083,6 @@ def q_embed_neardup(sf_dir: str):
     both = pa.concat_tables([emb, dups])
     ds = _rd().from_arrow(both)
     return embedding_neardup_pairs(ds, threshold=0.99)
-
-
-def q_langid_counts(sf_dir: str):
-    """Language-ID guesses (marker heuristic, actor pool) vs corpus."""
-    from .functions.text import LangIdStage
-    from .functions._buckets import derive_concurrency
-    from ray.data.aggregate import Sum
-
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    guessed = ds.map_batches(
-        LangIdStage, batch_format="pyarrow", num_cpus=1,
-        concurrency=derive_concurrency(0.5),
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        vc = pc.value_counts(batch["lang_guess"].combine_chunks())
-        return pa.table(
-            {
-                "lang_guess": vc.field("values"),
-                "n_docs": pc.cast(vc.field("counts"), pa.int64()),
-            }
-        )
-
-    return (
-        guessed.map_batches(partial, batch_format="pyarrow")
-        .groupby("lang_guess")
-        .aggregate(Sum("n_docs", alias_name="n_docs"))
-    )
 
 
 def q_cellset_ops(sf_dir: str):
@@ -1232,16 +1287,6 @@ SQL_CURATION = (
 )
 
 
-def q_distinct_sources(sf_dir: str):
-    """Distinct source values (E14-adjacent unique op; Dataset.unique
-    returns a plain list, so the distinct is expressed as a groupby)."""
-    ds = _docs(sf_dir, ["source"])
-    return ds.groupby("source").count().select_columns(["source"])
-
-
-SQL_DISTINCT_SOURCES = "SELECT DISTINCT source FROM documents"
-
-
 def q_sample_hash(sf_dir: str):
     """Deterministic 10% sample by id hash (resumable sampling — the scale
     substitute for random_sample when reruns must see the same rows)."""
@@ -1412,7 +1457,13 @@ def q_native_join(sf_dir: str):
         agg = t.group_by("c_mktsegment").aggregate(
             [([], "count_all"), ("cents", "sum")]
         )
-        return agg.rename_columns(["c_mktsegment", "n_orders", "total_cents"])
+        return pa.table(
+            {
+                "c_mktsegment": agg["c_mktsegment"],
+                "n_orders": agg["count_all"],
+                "total_cents": agg["cents_sum"],
+            }
+        )
 
     return (
         joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
@@ -1445,25 +1496,6 @@ def q_text_identity(sf_dir: str):
 SQL_TEXT_IDENTITY = (
     "SELECT doc_id, 'https://' || source || '.example/' ||"
     " CAST(doc_id AS VARCHAR) AS url, text FROM documents"
-)
-
-
-def q_token_regex(sf_dir: str):
-    """BPE-ish regex token counts — one RE2 pass in Arrow C++; the oracle
-    runs the identical RE2 pattern through DuckDB regexp_extract_all."""
-    from .functions.text import regex_token_count_batch
-
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(
-        regex_token_count_batch, batch_format="pyarrow", batch_size=None
-    )
-    return out.select_columns(["doc_id", "n_bpe_tokens"])
-
-
-SQL_TOKEN_REGEX = (
-    "SELECT doc_id, CAST(len(regexp_extract_all(coalesce(text, ''),"
-    " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens"
-    " FROM documents"
 )
 
 
@@ -1526,11 +1558,24 @@ SQL_TOP_ORDERS_PER_CUST = (
 
 
 def q_quantiles(sf_dir: str):
-    """Exact distributed quantiles of an integer column via a bounded
-    histogram: per-block bincount partials → tiny groupby → the quantile
-    is read off the merged cumulative histogram. Exact (no t-digest
-    approximation) because the domain is bounded integers; the oracle
-    picks the identical sorted-index element with ROW_NUMBER."""
+    """ALL THREE exact distributed-quantile kernels in one long-format
+    entry (variant, q, value):
+
+    - 'int_hist': bounded-integer column (lineitem.l_quantity) via
+      per-block bincount partials → tiny groupby → read off the merged
+      cumulative histogram.
+    - 'fixed_point': continuous events.value through the ×100-cents
+      fixed-point grid (sparse value_counts partials, groupby-sum merge
+      — driver state bounded by the grid domain, never row count).
+    - 'bracket': the fully general continuous path — min/max pass,
+      iterative histogram bracket narrowing, exact gather of only the
+      surviving bracket rows (small gather_cap deliberately forces the
+      histogram passes even at test scale). Returns the ORIGINAL stored
+      doubles, bit-comparable with the oracle.
+
+    All values cast to float64 (exact for these magnitudes). Consolidates
+    the former q_quantiles / q_quantiles_float / q_quantiles_bracket
+    registry rows."""
     from ray.data.aggregate import Sum
 
     ds = _rd().read_parquet(
@@ -1569,15 +1614,41 @@ def q_quantiles(sf_dir: str):
     for q in qs:
         k = int(np.floor(q / 100.0 * (n - 1)))
         vals.append(int(np.searchsorted(cum, k + 1, side="left")))
-    return pa.table(
+    int_tbl = pa.table(
         {
             "q": pa.array(qs, pa.int64()),
             "value": pa.array(vals, pa.int64()),
         }
     )
 
+    from .functions.quantiles import exact_float_quantiles, fixed_point_quantiles
 
-SQL_QUANTILES = (
+    ds_ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    fixed_tbl = fixed_point_quantiles(ds_ev, "value", qs, scale=100)
+    ds_ev2 = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    bracket_tbl = exact_float_quantiles(
+        ds_ev2, "value", qs, bins=512, max_passes=2, gather_cap=2000
+    )
+
+    def tagged(tbl: pa.Table, name: str, vcol: str) -> pa.Table:
+        return pa.table(
+            {
+                "variant": pa.array([name] * len(tbl), pa.string()),
+                "q": tbl["q"],
+                "value": pc.cast(tbl[vcol], pa.float64()),
+            }
+        )
+
+    return pa.concat_tables(
+        [
+            tagged(int_tbl, "int_hist", "value"),
+            tagged(fixed_tbl, "fixed_point", "value_cents"),
+            tagged(bracket_tbl, "bracket", "value"),
+        ]
+    )
+
+
+_SQL_QUANTILES_INT = (
     "WITH s AS (SELECT l_quantity,"
     " ROW_NUMBER() OVER (ORDER BY l_quantity) - 1 AS r FROM lineitem),"
     " n AS (SELECT COUNT(*) AS c FROM lineitem)"
@@ -1746,17 +1817,6 @@ SQL_DECONTAMINATE = (
 )
 
 
-def q_quantiles_float(sf_dir: str):
-    """Exact quantiles of the continuous ``events.value`` double column via
-    the fixed-point grid (×100 cents): sparse per-block value_counts
-    partials, groupby-sum merge — driver state bounded by the grid domain,
-    never by row count (functions/quantiles.py strategy 1; VERDICT r2 #6)."""
-    from .functions.quantiles import fixed_point_quantiles
-
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
-    return fixed_point_quantiles(ds, "value", [25, 50, 75, 90, 99], scale=100)
-
-
 SQL_QUANTILES_FLOAT = (
     "WITH s AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c"
     " FROM events),"
@@ -1768,23 +1828,6 @@ SQL_QUANTILES_FLOAT = (
 )
 
 
-def q_quantiles_bracket(sf_dir: str):
-    """Exact quantiles of ``events.value`` via iterative histogram
-    bracketing — the fully general continuous-domain path (no fixed-point
-    assumption): min/max pass, bracket-narrowing histogram passes, exact
-    gather of only the surviving bracket rows. Returns the ORIGINAL stored
-    doubles, so the result is bit-comparable with the DuckDB oracle reading
-    the same parquet. Small gather_cap here deliberately forces the
-    histogram passes to run even at test scale."""
-    from .functions.quantiles import exact_float_quantiles
-
-    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
-    return exact_float_quantiles(
-        ds, "value", [25, 50, 75, 90, 99],
-        bins=512, max_passes=2, gather_cap=2000,
-    )
-
-
 SQL_QUANTILES_BRACKET = (
     "WITH o AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) - 1 AS r"
     " FROM events),"
@@ -1792,6 +1835,14 @@ SQL_QUANTILES_BRACKET = (
     " SELECT CAST(v.q AS BIGINT) AS q, o.value AS value"
     " FROM (VALUES (25),(50),(75),(90),(99)) AS v(q) JOIN o ON o.r ="
     " CAST(floor(v.q / 100.0 * ((SELECT cnt FROM n) - 1)) AS BIGINT)"
+)
+
+SQL_QUANTILES = (
+    "SELECT 'int_hist' AS variant, q, CAST(value AS DOUBLE) AS value"
+    f" FROM ({_SQL_QUANTILES_INT})"
+    " UNION ALL SELECT 'fixed_point', q, CAST(value_cents AS DOUBLE)"
+    f" FROM ({SQL_QUANTILES_FLOAT})"
+    f" UNION ALL SELECT 'bracket', q, value FROM ({SQL_QUANTILES_BRACKET})"
 )
 
 
@@ -2007,12 +2058,22 @@ SQL_LATEST_EVENT = (
 )
 
 
-def q_distinct_users_by_type(sf_dir: str):
-    """Exact COUNT(DISTINCT) per group, two-level: per-block distinct
-    (event_type, user_id) pairs (np.unique on a packed key — the shuffle
-    carries distinct pairs, not rows), groupby-dedup across blocks, then
-    a tiny per-type count. Exchange volume is bounded by the true
-    distinct-pair cardinality."""
+def q_distinct_counts(sf_dir: str):
+    """Exact distinct ops, two variants in one long-format entry
+    (variant, dkey, n):
+
+    - 'users_by_type': exact COUNT(DISTINCT user_id) per event_type,
+      two-level — per-block distinct (event_type, user_id) pairs
+      (np.unique on a packed key; the shuffle carries distinct pairs,
+      not rows), groupby-dedup across blocks, then a tiny per-type
+      count. Exchange volume is bounded by the true distinct-pair
+      cardinality.
+    - 'sources': distinct document sources (E14-adjacent unique op;
+      Dataset.unique returns a plain list, so the distinct is expressed
+      as a groupby), n pinned to 1.
+
+    Consolidates the former q_distinct_users_by_type /
+    q_distinct_sources registry rows."""
     from ray.data.aggregate import Count
 
     ds = _rd().read_parquet(
@@ -2032,7 +2093,7 @@ def q_distinct_users_by_type(sf_dir: str):
         uid = batch["user_id"].to_numpy().astype(np.int64)
         if len(uid) and (uid.min() < 0 or uid.max() >= (1 << 40)):
             raise ValueError(
-                "q_distinct_users_by_type: user_id outside the pack domain"
+                "q_distinct_counts: user_id outside the pack domain"
                 f" [0, 2^40): [{uid.min()}, {uid.max()}]"
             )
         key = idx * (1 << 40) + uid
@@ -2075,7 +2136,7 @@ def q_distinct_users_by_type(sf_dir: str):
 
     from ray.data.aggregate import Sum
 
-    return (
+    users = (
         ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
         .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_cb")
@@ -2084,10 +2145,43 @@ def q_distinct_users_by_type(sf_dir: str):
         .aggregate(Sum("n_users", alias_name="n_users"))
     )
 
+    def users_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dkey": pc.cast(batch["event_type"], pa.string()),
+                "n": pc.cast(batch["n_users"], pa.int64()),
+            }
+        )
 
-SQL_DISTINCT_USERS_BY_TYPE = (
-    "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users"
+    sources = _docs(sf_dir, ["source"]).groupby("source").count()
+
+    def source_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dkey": pc.cast(batch["source"], pa.string()),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+            }
+        )
+
+    return _tag_ds(
+        users.map_batches(users_rows, batch_format="pyarrow"),
+        "variant",
+        "users_by_type",
+    ).union(
+        _tag_ds(
+            sources.map_batches(source_rows, batch_format="pyarrow"),
+            "variant",
+            "sources",
+        )
+    )
+
+
+SQL_DISTINCT_COUNTS = (
+    "SELECT 'users_by_type' AS variant, event_type AS dkey,"
+    " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n"
     " FROM events GROUP BY event_type"
+    " UNION ALL SELECT 'sources', source, CAST(1 AS BIGINT)"
+    " FROM (SELECT DISTINCT source FROM documents)"
 )
 
 
@@ -2428,42 +2522,39 @@ SQL_LABEL_CENTROIDS = (
 # Registry
 # ---------------------------------------------------------------------------
 
+# Exactly 50 entries — the driver's correctness window evaluates at most
+# 50 queries in registration order (VERDICT r3 #3), so the registry is
+# consolidated to fit: same-oracle kernel variants share one entry with a
+# variant/method/strategy label column (q_encode_suite, q_join_rect,
+# q_knn, q_tile_counts_l8, q_token_count, q_lang_counts, q_neardup_pairs,
+# q_simsearch, q_media, q_quantiles, q_distinct_counts,
+# q_cover_regions_golden), and the standalone q_simhash / q_fingerprint
+# rows were dropped as redundant with the hash-exact q_sketch_golden.
+# Every kernel that was registered in round 3 is still exercised.
 QUERIES = {
-    "q_geocode": q_geocode,
-    "q_cell_tokens_l12": q_cell_tokens_l12,
-    "q_cell_roundtrip": q_cell_roundtrip,
-    "q_cover_regions": q_cover_regions,
+    "q_encode_suite": q_encode_suite,
     "q_cover_regions_golden": q_cover_regions_golden,
     "q_join_rect": q_join_rect,
-    "q_join_rect_skew": q_join_rect_skew,
     "q_join_cap": q_join_cap,
     "q_join_anti": q_join_anti,
     "q_join_poly": q_join_poly,
     "q_join_poly_concave": q_join_poly_concave,
     "q_knn": q_knn,
-    "q_knn_pruned": q_knn_pruned,
     "q_tile_counts_l8": q_tile_counts_l8,
     "q_write_tiles_roundtrip": q_write_tiles_roundtrip,
-    "q_top_tiles_l8": q_top_tiles_l8,
     "q_hilbert_order": q_hilbert_order,
     "q_dedup_exact": q_dedup_exact,
     "q_token_count": q_token_count,
     "q_quality": q_quality,
     "q_lang_counts": q_lang_counts,
-    "q_minhash_pairs": q_minhash_pairs,
-    "q_simhash": q_simhash,
-    "q_simhash_pairs": q_simhash_pairs,
-    "q_fingerprint": q_fingerprint,
+    "q_neardup_pairs": q_neardup_pairs,
     "q_simsearch": q_simsearch,
-    "q_simsearch_ivf": q_simsearch_ivf,
-    "q_media_features": q_media_features,
-    "q_media_frames": q_media_frames,
+    "q_media": q_media,
     "q_pricing_summary": q_pricing_summary,
     "q_orders_by_segment": q_orders_by_segment,
     "q_events_hourly": q_events_hourly,
     "q_sessions": q_sessions,
     "q_embed_neardup": q_embed_neardup,
-    "q_langid_counts": q_langid_counts,
     "q_cellset_ops": q_cellset_ops,
     "q_curation": q_curation,
     "q_curation_export": q_curation_export,
@@ -2471,27 +2562,23 @@ QUERIES = {
     "q_asof_orders": q_asof_orders,
     "q_band_join": q_band_join,
     "q_events_sliding": q_events_sliding,
-    "q_distinct_sources": q_distinct_sources,
     "q_sample_hash": q_sample_hash,
     "q_distinct_hll": q_distinct_hll,
     "q_domain_counts": q_domain_counts,
     "q_native_join": q_native_join,
     "q_text_identity": q_text_identity,
-    "q_token_regex": q_token_regex,
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_quantiles": q_quantiles,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_decontaminate": q_decontaminate,
     "q_heavy_hitters": q_heavy_hitters,
     "q_sketch_golden": q_sketch_golden,
-    "q_quantiles_float": q_quantiles_float,
-    "q_quantiles_bracket": q_quantiles_bracket,
     "q_quantiles_by_group": q_quantiles_by_group,
     "q_events_pivot": q_events_pivot,
     "q_semi_join_customers": q_semi_join_customers,
     "q_outer_join_counts": q_outer_join_counts,
     "q_latest_event_per_user": q_latest_event_per_user,
-    "q_distinct_users_by_type": q_distinct_users_by_type,
+    "q_distinct_counts": q_distinct_counts,
     "q_moment_stats": q_moment_stats,
     "q_median_filter": q_median_filter,
     "q_label_centroids": q_label_centroids,
@@ -2503,43 +2590,40 @@ from .functions.asof import (  # noqa: E402
     SLIDING_SQL as SQL_SLIDING,
 )
 
+_SQL_TILE_COUNTS_ONE = (
+    "SELECT cell_token AS tile_token, COUNT(*) AS n_rows FROM ("
+    + _sql_cell_tokens(8)
+    + ") GROUP BY cell_token"
+)
+
 ORACLE_SQL = {
-    "q_geocode": SQL_GEOCODE,
-    "q_cell_tokens_l12": _sql_cell_tokens(12),
+    "q_encode_suite": SQL_ENCODE_SUITE,
     "q_tile_counts_l8": (
-        "SELECT cell_token AS tile_token, COUNT(*) AS n_rows FROM ("
-        + _sql_cell_tokens(8)
-        + ") GROUP BY cell_token"
+        f"SELECT tile_token, n_rows, 'all' AS variant"
+        f" FROM ({_SQL_TILE_COUNTS_ONE})"
+        " UNION ALL SELECT tile_token, n_rows, 'top20' FROM ("
+        f"{_SQL_TILE_COUNTS_ONE}"
+        " ORDER BY n_rows DESC, tile_token LIMIT 20)"
     ),
-    "q_write_tiles_roundtrip": (
-        "SELECT cell_token AS tile_token, COUNT(*) AS n_rows FROM ("
-        + _sql_cell_tokens(8)
-        + ") GROUP BY cell_token"
-    ),
-    "q_top_tiles_l8": (
-        "SELECT cell_token AS tile_token, COUNT(*) AS n_rows FROM ("
-        + _sql_cell_tokens(8)
-        + ") GROUP BY cell_token ORDER BY n_rows DESC, tile_token LIMIT 20"
-    ),
+    "q_write_tiles_roundtrip": _SQL_TILE_COUNTS_ONE,
     "q_hilbert_order": (
         "SELECT doc_id, cell_token FROM ("
         + _sql_cell_tokens(30, with_order_key=True)
         + ") ORDER BY n, doc_id LIMIT 100"
     ),
     "q_join_rect": SQL_JOIN_RECT,
-    "q_join_rect_skew": SQL_JOIN_RECT,
     "q_join_cap": SQL_JOIN_CAP,
     "q_join_anti": SQL_JOIN_ANTI,
     "q_knn": SQL_KNN,
-    "q_knn_pruned": SQL_KNN,
     "q_join_poly": SQL_JOIN_POLY,
     "q_join_poly_concave": SQL_JOIN_LOOP,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_token_count": SQL_TOKEN_COUNT,
     "q_quality": SQL_QUALITY,
-    "q_lang_counts": SQL_LANG_COUNTS,
+    # "q_lang_counts" is appended below — its SQL composes the declared
+    # and guessed legs, and the guessed leg's CTE chain is defined after
+    # this dict for readability.
     "q_simsearch": SQL_SIMSEARCH,
-    "q_simsearch_ivf": SQL_SIMSEARCH,
     "q_pricing_summary": SQL_PRICING,
     "q_orders_by_segment": SQL_ORDERS_SEG,
     "q_events_hourly": SQL_EVENTS_HOURLY,
@@ -2548,12 +2632,10 @@ ORACLE_SQL = {
     "q_asof_orders": SQL_ASOF,
     "q_band_join": SQL_BAND_JOIN,
     "q_events_sliding": SQL_SLIDING,
-    "q_distinct_sources": SQL_DISTINCT_SOURCES,
     "q_sample_hash": SQL_SAMPLE_HASH,
     "q_domain_counts": SQL_DOMAIN_COUNTS,
     "q_native_join": SQL_NATIVE_JOIN,
     "q_text_identity": SQL_TEXT_IDENTITY,
-    "q_token_regex": SQL_TOKEN_REGEX,
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "q_quantiles": SQL_QUANTILES,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
@@ -2561,21 +2643,18 @@ ORACLE_SQL = {
     "q_heavy_hitters": SQL_HEAVY_HITTERS,
     # Frozen self-golden for non-SQL sketch kernels (see q_sketch_golden)
     "q_sketch_golden": SQL_SKETCH_GOLDEN,
-    "q_quantiles_float": SQL_QUANTILES_FLOAT,
-    "q_quantiles_bracket": SQL_QUANTILES_BRACKET,
     "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
     "q_events_pivot": _sql_events_pivot(),
     "q_semi_join_customers": SQL_SEMI_JOIN,
     "q_outer_join_counts": SQL_OUTER_JOIN_COUNTS,
     "q_latest_event_per_user": SQL_LATEST_EVENT,
-    "q_distinct_users_by_type": SQL_DISTINCT_USERS_BY_TYPE,
+    "q_distinct_counts": SQL_DISTINCT_COUNTS,
     "q_moment_stats": SQL_MOMENT_STATS,
     "q_median_filter": SQL_MEDIAN_FILTER,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
-    # Round-trip invariant: engine must produce ok=true for every row.
-    "q_cell_roundtrip": "SELECT doc_id, CAST(1 AS BOOLEAN) AS ok FROM documents",
-    # Frozen self-golden: pins the coverer's exact output (content+order);
-    # not an independent derivation — see q_cover_regions_golden docstring.
+    # Frozen self-golden: pins the coverer's exact exterior AND interior
+    # output (content+order); not an independent derivation — see
+    # q_cover_regions_golden docstring.
     "q_cover_regions_golden": SQL_COVER_GOLDEN,
     # Injected duplicates are the only pairs ≥ 0.99 (natural max sim ≈ 0.2),
     # and identical vectors always share an LSH bucket → output is exactly
@@ -2584,7 +2663,9 @@ ORACLE_SQL = {
         "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings"
         " WHERE vec_id % 50 = 0"
     ),
-    "q_langid_counts": (
+}
+
+_SQL_LANG_GUESSED = (
         "WITH toks AS (SELECT doc_id, text,"
         " list_distinct(string_split(lower(text), ' ')) AS tl FROM documents),"
         " sc AS (SELECT doc_id, text,"
@@ -2603,5 +2684,11 @@ ORACLE_SQL = {
         " regexp_matches(substr(text, 1, 200), '[一-鿿]')"
         " THEN 'zh' ELSE lang0 END AS lang_guess FROM pick)"
         " SELECT lang_guess, COUNT(*) AS n_docs FROM final GROUP BY lang_guess"
-    ),
-}
+)
+
+SQL_LANG_COUNTS = (
+    f"SELECT lang, n_docs, 'declared' AS variant FROM ({_SQL_LANG_DECLARED})"
+    " UNION ALL SELECT lang_guess, n_docs, 'guessed'"
+    f" FROM ({_SQL_LANG_GUESSED})"
+)
+ORACLE_SQL["q_lang_counts"] = SQL_LANG_COUNTS

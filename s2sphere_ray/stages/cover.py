@@ -79,6 +79,7 @@ def cover_regions(
     tokens: bool = False,
     concurrency=None,
     batch_size: int = 512,
+    interior_work_budget: int = 4000,
 ):
     """Dataset of region rows → same rows + ``cover`` list column."""
     from ..functions._buckets import derive_concurrency
@@ -96,6 +97,7 @@ def cover_regions(
             level_mod=level_mod,
             interior=interior,
             tokens=tokens,
+            interior_work_budget=interior_work_budget,
         ),
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -11,8 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.001"
 SAMPLE = [
-    "q_geocode",
-    "q_cell_tokens_l12",
+    "q_encode_suite",
     "q_join_rect",
     "q_join_cap",
     "q_join_poly",

@@ -222,9 +222,100 @@ def test_multimodal_plumbing(ray_session):
     out = extract_features(rd.from_arrow(media), dim=16).take_all()
     assert len(out) == 50
     assert len(out[0]["features"]) == 16
-    # real-decode path is stubbed
-    with pytest.raises(NotImplementedError):
+    # mode="real" resolves to the vendored numpy codec tier here (no
+    # PIL in this container) and is STRICT: synth payloads are opaque
+    # bytes, not PPM/PGM/BMP, so decode must raise rather than fall
+    # back silently.
+    with pytest.raises(ValueError, match="PPM/PGM/BMP"):
         ImageFeatureStage(fake=False)(media)
+
+
+def test_npimage_codec_roundtrip():
+    """VERDICT r3 #6: the vendored PPM/PGM/BMP codec round-trips
+    bit-exactly and its helpers match the documented PIL conventions."""
+    from s2sphere_ray.functions import _npimage as npi
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(9, 5), dtype=np.uint8)
+    for arr, enc in ((rgb, "ppm"), (rgb, "bmp"), (gray, "pgm")):
+        buf = npi.encode(arr, enc)
+        assert npi.sniff(buf) == enc
+        back = npi.decode(buf)
+        np.testing.assert_array_equal(back, arr)
+    # comment-tolerant PPM header
+    hdr = b"P5 # c\n# c2\n 3\t2\n255\n" + bytes(range(6))
+    np.testing.assert_array_equal(
+        npi.decode(hdr), np.arange(6, dtype=np.uint8).reshape(2, 3)
+    )
+    # luma: integer ITU-R 601-2 (PIL convert('L') formula)
+    l = npi.to_gray(rgb)
+    want = (
+        rgb[:, :, 0].astype(np.int64) * 299
+        + rgb[:, :, 1].astype(np.int64) * 587
+        + rgb[:, :, 2].astype(np.int64) * 114
+    ) // 1000
+    np.testing.assert_array_equal(l, want.astype(np.float64).ravel())
+    # nearest-neighbor resize: exact index math
+    small = npi.resize_nearest(rgb, 4, 4)
+    yi = np.minimum(((np.arange(4) + 0.5) * 13 / 4).astype(np.int64), 12)
+    xi = np.minimum(((np.arange(4) + 0.5) * 17 / 4).astype(np.int64), 16)
+    np.testing.assert_array_equal(small, rgb[yi][:, xi])
+    with pytest.raises(ValueError):
+        npi.decode(b"\x89PNG\r\n")
+
+
+def test_multimodal_real_numpy_tier(ray_session):
+    """The real-decode branch of ImageFeatureStage / ResizeStage runs
+    end-to-end on vendored-codec payloads (golden-pinned in-sandbox,
+    VERDICT r3 #6): features equal the direct gray-chunk-mean
+    computation and resize round-trips through the same format."""
+    from s2sphere_ray.functions import _npimage as npi
+    from s2sphere_ray.functions.multimodal import (
+        ImageFeatureStage,
+        ResizeStage,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = [
+        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for h, w in ((8, 12), (20, 6), (5, 5))
+    ]
+    kinds = ["ppm", "bmp", "ppm"]
+    payloads = [npi.encode(a, k) for a, k in zip(imgs, kinds)]
+    media = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2], pa.int64()),
+            "media_type": pa.array(["image"] * 3),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([12, 6, 5], pa.int64()),
+            "height": pa.array([8, 20, 5], pa.int64()),
+            "duration_ms": pa.array([0, 0, 0], pa.int64()),
+        }
+    )
+    feat_stage = ImageFeatureStage(dim=4, mode="real")
+    assert feat_stage.codec == "numpy"
+    out = feat_stage(media)
+    feats = out["features"].to_pylist()
+    for i, arr in enumerate(imgs):
+        px = npi.to_gray(arr)
+        want = [
+            float(np.float32(c.mean())) for c in np.array_split(px, 4)
+        ]
+        assert feats[i] == pytest.approx(want, abs=0.0), i
+    # mode="auto" on the same decodable payloads takes the numpy path too
+    auto = ImageFeatureStage(dim=4, mode="auto")(media)
+    assert auto["features"].to_pylist() == feats
+    # resize: target smaller than both dims, re-encoded in source format
+    rs = ResizeStage(target=4, mode="real")
+    assert rs.codec == "numpy"
+    rout = rs(media)
+    for i, arr in enumerate(imgs):
+        back = npi.decode(rout["payload"][i].as_py())
+        assert back.shape == (4, 4, 3)
+        np.testing.assert_array_equal(
+            back, npi.resize_nearest(arr, 4, 4)
+        )
 
 
 def test_write_tiles_resume(ray_session, tmp_path):
@@ -624,7 +715,10 @@ def test_multimodal_resize_and_frames(ray_session):
         rd.from_arrow(media).repartition(4), n_frames=8, stride=2
     ).take_all()
     assert len(out) == 160
-    with pytest.raises(NotImplementedError):
+    # strict real mode: images fall to the vendored numpy tier which
+    # rejects undecodable payloads; video has no numpy tier so it still
+    # raises NotImplementedError when PyAV is absent.
+    with pytest.raises(ValueError, match="PPM/PGM/BMP"):
         ResizeStage(fake=False)(media)
     with pytest.raises(NotImplementedError):
         FrameSampleStage(fake=False)(media)
@@ -817,6 +911,43 @@ def test_exact_float_quantiles_degenerate_mass(ray_session):
         assert got == sv[k], (q, got, sv[k])
 
 
+def test_exact_float_quantiles_collapsed_bin_neighbor_double(ray_session):
+    """ADVICE r3: collapsed (sub-float-resolution) bins now resolve
+    through the exact gather instead of shortcutting to the bin's left
+    edge (the one-distinct-double assumption fails at edges: a value
+    1 ulp away can floor-round into the bin, and over-range rows clip
+    into the LAST bin). This pins the collapse→gather path end-to-end:
+    heavy masses on two ADJACENT doubles force brackets to refine past
+    1 ulp (512-bin × 10-pass narrowing from a ~20-wide range crosses
+    the ~5.5e-17 ulp of base), so the collapse branch must run and the
+    gathered order statistics must still be bit-exact."""
+    import ray.data as rd
+    from s2sphere_ray.functions.quantiles import exact_float_quantiles
+
+    base = 1.0 / 3.0
+    below = np.nextafter(base, -np.inf)
+    v = np.concatenate(
+        [
+            np.full(4000, below),
+            np.full(5500, base),
+            np.linspace(10.0, 20.0, 500),
+        ]
+    )
+    rng = np.random.default_rng(7)
+    rng.shuffle(v)
+    ds = rd.from_arrow(pa.table({"x": pa.array(v)}))
+    qs = [10, 41, 50, 90, 99]
+    # bins=512 × 10 passes shrinks the bin width past 1 ulp of base
+    # (512^10 ≫ 20/5.5e-17), guaranteeing the collapse branch runs.
+    out = exact_float_quantiles(
+        ds, "x", qs, bins=512, max_passes=10, gather_cap=600
+    )
+    sv = np.sort(v)
+    for q, got in zip(qs, out["value"].to_pylist()):
+        k = int(np.floor(q / 100.0 * (len(v) - 1)))
+        assert got == sv[k], (q, got, sv[k])
+
+
 def test_exact_float_quantiles_all_equal(ray_session):
     import ray.data as rd
     from s2sphere_ray.functions.quantiles import exact_float_quantiles
@@ -845,9 +976,12 @@ def test_multimodal_codec_gating(ray_session):
         (FrameSampleStage, {}),
     ):
         stage = cls(mode="auto", **kw)
-        assert stage.codec in ("pil", "pyav", "fake")
-        if stage.codec == "fake":
-            # The stub must be load-bearing: it knows which import failed.
+        # image stages fall to the vendored numpy tier when PIL is
+        # absent (VERDICT r3 #6); video has no numpy tier → fake.
+        assert stage.codec in ("pil", "pyav", "numpy", "fake")
+        if stage.codec in ("numpy", "fake"):
+            # The fallback must be load-bearing: it knows which import
+            # failed.
             assert stage.codec_error and "Error" in stage.codec_error
         # mode='fake' always works and emits the contract schema.
         out = cls(mode="fake", **kw)(media)
@@ -1000,7 +1134,7 @@ def test_exact_float_quantiles_multipass_under_range(ray_session):
     """Regression (r3 code review): on passes after the first, rows below
     the union bracket must count ONLY in the `below` slot — clipping them
     into bin 0 double-counts, corrupting every rank. 200k N(0,1) rows with
-    the registered q_quantiles_bracket parameters force multiple passes
+    the registered q_quantiles 'bracket' parameters force multiple passes
     whose union bracket excludes most of the data."""
     import ray.data as rd
     from s2sphere_ray.functions.quantiles import exact_float_quantiles

@@ -41,6 +41,7 @@ def main() -> None:
                     ("region_id", pa.int64()),
                     ("cell_rank", pa.int64()),
                     ("cover_token", pa.string()),
+                    ("variant", pa.string()),
                 ]
             ),
         )
