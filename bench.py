@@ -85,7 +85,16 @@ def run_bench() -> dict:
 
     calibration_sec = _calibrate()
 
+    # A/B legs can restrict the micro suite to the queries under test
+    # (VERDICT r3 #5: attribute micro-bench regressions, not just the
+    # flagship) — names not listed are skipped entirely.
+    ab_only = set(
+        filter(None, os.environ.get("GRAFT_BENCH_AB_QUERIES", "").split(","))
+    )
+
     def timed(name, fn):
+        if ab_only and name not in ab_only:
+            return None
         print(f"[bench] {name} ...", file=sys.stderr, flush=True)
         t0 = time.time()
         out = fn()
@@ -340,7 +349,7 @@ def run_scaling() -> dict:
     }
 
 
-def run_ab(prev_rev: str) -> dict:
+def run_ab(prev_rev: str, ab_queries: str | None = None) -> dict:
     """Interleaved fresh-process A/B vs a previous git revision.
 
     The box is a shared VM whose co-tenant load swings identical runs up
@@ -365,9 +374,16 @@ def run_ab(prev_rev: str) -> dict:
     try:
         env_common = dict(
             os.environ,
-            GRAFT_BENCH_ONLY_FLAGSHIP="1",
             GRAFT_BENCH_SINGLE_RUN="1",
         )
+        if not ab_queries:
+            env_common["GRAFT_BENCH_ONLY_FLAGSHIP"] = "1"
+        # Per-query A/B (VERDICT r3 #5): run the FULL micro suite in
+        # BOTH legs — identical query order and session warm-state —
+        # and use ``ab_queries`` only to select which ratios to report.
+        # (First attempt skipped unlisted queries in the current leg
+        # only; the differing preceding workload shifted per-query
+        # timings up to 1.9x and manufactured phantom regressions.)
 
         def leg(script_dir: str) -> dict:
             out = subprocess.run(
@@ -384,14 +400,24 @@ def run_ab(prev_rev: str) -> dict:
         for which, d in (("cur", repo), ("prev", wt), ("prev", wt), ("cur", repo)):
             legs.append((which, leg(d)))
 
-        def best_norm(which: str) -> float:
-            return min(
-                r["value"] / max(r["calibration_sec"], 1e-6)
+        def best_norm(which: str, q: str = None) -> float:
+            vals = [
+                (r["queries"][q] if q else r["value"])
+                / max(r["calibration_sec"], 1e-6)
                 for w, r in legs
-                if w == which
-            )
+                if w == which and (q is None or q in r.get("queries", {}))
+            ]
+            return min(vals) if vals else float("nan")
 
         cur_n, prev_n = best_norm("cur"), best_norm("prev")
+        per_query = {}
+        for q in filter(None, (ab_queries or "").split(",")):
+            cq, pq = best_norm("cur", q), best_norm("prev", q)
+            per_query[q] = {
+                "ratio": round(cq / pq, 3),
+                "cur_normalized": round(cq, 2),
+                "prev_normalized": round(pq, 2),
+            }
         return {
             "metric": "ab_normalized_ratio",
             "value": round(cur_n / prev_n, 3),
@@ -399,6 +425,7 @@ def run_ab(prev_rev: str) -> dict:
             "prev_rev": prev_rev,
             "cur_normalized": round(cur_n, 2),
             "prev_normalized": round(prev_n, 2),
+            "per_query": per_query,
             "legs": [
                 {
                     "which": w,
@@ -423,7 +450,10 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--ab" in sys.argv:
-        rev = sys.argv[sys.argv.index("--ab") + 1]
-        print(json.dumps(run_ab(rev)))
+        # bench.py --ab <rev> [q1,q2,...]  (extra arg = per-query A/B)
+        i = sys.argv.index("--ab")
+        rev = sys.argv[i + 1]
+        qcsv = sys.argv[i + 2] if len(sys.argv) > i + 2 else None
+        print(json.dumps(run_ab(rev, qcsv)))
     else:
         print(json.dumps(run_bench()))
