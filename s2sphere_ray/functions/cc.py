@@ -1,0 +1,261 @@
+"""Distributed connected components over an edge Dataset.
+
+Implements the alternating **large-star / small-star** algorithm of
+Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii, "Connected
+Components in MapReduce and Beyond" (ACM SoCC 2014) — the standard
+shuffle-only CC construction: each round is two hash-bucketed
+``groupby().map_groups`` exchanges over the *edge* set (never the
+corpus), converging in O(log² n) rounds to a star per component rooted
+at the component's minimum node id.
+
+Why this shape for Ray Data / 100 TB:
+
+- The state is always the (compact) pair stream, orders of magnitude
+  smaller than the documents that generated it; each round shuffles
+  only ``(int64, int64)`` rows.
+- Both star operations are *per-node-neighborhood* reductions, expressed
+  here as hash-bucketed groupbys with fully vectorized numpy kernels
+  (lexsort + ``minimum.reduceat`` segment mins) — one Python call per
+  bucket, never per node (same pattern as exact_dedup / sessionize).
+- Each round ends in ``materialize()`` — required for an iterative
+  algorithm on a lazy Dataset (otherwise round k re-executes rounds
+  1..k-1) and safe because the state is compact.
+- Convergence = the edge multiset is unchanged by BOTH stars, detected
+  by (count, order-independent 64-bit checksum) per star application.
+  At the star fixpoint neither operation emits duplicates, so the
+  multiset signature is exact there; the checksum makes the equality
+  test O(1) driver-side (collision odds ~2^-64, and a false "converged"
+  would still require the count to match).
+
+Reference-parity note: the reference corpus (empty at survey time — see
+SURVEY.md §0) has no CC operator; this is one of the LLM-data-pipeline
+additions (cluster-based near-dup grouping, the consumer of
+minhash/Jaccard pair streams). Oracle: DuckDB recursive-CTE transitive
+closure (queries.SQL_DEDUP_CLUSTERS).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MASK64 = (1 << 64) - 1
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+NODE_SCHEMA = pa.schema([("node", pa.int64()), ("component", pa.int64())])
+
+
+def _segments(u: np.ndarray):
+    """Start offsets of equal-value runs in a sorted int array."""
+    if len(u) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+
+
+def _dedup_sorted(u: np.ndarray, v: np.ndarray):
+    """Drop consecutive duplicate (u, v) rows (inputs lexsorted)."""
+    if len(u) == 0:
+        return u, v
+    keep = np.r_[True, (u[1:] != u[:-1]) | (v[1:] != v[:-1])]
+    return u[keep], v[keep]
+
+
+def _sorted_uv(group: pa.Table):
+    u = group["u"].to_numpy(zero_copy_only=False)
+    v = group["v"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((v, u))
+    return _dedup_sorted(u[order], v[order])
+
+
+def _pairs_table(hi: np.ndarray, lo: np.ndarray) -> pa.Table:
+    return pa.table(
+        {"u": pa.array(hi, pa.int64()), "v": pa.array(lo, pa.int64())}
+    )
+
+
+def _large_star_kernel(group: pa.Table) -> pa.Table:
+    """Large-star on one bucket of SYMMETRIZED edges grouped by u:
+    per node u with neighborhood Γ(u), m = min(Γ(u) ∪ {u}); emit
+    (v, m) for every v ∈ Γ(u) with v > u.  Output rows are canonical
+    (hi, lo): v > u ≥ m."""
+    u, v = _sorted_uv(group)
+    if len(u) == 0:
+        return _pairs_table(u, v)
+    starts = _segments(u)
+    seg_len = np.diff(np.r_[starts, len(u)])
+    m = np.minimum(np.minimum.reduceat(v, starts), u[starts])
+    m_full = np.repeat(m, seg_len)
+    mask = v > u
+    return _pairs_table(v[mask], m_full[mask])
+
+
+def _small_star_kernel(group: pa.Table) -> pa.Table:
+    """Small-star on one bucket of CANONICAL (hi, lo) edges grouped by
+    hi=u (all neighbors v < u): m = min(Γ(u)); emit (u, m) and (v, m)
+    for v ∈ Γ(u), v ≠ m.  Output rows stay canonical (u > m, v > m)."""
+    u, v = _sorted_uv(group)
+    if len(u) == 0:
+        return _pairs_table(u, v)
+    starts = _segments(u)
+    seg_len = np.diff(np.r_[starts, len(u)])
+    m = np.minimum.reduceat(v, starts)
+    m_full = np.repeat(m, seg_len)
+    mask = v != m_full
+    hi = np.concatenate([u[starts], v[mask]])
+    lo = np.concatenate([m, m_full[mask]])
+    return _pairs_table(hi, lo)
+
+
+def _bucketer(n_buckets: int, symmetrize: bool):
+    """map_batches fn: (optionally) symmetrize, then attach the group-by
+    bucket of hash(u) — same-u rows always land in one bucket, so the
+    in-kernel dedup is global for any given neighborhood."""
+    from ._buckets import hash_buckets
+
+    def add(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        if symmetrize:
+            u, v = np.concatenate([u, v]), np.concatenate([v, u])
+        t = _pairs_table(u, v)
+        return t.append_column("_hb", pa.array(hash_buckets(u, n_buckets)))
+
+    return add
+
+
+def _star(ds, kernel, n_buckets: int, symmetrize: bool):
+    return (
+        ds.map_batches(
+            _bucketer(n_buckets, symmetrize),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+        .groupby("_hb")
+        .map_groups(kernel, batch_format="pyarrow")
+    )
+
+
+def _signature(mds) -> tuple:
+    """(row count, order-independent wraparound-sum checksum) of a
+    materialized pair Dataset — one tiny row per block collected."""
+
+    def chk(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            e = u * _P1 + v * _P2
+            e ^= e >> np.uint64(33)
+            e *= _P1
+            s = int(e.sum())
+        return pa.table(
+            {
+                "s": pa.array([s & _MASK64], pa.uint64()),
+                "c": pa.array([len(u)], pa.int64()),
+            }
+        )
+
+    parts = mds.map_batches(chk, batch_format="pyarrow").take_all()
+    count = sum(p["c"] for p in parts)
+    return count, sum(int(p["s"]) for p in parts) & _MASK64
+
+
+def connected_components(
+    edges,
+    *,
+    left: str = "id_a",
+    right: str = "id_b",
+    num_rows: int | None = None,
+    max_rounds: int = 64,
+):
+    """(node:int64, component:int64) for every node incident to an edge;
+    ``component`` is the minimum node id of the node's component.
+    Isolated nodes never appear in ``edges`` and are the caller's to
+    union in (standard edge-list CC semantics).
+
+    ``edges`` is an undirected pair Dataset; self-loops are dropped,
+    duplicate/reversed edges are fine.  ``num_rows`` is an optional edge
+    count hint for the first round's bucket sizing.
+    """
+    import ray.data as rd
+
+    from ._buckets import derive_buckets
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        a = batch[left].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[right].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        return _pairs_table(np.maximum(a, b), np.minimum(a, b))
+
+    state = edges.map_batches(
+        normalize, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    n, sig = _signature(state)
+    if n == 0:
+        return rd.from_arrow(NODE_SCHEMA.empty_table())
+
+    for _ in range(max_rounds):
+        buckets = derive_buckets(n)
+        ls = _star(state, _large_star_kernel, buckets, symmetrize=True)
+        ls = ls.materialize()
+        n_ls, sig_ls = _signature(ls)
+        ss = _star(
+            ls, _small_star_kernel, derive_buckets(n_ls), symmetrize=False
+        )
+        ss = ss.materialize()
+        n_ss, sig_ss = _signature(ss)
+        converged = (n_ls, sig_ls) == (n, sig) and (n_ss, sig_ss) == (
+            n_ls,
+            sig_ls,
+        )
+        state, n, sig = ss, n_ss, sig_ss
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # State is a star set {(child, root)}: emit child→root and root→root,
+    # then one bucket-dedup exchange (roots repeat once per child).
+    from ._buckets import hash_buckets
+
+    def emit(batch: pa.Table) -> pa.Table:
+        u = batch["u"].to_numpy(zero_copy_only=False)
+        v = batch["v"].to_numpy(zero_copy_only=False)
+        node = np.concatenate([u, v])
+        comp = np.concatenate([v, v])
+        t = pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "component": pa.array(comp, pa.int64()),
+            }
+        )
+        return t.append_column(
+            "_hb", pa.array(hash_buckets(node, derive_buckets(2 * n)))
+        )
+
+    def uniq(group: pa.Table) -> pa.Table:
+        node = group["node"].to_numpy(zero_copy_only=False)
+        comp = group["component"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((comp, node))
+        node, comp = _dedup_sorted(node[order], comp[order])
+        return pa.table(
+            {
+                "node": pa.array(node, pa.int64()),
+                "component": pa.array(comp, pa.int64()),
+            }
+        )
+
+    out = (
+        state.map_batches(emit, batch_format="pyarrow", batch_size=None)
+        .groupby("_hb")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+    # The groupby shuffle emits schema-less 0-row blocks for empty
+    # partitions (see functions/_schema.py); the node→component table is
+    # compact by construction, so heal it for downstream joins/writes.
+    from ._schema import stabilize_schema
+
+    return stabilize_schema(out, NODE_SCHEMA)

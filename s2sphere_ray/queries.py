@@ -334,14 +334,29 @@ SQL_JOIN_CAP = (
 
 
 def q_join_poly(sf_dir: str):
-    """Polygon containment join — engine-defined semantics (rows-only)."""
+    """Polygon containment join, convex AND concave in one result set
+    (region_id ranges 2000+/3000+ keep the legs disjoint): convex
+    spherical polygons via the edge-normal min-dot predicate, plus
+    GENERAL star-shaped loops with reflex vertices via crossing-parity
+    refinement (geometry.Loop / refine_mask kind='loop'). The oracle
+    regenerates both region families in SQL and unions the identical
+    predicates — hash-exact. (Round 4 merged the former standalone
+    q_join_poly_concave row here to stay inside the driver's 50-query
+    window; both code paths are still fully exercised.)"""
     import pyarrow.parquet as pq
 
+    from .regions import make_loop_regions
+
     region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
-    regions = make_poly_regions(region["r_regionkey"].to_numpy().astype(np.int64))
-    return spatial_join(
-        _points(sf_dir), regions, strategy="broadcast", point_cols=("doc_id",)
+    keys = region["r_regionkey"].to_numpy().astype(np.int64)
+    pts = _points(sf_dir)
+    convex = spatial_join(
+        pts, make_poly_regions(keys), strategy="broadcast", point_cols=("doc_id",)
     )
+    concave = spatial_join(
+        pts, make_loop_regions(keys), strategy="broadcast", point_cols=("doc_id",)
+    )
+    return convex.union(concave)
 
 
 _POINTS_XYZ_CTE = (
@@ -383,23 +398,6 @@ SQL_JOIN_POLY = (
     " FROM pxyz pt CROSS JOIN edges e GROUP BY pt.doc_id, e.region_id)"
     " SELECT doc_id, region_id FROM checks WHERE mindot >= 0.0"
 )
-
-
-def q_join_poly_concave(sf_dir: str):
-    """GENERAL (concave) polygon containment join: star-shaped loops with
-    reflex vertices, crossing-parity refinement (geometry.Loop /
-    refine_mask kind='loop'). Oracle regenerates the identical loops in
-    SQL and counts the same strict edge crossings from the same
-    reference point — hash-exact, not rows-only."""
-    import pyarrow.parquet as pq
-
-    from .regions import make_loop_regions
-
-    region = pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey"])
-    regions = make_loop_regions(region["r_regionkey"].to_numpy().astype(np.int64))
-    return spatial_join(
-        _points(sf_dir), regions, strategy="broadcast", point_cols=("doc_id",)
-    )
 
 
 # Concave-loop containment in SQL: regenerate the deterministic star
@@ -456,6 +454,11 @@ SQL_JOIN_LOOP = (
     " JOIN refs r ON r.region_id = e.region_id"
     " GROUP BY pt.doc_id, e.region_id)"
     " SELECT doc_id, region_id FROM checks WHERE ncross % 2 = 1"
+)
+
+# Merged convex + concave containment oracle (region_id ranges disjoint).
+SQL_JOIN_POLY_ALL = (
+    f"SELECT * FROM ({SQL_JOIN_POLY}) UNION ALL SELECT * FROM ({SQL_JOIN_LOOP})"
 )
 
 
@@ -1691,6 +1694,36 @@ SQL_NGRAM_JACCARD = (
 )
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Cluster-based near-dup grouping: distributed connected components
+    (functions/cc.py — alternating large-star/small-star, shuffle-only,
+    O(log² n) rounds over the compact pair stream) over the exact
+    word-bigram Jaccard edges (threshold 0.5).  Output: every non-isolated
+    doc mapped to its cluster's minimum doc_id — the keep-one-per-cluster
+    primitive consumers use to drop whole duplicate groups rather than
+    single pair losers.  Oracle: DuckDB recursive-CTE transitive closure
+    over the identical edge SQL."""
+    from .functions.cc import connected_components
+    from .functions.dedup import ngram_jaccard_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds, n=2, threshold=0.5, num_rows=ds.count())
+    edges = pairs.select_columns(["id_a", "id_b"])
+    return connected_components(edges).rename_columns(["doc_id", "component"])
+
+
+SQL_DEDUP_CLUSTERS = (
+    "WITH RECURSIVE pairs AS (SELECT id_a, id_b FROM ("
+    + SQL_NGRAM_JACCARD
+    + ")), und AS (SELECT id_a AS u, id_b AS v FROM pairs"
+    " UNION SELECT id_b, id_a FROM pairs),"
+    " reach(u, v) AS (SELECT u, v FROM und"
+    " UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)"
+    " SELECT u AS doc_id, least(u, min(v)) AS component"
+    " FROM reach GROUP BY u"
+)
+
+
 def golden_sketch_docs() -> pa.Table:
     """Fixed 64-doc corpus for the sketch golden — generated in code from
     a seeded vocabulary, independent of ``sf_dir`` so one frozen golden
@@ -2538,7 +2571,6 @@ QUERIES = {
     "q_join_cap": q_join_cap,
     "q_join_anti": q_join_anti,
     "q_join_poly": q_join_poly,
-    "q_join_poly_concave": q_join_poly_concave,
     "q_knn": q_knn,
     "q_tile_counts_l8": q_tile_counts_l8,
     "q_write_tiles_roundtrip": q_write_tiles_roundtrip,
@@ -2570,6 +2602,7 @@ QUERIES = {
     "q_top_orders_per_cust": q_top_orders_per_cust,
     "q_quantiles": q_quantiles,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_decontaminate": q_decontaminate,
     "q_heavy_hitters": q_heavy_hitters,
     "q_sketch_golden": q_sketch_golden,
@@ -2615,8 +2648,7 @@ ORACLE_SQL = {
     "q_join_cap": SQL_JOIN_CAP,
     "q_join_anti": SQL_JOIN_ANTI,
     "q_knn": SQL_KNN,
-    "q_join_poly": SQL_JOIN_POLY,
-    "q_join_poly_concave": SQL_JOIN_LOOP,
+    "q_join_poly": SQL_JOIN_POLY_ALL,
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_token_count": SQL_TOKEN_COUNT,
     "q_quality": SQL_QUALITY,
@@ -2639,6 +2671,7 @@ ORACLE_SQL = {
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
     "q_quantiles": SQL_QUANTILES,
     "q_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "q_dedup_clusters": SQL_DEDUP_CLUSTERS,
     "q_decontaminate": SQL_DECONTAMINATE,
     "q_heavy_hitters": SQL_HEAVY_HITTERS,
     # Frozen self-golden for non-SQL sketch kernels (see q_sketch_golden)

@@ -1,0 +1,126 @@
+"""Connected components (functions/cc.py) vs a pure-Python union-find
+reference, across the graph shapes that stress the large-star/small-star
+rounds: long chains (maximum rounds), dense random graphs (duplicate and
+reversed edges), stars, multi-component forests, and degenerate inputs.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ref_cc(pairs):
+    """Union-find ground truth: (node, min-id component) for every node
+    incident to a non-self-loop edge."""
+    parent = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {x for p in pairs if p[0] != p[1] for x in p}
+    return sorted((n, find(n)) for n in nodes)
+
+
+def _run(ray_session, pairs, parts=5):
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import connected_components
+
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    if len(pairs) >= parts:
+        ds = ds.repartition(parts)
+    out = connected_components(ds)
+    return sorted((r["node"], r["component"]) for r in out.take_all())
+
+
+def test_cc_chain(ray_session):
+    """200-node path graph — the propagation worst case (most rounds)."""
+    pairs = [(i, i + 1) for i in range(200)]
+    assert _run(ray_session, pairs) == _ref_cc(pairs)
+
+
+def test_cc_chain_reversed_ids(ray_session):
+    """Descending chain: min id is at the far end from every start."""
+    pairs = [(i + 1, i) for i in range(120)][::-1]
+    assert _run(ray_session, pairs) == _ref_cc(pairs)
+
+
+def test_cc_multi_component_with_noise(ray_session):
+    """Forest + cycle + self-loops + duplicate/reversed edges."""
+    pairs = (
+        [(0, 1), (1, 2), (10, 11), (11, 12), (12, 10)]
+        + [(5, 3), (3, 5), (4, 4), (3, 4), (9, 9)]
+        + [(100, 50), (50, 100), (100, 50)]
+    )
+    assert _run(ray_session, pairs) == _ref_cc(pairs)
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 500, 800), (11, 64, 40)])
+def test_cc_random(ray_session, seed, n_nodes, n_edges):
+    rng = np.random.default_rng(seed)
+    pairs = [
+        tuple(map(int, rng.integers(0, n_nodes, 2))) for _ in range(n_edges)
+    ]
+    assert _run(ray_session, pairs) == _ref_cc(pairs)
+
+
+def test_cc_star_and_singleton_edge(ray_session):
+    pairs = [(1000, i) for i in range(30)]
+    assert _run(ray_session, pairs) == _ref_cc(pairs)
+    assert _run(ray_session, [(42, 7)]) == [(7, 7), (42, 7)]
+
+
+def test_cc_empty_and_self_loops_only(ray_session):
+    got = _run(ray_session, [])
+    assert got == []
+    got = _run(ray_session, [(3, 3), (9, 9)])
+    assert got == []
+
+
+def test_cc_output_schema_and_invariants(ray_session):
+    """Every node appears exactly once; every component label is a member
+    of its own component and the minimum of it; schema is typed even for
+    forced-high partition counts (empty-partition hazard)."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import connected_components
+
+    rng = np.random.default_rng(3)
+    pairs = [tuple(map(int, rng.integers(0, 200, 2))) for _ in range(300)]
+    t = pa.table(
+        {
+            "id_a": pa.array([a for a, _ in pairs], pa.int64()),
+            "id_b": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+    out = connected_components(rd.from_arrow(t).repartition(32))
+    assert out.schema().names == ["node", "component"]
+    rows = out.take_all()
+    nodes = [r["node"] for r in rows]
+    assert len(nodes) == len(set(nodes))
+    comp_of = {r["node"]: r["component"] for r in rows}
+    for node, comp in comp_of.items():
+        assert comp in comp_of and comp_of[comp] == comp
+        assert comp <= node
+    members = {}
+    for node, comp in comp_of.items():
+        members.setdefault(comp, []).append(node)
+    for comp, ms in members.items():
+        assert comp == min(ms)
