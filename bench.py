@@ -245,6 +245,13 @@ def run_bench() -> dict:
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())
     timed("simsearch", lambda: simsearch_base(SF_DIR).count())
     timed("minhash", lambda: minhash_pairs_base(SF_DIR).count())
+
+    def cc_clusters():
+        from s2sphere_ray.functions.cc import connected_components
+
+        return connected_components(minhash_pairs_base(SF_DIR)).count()
+
+    timed("cc_clusters", cc_clusters)
     from s2sphere_ray.queries import (
         q_dedup_exact,
         q_quality,

@@ -160,6 +160,44 @@ def _signature(mds) -> tuple:
     return count, sum(int(p["s"]) for p in parts) & _MASK64
 
 
+def _local_cc_kernel(batch: pa.Table) -> pa.Table:
+    """Single-task CC over one edge block: hooking + pointer jumping
+    (Shiloach–Vishkin style) on compacted node ids — O(log n) fully
+    vectorized numpy iterations, no per-edge Python loop."""
+    u = batch["u"].to_numpy(zero_copy_only=False)
+    v = batch["v"].to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    m = len(u)
+    eu, ev = inv[:m], inv[m:]
+    parent = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        pu, pv = parent[eu], parent[ev]
+        if np.all(pu == pv):
+            break
+        # Hook: every root adopts the minimum root seen across its edges.
+        lo, hi = np.minimum(pu, pv), np.maximum(pu, pv)
+        np.minimum.at(parent, hi, lo)
+        # Pointer jumping to full path compression.
+        while True:
+            pp = parent[parent]
+            if np.array_equal(pp, parent):
+                break
+            parent = pp
+    comp = nodes[parent]
+    return pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "component": pa.array(comp, pa.int64()),
+        }
+    )
+
+
+# One finisher task holds ~16 B/edge + the compacted node arrays; 4M
+# edges ≈ 64 MB — far under a worker heap, and star rounds shrink any
+# larger input toward this fast (post-round state ≈ one edge per node).
+LOCAL_FINISH_THRESHOLD = 1 << 22
+
+
 def connected_components(
     edges,
     *,
@@ -167,6 +205,7 @@ def connected_components(
     right: str = "id_b",
     num_rows: int | None = None,
     max_rounds: int = 64,
+    local_threshold: int = LOCAL_FINISH_THRESHOLD,
 ):
     """(node:int64, component:int64) for every node incident to an edge;
     ``component`` is the minimum node id of the node's component.
@@ -176,6 +215,13 @@ def connected_components(
     ``edges`` is an undirected pair Dataset; self-loops are dropped,
     duplicate/reversed edges are fine.  ``num_rows`` is an optional edge
     count hint for the first round's bucket sizing.
+
+    Once the (always-shrinking) edge state fits one comfortable block
+    (``local_threshold`` rows) the tail is finished by a SINGLE
+    vectorized task (``_local_cc_kernel``) instead of more whole-cluster
+    rounds — the standard large-scale CC hybrid; each star round costs
+    two exchanges plus a barrier, pure overhead on a small state.  Pass
+    ``local_threshold=0`` to force star rounds to full convergence.
     """
     import ray.data as rd
 
@@ -195,6 +241,14 @@ def connected_components(
     if n == 0:
         return rd.from_arrow(NODE_SCHEMA.empty_table())
 
+    def finish_local(mds):
+        return mds.repartition(1).map_batches(
+            _local_cc_kernel, batch_format="pyarrow", batch_size=None
+        )
+
+    if n <= local_threshold:
+        return finish_local(state)
+
     for _ in range(max_rounds):
         buckets = derive_buckets(n)
         ls = _star(state, _large_star_kernel, buckets, symmetrize=True)
@@ -212,6 +266,8 @@ def connected_components(
         state, n, sig = ss, n_ss, sig_ss
         if converged:
             break
+        if n <= local_threshold:
+            return finish_local(state)
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"

@@ -32,7 +32,7 @@ def _ref_cc(pairs):
     return sorted((n, find(n)) for n in nodes)
 
 
-def _run(ray_session, pairs, parts=5):
+def _run(ray_session, pairs, parts=5, local_threshold=None):
     import ray.data as rd
 
     from s2sphere_ray.functions.cc import connected_components
@@ -46,45 +46,59 @@ def _run(ray_session, pairs, parts=5):
     ds = rd.from_arrow(t)
     if len(pairs) >= parts:
         ds = ds.repartition(parts)
-    out = connected_components(ds)
+    kw = {} if local_threshold is None else {"local_threshold": local_threshold}
+    out = connected_components(ds, **kw)
     return sorted((r["node"], r["component"]) for r in out.take_all())
 
 
-def test_cc_chain(ray_session):
+# local_threshold=0 forces the distributed large-star/small-star rounds
+# to full convergence; the default takes the single-task finisher path.
+BOTH_PATHS = pytest.mark.parametrize("thr", [None, 0], ids=["local", "stars"])
+
+
+@BOTH_PATHS
+def test_cc_chain(ray_session, thr):
     """200-node path graph — the propagation worst case (most rounds)."""
     pairs = [(i, i + 1) for i in range(200)]
-    assert _run(ray_session, pairs) == _ref_cc(pairs)
+    assert _run(ray_session, pairs, local_threshold=thr) == _ref_cc(pairs)
 
 
-def test_cc_chain_reversed_ids(ray_session):
+@BOTH_PATHS
+def test_cc_chain_reversed_ids(ray_session, thr):
     """Descending chain: min id is at the far end from every start."""
     pairs = [(i + 1, i) for i in range(120)][::-1]
-    assert _run(ray_session, pairs) == _ref_cc(pairs)
+    assert _run(ray_session, pairs, local_threshold=thr) == _ref_cc(pairs)
 
 
-def test_cc_multi_component_with_noise(ray_session):
+@BOTH_PATHS
+def test_cc_multi_component_with_noise(ray_session, thr):
     """Forest + cycle + self-loops + duplicate/reversed edges."""
     pairs = (
         [(0, 1), (1, 2), (10, 11), (11, 12), (12, 10)]
         + [(5, 3), (3, 5), (4, 4), (3, 4), (9, 9)]
         + [(100, 50), (50, 100), (100, 50)]
     )
-    assert _run(ray_session, pairs) == _ref_cc(pairs)
+    assert _run(ray_session, pairs, local_threshold=thr) == _ref_cc(pairs)
 
 
 @pytest.mark.parametrize("seed,n_nodes,n_edges", [(7, 500, 800), (11, 64, 40)])
-def test_cc_random(ray_session, seed, n_nodes, n_edges):
+@BOTH_PATHS
+def test_cc_random(ray_session, thr, seed, n_nodes, n_edges):
     rng = np.random.default_rng(seed)
     pairs = [
         tuple(map(int, rng.integers(0, n_nodes, 2))) for _ in range(n_edges)
     ]
-    assert _run(ray_session, pairs) == _ref_cc(pairs)
+    assert _run(ray_session, pairs, local_threshold=thr) == _ref_cc(pairs)
 
 
-def test_cc_star_and_singleton_edge(ray_session):
+@BOTH_PATHS
+def test_cc_star_and_singleton_edge(ray_session, thr):
     pairs = [(1000, i) for i in range(30)]
-    assert _run(ray_session, pairs) == _ref_cc(pairs)
-    assert _run(ray_session, [(42, 7)]) == [(7, 7), (42, 7)]
+    assert _run(ray_session, pairs, local_threshold=thr) == _ref_cc(pairs)
+    assert _run(ray_session, [(42, 7)], local_threshold=thr) == [
+        (7, 7),
+        (42, 7),
+    ]
 
 
 def test_cc_empty_and_self_loops_only(ray_session):
@@ -92,6 +106,15 @@ def test_cc_empty_and_self_loops_only(ray_session):
     assert got == []
     got = _run(ray_session, [(3, 3), (9, 9)])
     assert got == []
+
+
+def test_cc_hybrid_handoff(ray_session):
+    """Star rounds shrink the state, then the finisher takes over: a
+    threshold between the initial and one-round edge counts exercises
+    the mid-iteration handoff."""
+    pairs = [(i, i + 1) for i in range(400)] + [(i, i + 2) for i in range(398)]
+    got = _run(ray_session, pairs, local_threshold=500)
+    assert got == _ref_cc(pairs)
 
 
 def test_cc_output_schema_and_invariants(ray_session):
