@@ -12,6 +12,8 @@ data-parallel; the only shuffles are the final small groupbys.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -859,7 +861,8 @@ def ngram_jaccard_pairs(
        with ``u = t/(1+t)`` — contradiction. So candidate generation by
        "prefixes share ≥1 gram" misses nothing.
     4. candidates: groupby(prefix gram) emits in-group pairs
-       (vectorized run expansion), then a bucketed distinct.
+       (vectorized run expansion); the bounded gather below dedupes them
+       driver-side (np.unique) instead of paying a distinct exchange.
     5. exact verify, ONE exchange: the capped candidate set (≤
        ``max_candidates`` pairs, 16 B each) is gathered and a
        doc → pair-slot index broadcast via ``ray.put``; a stateless map
@@ -898,13 +901,25 @@ def ngram_jaccard_pairs(
         )
 
     grams = ds.map_batches(gram_rows, batch_format="pyarrow", batch_size=None)
-    # Four consumers read `grams` (freq pass, freq join left side, and both
-    # verify-join sides); without checkpointing, Ray re-derives the
+    # Two consumers read `grams` (the candidate-generation chain and the
+    # verify expansion); without checkpointing, Ray re-derives the
     # tokenize lineage for each. The distinct (doc, gram) table is ~1.5x
     # the text size and spills via the object store, so one materialize
-    # beats four recomputes — the ONE deliberate mid-pipeline
-    # materialization in this operator.
+    # beats recomputes — the ONE deliberate mid-pipeline materialization
+    # in this operator.
     grams = grams.materialize()
+    # Coalesce when the input produced far more blocks than the gram-row
+    # count warrants (small inputs get split to ~2 blocks/CPU by the
+    # read).  Every sort-based groupby exchange below pays wall-time
+    # roughly proportional to block count, NOT row count — at sf0.01 the
+    # 64-block 26k-row gram table cost 10-25 s PER SORT before this
+    # coalesce and <1 s after.  At crawl scale ceil(rows/250k) exceeds
+    # the read's block count and this is a no-op.
+    g_rows = grams.count()
+    want_blk = max(1, math.ceil(g_rows / 250_000))
+    if grams.num_blocks() > 4 * want_blk:
+        grams = grams.repartition(want_blk).materialize()
+    grams_raw = grams
 
     if order == "freq":
         # Global doc-frequency per gram in ONE gram-bucketed exchange:
@@ -1033,54 +1048,55 @@ def ngram_jaccard_pairs(
             {"id_a": pa.array(did[a_ix]), "id_b": pa.array(did[b_ix])}
         )
 
-    def add_pair_bucket(batch: pa.Table) -> pa.Table:
-        a = batch["id_a"].to_numpy()
-        b = batch["id_b"].to_numpy()
-        with np.errstate(over="ignore"):
-            key = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + b.astype(
-                np.uint64
-            )
-        return batch.append_column(
-            "_pb", pa.array(hash_buckets(key, n_buckets))
-        )
-
-    def distinct_pairs(group: pa.Table) -> pa.Table:
-        mat = np.unique(
-            np.stack([group["id_a"].to_numpy(), group["id_b"].to_numpy()], axis=1),
-            axis=0,
-        )
-        return pa.table(
-            {"id_a": pa.array(mat[:, 0]), "id_b": pa.array(mat[:, 1])}
-        )
-
     from ._schema import PAIR_SCHEMA, stabilize_schema
 
     cand = stabilize_schema(
         prefixes.map_batches(add_gram_bucket, batch_format="pyarrow", batch_size=None)
         .groupby("_gb")
-        .map_groups(emit_pairs, batch_format="pyarrow")
-        .map_batches(add_pair_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("_pb")
-        .map_groups(distinct_pairs, batch_format="pyarrow"),
+        .map_groups(emit_pairs, batch_format="pyarrow"),
         PAIR_SCHEMA,
     )
     # Guard before the verify expansion: candidates x set-size rows flow
     # through the pair-gram exchange, so a degenerate candidate set
     # (low-diversity corpus, low threshold => nearly all pairs survive
     # prefix filtering) must fail loudly here, not grind through an
-    # O(n^2) exchange. The gather is BOUNDED by this same cap (pairs are
-    # 16 B/row — <=16 MB at the default cap), which is what licenses the
-    # driver-side pair index below.
+    # O(n^2) exchange.  The raw stream may carry the same pair once per
+    # shared prefix gram (dup factor <= prefix length); deduping at the
+    # driver with np.unique replaces a whole hash-bucketed exchange
+    # (round-4: one of five sorts removed), at the cost of an 8x-cap raw
+    # gather bound (16 B/row => <=128 MB driver-side at the default cap)
+    # — which is also what licenses the driver-side pair index below.
     cand_batches = [
         b for b in cand.iter_batches(batch_format="pyarrow") if b.num_rows
     ]
-    cand_tbl = (
-        pa.concat_tables(cand_batches)
-        if cand_batches
-        else pa.table(
+    raw_rows = sum(b.num_rows for b in cand_batches)
+    if raw_rows > 8 * max_candidates:
+        raise ValueError(
+            f"ngram_jaccard_pairs: {raw_rows} pre-dedup candidate rows "
+            f"exceed 8*max_candidates={8 * max_candidates}; the corpus "
+            "is too self-similar for an exact threshold join at "
+            f"threshold={threshold} — raise threshold/n or use "
+            "MinHash-LSH"
+        )
+    if cand_batches:
+        raw_tbl = pa.concat_tables(cand_batches)
+        mat = np.unique(
+            np.stack(
+                [
+                    raw_tbl["id_a"].to_numpy().astype(np.int64),
+                    raw_tbl["id_b"].to_numpy().astype(np.int64),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        cand_tbl = pa.table(
+            {"id_a": pa.array(mat[:, 0]), "id_b": pa.array(mat[:, 1])}
+        )
+    else:
+        cand_tbl = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
         )
-    )
     n_cand = cand_tbl.num_rows
     if n_cand > max_candidates:
         raise ValueError(
@@ -1212,7 +1228,12 @@ def ngram_jaccard_pairs(
         )
 
     counted = (
-        grams.map_batches(
+        # Verify reads the RAW materialized gram table — it needs only
+        # (did, gram, set_sz), so consuming the freq-attached stream
+        # here would re-run the whole freq-order sort exchange a second
+        # time (round-4 fix: the verify execution's plan previously
+        # re-derived attach_freq from the materialized grams).
+        grams_raw.map_batches(
             emit_pair_grams, batch_format="pyarrow", batch_size=None
         )
         .map_batches(add_pk_bucket, batch_format="pyarrow", batch_size=None)
