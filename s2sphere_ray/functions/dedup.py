@@ -834,6 +834,7 @@ def ngram_jaccard_pairs(
     num_rows: int | None = None,
     max_candidates: int = 1_000_000,
     max_gram_run: int = 2_000,
+    local_rows: int = 2_000_000,
 ):
     """EXACT word-n-gram Jaccard similarity join via distributed prefix
     filtering (AllPairs/PPJoin family) — the guaranteed-complete companion
@@ -873,6 +874,20 @@ def ngram_jaccard_pairs(
        ``1000·inter ≥ 1000·t·union`` (no float boundary).
 
     Returns (id_a, id_b, inter_n, union_n, jac_x1000), id_a < id_b.
+
+    Hybrid small-state path: when the distinct-gram table holds ≤
+    ``local_rows`` rows (known from the materialize), it is coalesced to
+    ONE block and steps 2–4 run as fused whole-block ``map_batches``
+    with zero sort exchanges — every kernel is a bucket-level reduction,
+    and one block is one bucket.  Same kernels, same results; this is
+    the connected-components single-task-finisher pattern applied to a
+    join, and it removes ~6 s of fixed exchange overhead at test scale.
+    Step 5's verify exchange is NEVER shortcut (Ray splits oversized map
+    outputs into multiple blocks, so a fused whole-batch count would see
+    partial pair groups), but its expansion input is repartitioned to
+    match the estimated expansion size so it parallelizes even when the
+    candidate path ran single-block.  Above the threshold the fully
+    distributed chain runs unchanged.
     """
     from ._buckets import derive_buckets, hash_buckets
 
@@ -916,49 +931,65 @@ def ngram_jaccard_pairs(
     # coalesce and <1 s after.  At crawl scale ceil(rows/250k) exceeds
     # the read's block count and this is a no-op.
     g_rows = grams.count()
-    want_blk = max(1, math.ceil(g_rows / 250_000))
-    if grams.num_blocks() > 4 * want_blk:
-        grams = grams.repartition(want_blk).materialize()
+    # Hybrid small-state path (same pattern as connected_components'
+    # single-task finisher): when the whole distinct-gram table fits one
+    # comfortable block, every groupby below would group by a bucket of
+    # a SINGLE co-located block — so run the freq/prefix/pair kernels
+    # (and the verify count) as plain whole-block map_batches with ZERO
+    # sort exchanges.  Each sort costs seconds of fixed overhead at high
+    # parallelism; at sf0.01 this path cuts the operator from ~10 s to
+    # ~3 s.  Above the threshold the distributed chain is unchanged.
+    local = g_rows <= local_rows
+    if local:
+        if grams.num_blocks() > 1:
+            grams = grams.repartition(1).materialize()
+    else:
+        want_blk = max(1, math.ceil(g_rows / 250_000))
+        if grams.num_blocks() > 4 * want_blk:
+            grams = grams.repartition(want_blk).materialize()
     grams_raw = grams
 
-    if order == "freq":
-        # Global doc-frequency per gram in ONE gram-bucketed exchange:
-        # all (doc, gram) rows of a gram land in the same bucket, so the
-        # in-bucket count IS the global frequency — this replaces the
-        # round-3 plan's separate count-aggregate + native hash join
-        # (which re-shuffled the full gram table AND was exposed to the
-        # 0-row-first-block schema-broadcast bug, see
-        # functions/_schema.py).
-        def add_freq_bucket(batch: pa.Table) -> pa.Table:
-            return batch.append_column(
-                "_fb",
-                pa.array(hash_buckets(batch["gram"].to_numpy(), n_buckets)),
-            )
-
-        def attach_freq(group: pa.Table) -> pa.Table:
-            gram = group["gram"].to_numpy()
-            _, inv, cnt = np.unique(
-                gram, return_inverse=True, return_counts=True
-            )
-            return group.drop_columns(["_fb"]).append_column(
-                "gfreq", pa.array(cnt[inv].astype(np.int64))
-            )
-
-        grams = (
-            grams.map_batches(
-                add_freq_bucket, batch_format="pyarrow", batch_size=None
-            )
-            .groupby("_fb")
-            .map_groups(attach_freq, batch_format="pyarrow")
+    # Global doc-frequency per gram in ONE gram-bucketed exchange: all
+    # (doc, gram) rows of a gram land in the same bucket, so the
+    # in-bucket count IS the global frequency — this replaces the
+    # round-3 plan's separate count-aggregate + native hash join (which
+    # re-shuffled the full gram table AND was exposed to the
+    # 0-row-first-block schema-broadcast bug, see functions/_schema.py).
+    # In the local path the "bucket" is the whole single block, so the
+    # same kernel computes the same global frequency with no exchange.
+    def add_freq_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_fb",
+            pa.array(hash_buckets(batch["gram"].to_numpy(), n_buckets)),
         )
-    else:
-        grams = grams.map_batches(
-            lambda b: b.append_column(
-                "gfreq", pa.array(np.zeros(b.num_rows, dtype=np.int64))
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
+
+    def attach_freq(group: pa.Table) -> pa.Table:
+        gram = group["gram"].to_numpy()
+        _, inv, cnt = np.unique(
+            gram, return_inverse=True, return_counts=True
         )
+        return group.drop_columns(["_fb"]).append_column(
+            "gfreq", pa.array(cnt[inv].astype(np.int64))
+        )
+
+    def zero_freq(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "gfreq", pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        )
+
+    if not local:
+        if order == "freq":
+            grams = (
+                grams.map_batches(
+                    add_freq_bucket, batch_format="pyarrow", batch_size=None
+                )
+                .groupby("_fb")
+                .map_groups(attach_freq, batch_format="pyarrow")
+            )
+        else:
+            grams = grams.map_batches(
+                zero_freq, batch_format="pyarrow", batch_size=None
+            )
 
     u = threshold / (1.0 + threshold)
 
@@ -993,11 +1024,14 @@ def ngram_jaccard_pairs(
             }
         )
 
-    prefixes = (
-        grams.map_batches(add_doc_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("_cb")
-        .map_groups(mark_prefix, batch_format="pyarrow")
-    )
+    if not local:
+        prefixes = (
+            grams.map_batches(
+                add_doc_bucket, batch_format="pyarrow", batch_size=None
+            )
+            .groupby("_cb")
+            .map_groups(mark_prefix, batch_format="pyarrow")
+        )
 
     def add_gram_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -1050,12 +1084,37 @@ def ngram_jaccard_pairs(
 
     from ._schema import PAIR_SCHEMA, stabilize_schema
 
-    cand = stabilize_schema(
-        prefixes.map_batches(add_gram_bucket, batch_format="pyarrow", batch_size=None)
-        .groupby("_gb")
-        .map_groups(emit_pairs, batch_format="pyarrow"),
-        PAIR_SCHEMA,
-    )
+    if local:
+        # Single-block state: the three kernels are bucket-agnostic
+        # whole-group reductions, so fuse them into ONE task over the
+        # one block — identical results, zero sort exchanges.
+        def local_candidates(batch: pa.Table) -> pa.Table:
+            if order == "freq":
+                t = attach_freq(
+                    batch.append_column(
+                        "_fb",
+                        pa.array(np.zeros(batch.num_rows, dtype=np.int32)),
+                    )
+                )
+            else:
+                t = zero_freq(batch)
+            return emit_pairs(mark_prefix(t))
+
+        cand = stabilize_schema(
+            grams_raw.map_batches(
+                local_candidates, batch_format="pyarrow", batch_size=None
+            ),
+            PAIR_SCHEMA,
+        )
+    else:
+        cand = stabilize_schema(
+            prefixes.map_batches(
+                add_gram_bucket, batch_format="pyarrow", batch_size=None
+            )
+            .groupby("_gb")
+            .map_groups(emit_pairs, batch_format="pyarrow"),
+            PAIR_SCHEMA,
+        )
     # Guard before the verify expansion: candidates x set-size rows flow
     # through the pair-gram exchange, so a degenerate candidate set
     # (low-diversity corpus, low threshold => nearly all pairs survive
@@ -1227,13 +1286,29 @@ def ngram_jaccard_pairs(
             }
         )
 
+    # Verify reads the RAW materialized gram table — it needs only
+    # (did, gram, set_sz), so consuming the freq-attached stream here
+    # would re-run the whole freq-order sort exchange a second time
+    # (round-4 fix: the verify execution's plan previously re-derived
+    # attach_freq from the materialized grams).
+    # The expansion multiplies each candidate doc's gram rows by its
+    # pair-slot count — on dense candidate sets it is the largest table
+    # in the operator (≈ 2 · n_cand · avg_set_size rows), so (a) its
+    # input must have enough blocks to expand in parallel (the local
+    # candidate path coalesced grams to ONE block, which would serialize
+    # it), and (b) the pair-bucket exchange is NOT skippable even on a
+    # single input block: Ray splits oversized map outputs into multiple
+    # blocks mid-stream, so a fused whole-batch count would see partial
+    # pair groups and undercount intersections (observed: 25 → 12 rows).
+    avg_set = g_rows / max(1, num_rows) if num_rows else 64.0
+    exp_rows = int(2 * n_cand * max(1.0, avg_set))
+    verify_blk = max(1, min(1024, math.ceil(exp_rows / 500_000)))
+    verify_src = grams_raw
+    nb = grams_raw.num_blocks()
+    if verify_blk > 2 * nb or 2 * verify_blk < nb:
+        verify_src = grams_raw.repartition(verify_blk)
     counted = (
-        # Verify reads the RAW materialized gram table — it needs only
-        # (did, gram, set_sz), so consuming the freq-attached stream
-        # here would re-run the whole freq-order sort exchange a second
-        # time (round-4 fix: the verify execution's plan previously
-        # re-derived attach_freq from the materialized grams).
-        grams_raw.map_batches(
+        verify_src.map_batches(
             emit_pair_grams, batch_format="pyarrow", batch_size=None
         )
         .map_batches(add_pk_bucket, batch_format="pyarrow", batch_size=None)

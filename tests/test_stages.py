@@ -1031,14 +1031,25 @@ def test_ngram_jaccard_pairs_vs_bruteforce(ray_session):
     ds = rd.from_arrow(
         pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
     )
+    # local_rows=0 forces the fully distributed chain; the default takes
+    # the single-block fused path — both must equal brute force.  (The
+    # round-4 local path once tried to skip the verify exchange too;
+    # Ray's mid-stream block splitting broke pair-group co-location and
+    # silently undercounted intersections — keep both paths pinned.)
     for order in ("freq", "hash"):
-        got = {
-            (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
-            for r in ngram_jaccard_pairs(
-                ds, n=2, threshold=t, order=order, num_rows=len(texts)
-            ).take_all()
-        }
-        assert got == want, (order, got ^ want)
+        for local_rows in (0, 2_000_000):
+            got = {
+                (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+                for r in ngram_jaccard_pairs(
+                    ds,
+                    n=2,
+                    threshold=t,
+                    order=order,
+                    num_rows=len(texts),
+                    local_rows=local_rows,
+                ).take_all()
+            }
+            assert got == want, (order, local_rows, got ^ want)
     assert want, "test corpus produced no pairs — not a real check"
 
 
