@@ -1,0 +1,276 @@
+"""Web-corpus curation operators: URL canonicalization/dedup, PII
+scrubbing, intra-document repetition scoring, and deterministic sequence
+packing.
+
+These are the crawl-side companions to the corpus-level dedup family in
+``dedup.py`` — the operators a Common-Crawl-style pages pipeline runs
+BEFORE (url dedup, PII) and AFTER (repetition gates, packing) content
+dedup.  Reference corpus (empty at survey time — SURVEY.md §0) has no
+web operators; these are LLM-data-pipeline additions with DuckDB oracle
+parity: every kernel is an RE2/arithmetic transformation expressible
+identically in SQL, so the whole module is oracle-checked end to end
+(queries.q_url_dedup / q_webtext_quality).
+
+Scale notes:
+
+- URL canonicalization is map-only (Arrow RE2 kernels, zero Python per
+  row).  URL dedup is ONE hash-bucketed exchange over
+  (canonical_url, id) — the same derived-bucket pattern as exact_dedup.
+- PII scrub/count is map-only (count_substring_regex +
+  replace_substring_regex on the Arrow string buffers).
+- Repetition scoring is map-only: one pass of the shared word-n-gram
+  rolling hasher per batch, per-doc distinct counting via lexsort.
+- Sequence packing is a windowed cumulative sum (bin = running corpus
+  size before the doc, within its language, divided by the budget).  A
+  per-language group would be unboundedly skewed at crawl scale (one
+  lang can be most of the corpus), so it runs as the standard two-phase
+  distributed prefix sum: (1) tiny per-(lang, id-chunk) partial sums are
+  gathered driver-side (one row per chunk, NOT per doc) and turned into
+  chunk prefix offsets; (2) one hash-bucketed exchange co-locates each
+  (lang, chunk) — bounded by chunk_rows — and a vectorized kernel adds
+  the broadcast offset to the in-chunk cumsum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# One (pattern, replacement) chain applied IN ORDER to the lowercased
+# URL.  Kept to RE2 features that Arrow's replace_substring_regex and
+# DuckDB's regexp_replace(..., 'g') execute identically — this list is
+# the single source of truth; queries.SQL_URL_DEDUP re-emits it as SQL.
+URL_CANON_RULES: tuple[tuple[str, str], ...] = (
+    (r"^http://", "https://"),          # protocol-relative duplicates
+    (r"://www\.", "://"),               # www. host alias
+    (r"#.*$", ""),                      # fragment never reaches a server
+    (r"([?&])(utm_[a-z]+|fbclid|ref)=[^&]*", r"\1"),  # tracking params
+    (r"\?&+", "?"),                     # separator cleanup after removal
+    (r"&&+", "&"),
+    (r"[?&]$", ""),
+    (r"/$", ""),                        # trailing slash
+)
+
+
+def canonicalize_urls(url: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized URL canonicalization (Arrow RE2, no Python per row)."""
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    out = pc.utf8_lower(url)
+    for pat, rep in URL_CANON_RULES:
+        out = pc.replace_substring_regex(out, pat, rep)
+    return out
+
+
+def url_dedup(ds, url_col: str = "url", id_col: str = "doc_id",
+              num_rows: int | None = None):
+    """Keep ONE row per canonical URL — the max ``id_col`` (latest crawl
+    wins under monotonic ids) — plus the duplicate count.
+
+    Returns (url, {id_col}, n_dups).  One hash-bucketed exchange over
+    (canonical_url, id); the canonicalization itself fuses into the
+    upstream map.
+    """
+    from ._buckets import derive_buckets, hash_buckets
+    from .dedup import poly_hash_strings
+
+    n_buckets = derive_buckets(num_rows)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        url = canonicalize_urls(batch[url_col])
+        t = pa.table(
+            {"url": url, id_col: batch[id_col]}
+        )
+        return t.append_column(
+            "_ub", pa.array(hash_buckets(poly_hash_strings(url), n_buckets))
+        )
+
+    def keep_latest(group: pa.Table) -> pa.Table:
+        # Arrow-native exact grouping (collision-free full-key compare in
+        # C++, same idiom as exact_dedup); select aggregate columns by
+        # their deterministic generated names, never by position.
+        agg = group.group_by("url").aggregate(
+            [(id_col, "max"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "url": agg["url"],
+                id_col: pc.cast(agg[f"{id_col}_max"], pa.int64()),
+                "n_dups": pc.cast(agg["count_all"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(canon, batch_format="pyarrow", batch_size=None)
+        .groupby("_ub")
+        .map_groups(keep_latest, batch_format="pyarrow")
+    )
+
+
+# RE2 patterns shared verbatim with the SQL oracle.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+def pii_scrub_batch(
+    texts: pa.ChunkedArray | pa.Array, replacement: str = "[PII]"
+) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """(n_emails, n_phones, scrubbed_text) per row — all Arrow RE2."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_email = pc.count_substring_regex(texts, EMAIL_RE)
+    n_phone = pc.count_substring_regex(texts, PHONE_RE)
+    scrubbed = pc.replace_substring_regex(
+        pc.replace_substring_regex(texts, EMAIL_RE, replacement),
+        PHONE_RE,
+        replacement,
+    )
+    return (
+        pc.cast(n_email, pa.int64()),
+        pc.cast(n_phone, pa.int64()),
+        scrubbed,
+    )
+
+
+def repetition_x1000_batch(
+    texts: pa.ChunkedArray | pa.Array, n: int = 2
+) -> pa.Array:
+    """Per-doc duplicate word-n-gram fraction ×1000 (Gopher-style
+    repetition gate): 1000·(total − distinct)//total, 0 when a doc has
+    no n-gram.  One pass of the shared rolling hasher, distinct counted
+    via lexsort — no Python loop over rows or grams."""
+    from .dedup import strict_ngram_hashes
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    h, doc_of = strict_ngram_hashes(texts, n)
+    total = np.bincount(doc_of, minlength=len(texts)).astype(np.int64)
+    order = np.lexsort((h, doc_of))
+    hs, ds_ = h[order], doc_of[order]
+    first = np.ones(len(hs), dtype=bool)
+    first[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+    distinct = np.bincount(ds_[first], minlength=len(texts)).astype(np.int64)
+    out = np.zeros(len(texts), dtype=np.int64)
+    nz = total > 0
+    out[nz] = 1000 * (total[nz] - distinct[nz]) // total[nz]
+    return pa.array(out, pa.int64())
+
+
+def pack_sequences(
+    ds,
+    size_col: str,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+    budget: int = 4000,
+    chunk_rows: int = 1 << 20,
+    num_rows: int | None = None,
+):
+    """Deterministic sequence packing: append ``pack_bin`` =
+    (running sum of ``size_col`` over all same-``part_col`` rows with a
+    smaller ``id_col``) // ``budget``.
+
+    This is the distributed two-phase prefix sum (see module docstring):
+    per-(part, id//chunk_rows) partial sums are tiny (one row per chunk)
+    and are combined into prefix offsets driver-side; the per-chunk
+    cumsum then runs in one hash-bucketed exchange whose groups are
+    bounded by ``chunk_rows`` regardless of partition skew.  All input
+    columns are carried through, so per-row stats computed upstream ride
+    along instead of needing a join back.
+    """
+    import ray
+
+    from ._buckets import derive_buckets, hash_buckets
+    from .dedup import poly_hash_strings
+
+    n_buckets = derive_buckets(num_rows)
+
+    def chunk_partials(batch: pa.Table) -> pa.Table:
+        part_arr = batch[part_col]
+        if isinstance(part_arr, pa.ChunkedArray):
+            part_arr = part_arr.combine_chunks()
+        codes = pc.dictionary_encode(part_arr).indices.to_numpy()
+        part = part_arr.to_numpy(zero_copy_only=False)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        size = batch[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        chunk = ids // chunk_rows
+        # per (part, chunk) sums within this block
+        order = np.lexsort((chunk, codes))
+        p, c, s = part[order], chunk[order], size[order]
+        cc = codes[order]
+        starts = np.flatnonzero(np.r_[True, (cc[1:] != cc[:-1]) | (c[1:] != c[:-1])])
+        sums = np.add.reduceat(s, starts) if len(s) else np.zeros(0, np.int64)
+        return pa.table(
+            {
+                "part": pa.array(p[starts], pa.string()),
+                "chunk": pa.array(c[starts], pa.int64()),
+                "s": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts_tbl = (
+        ds.select_columns([part_col, id_col, size_col])
+        .map_batches(chunk_partials, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    # Driver state: one entry per (part, chunk) — corpus_size/chunk_rows
+    # rows, NOT corpus rows.  Combine partials and build prefix offsets.
+    sums: dict[tuple, int] = {}
+    for r in parts_tbl:
+        k = (r["part"], int(r["chunk"]))
+        sums[k] = sums.get(k, 0) + int(r["s"])
+    offsets: dict[tuple, int] = {}
+    acc: dict[str, int] = {}
+    for part, chunk in sorted(sums):
+        offsets[(part, chunk)] = acc.get(part, 0)
+        acc[part] = acc.get(part, 0) + sums[(part, chunk)]
+    off_ref = ray.put(offsets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        chunk = ids // chunk_rows
+        key = poly_hash_strings(batch[part_col])
+        with np.errstate(over="ignore"):
+            key = key + chunk.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            "_pb", pa.array(hash_buckets(key, n_buckets))
+        )
+
+    def cumsum_chunk(group: pa.Table) -> pa.Table:
+        part_col_arr = group[part_col]
+        if isinstance(part_col_arr, pa.ChunkedArray):
+            part_col_arr = part_col_arr.combine_chunks()
+        # Collision-free integer codes for sorting/run detection (object
+        # lexsort would compare Python strings row by row).
+        codes = pc.dictionary_encode(part_col_arr).indices.to_numpy()
+        part = part_col_arr.to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        size = group[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        off_map = ray.get(off_ref)
+        order = np.lexsort((ids, codes))
+        inv = np.empty_like(order)
+        inv[order] = np.arange(len(order))
+        p, i, s = part[order], ids[order], size[order]
+        pcodes = codes[order]
+        chunk = i // chunk_rows
+        starts = np.flatnonzero(
+            np.r_[True, (pcodes[1:] != pcodes[:-1]) | (chunk[1:] != chunk[:-1])]
+        )
+        cum = np.cumsum(s) - s  # exclusive cumsum
+        base = np.repeat(cum[starts], np.diff(np.r_[starts, len(s)]))
+        run_off = np.array(
+            [off_map.get((p[j], int(chunk[j])), 0) for j in starts],
+            dtype=np.int64,
+        )
+        before = (cum - base) + np.repeat(
+            run_off, np.diff(np.r_[starts, len(s)])
+        )
+        bins = before // budget
+        out = group.drop_columns(["_pb"])
+        return out.append_column("pack_bin", pa.array(bins[inv], pa.int64()))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_pb")
+        .map_groups(cumsum_chunk, batch_format="pyarrow")
+    )

@@ -681,12 +681,15 @@ SQL_QUALITY = (
 )
 
 
-def q_lang_counts(sf_dir: str):
-    """Language histograms from BOTH sources — the declared ``lang``
-    column and the marker-heuristic language-ID actor pool (E22) — tagged
-    and unioned. Consolidates the former q_lang_counts / q_langid_counts
-    registry rows; both legs pre-aggregate per block before the tiny
-    groupby."""
+def q_corpus_histograms(sf_dir: str):
+    """Corpus histograms from THREE sources in one long-format entry
+    (variant, lang, n_docs): the declared ``lang`` column, the
+    marker-heuristic language-ID actor pool (E22), and the URL-host
+    histogram (variant 'domain' — one RE2 extract_regex pass in Arrow
+    C++ over the derived pages URLs, key reuses the ``lang`` column
+    name).  Consolidates the former q_lang_counts / q_langid_counts /
+    q_domain_counts registry rows; every leg pre-aggregates per block
+    before its tiny groupby."""
     from ray.data.aggregate import Sum
 
     from .functions.text import LangIdStage
@@ -718,8 +721,35 @@ def q_lang_counts(sf_dir: str):
         ),
         "lang_guess",
     )
-    return _tag_ds(declared, "variant", "declared").union(
-        _tag_ds(guessed, "variant", "guessed")
+    ds_url = read_pages(sf_dir, columns=["url", "doc_id"])
+
+    def extract_domain(batch: pa.Table) -> pa.Table:
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        # Arrow requires a NAMED group; capture semantics are identical
+        # to the oracle's unnamed group 1.
+        dom = pc.struct_field(
+            pc.extract_regex(url, r"^https://(?P<domain>[^/]+)/"), 0
+        )
+        vc = pc.value_counts(pc.fill_null(dom, ""))
+        return pa.table(
+            {
+                "lang": vc.field("values"),
+                "n_docs": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    domains = (
+        ds_url.map_batches(extract_domain, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+    return (
+        _tag_ds(declared, "variant", "declared")
+        .union(_tag_ds(guessed, "variant", "guessed"))
+        .union(_tag_ds(domains, "variant", "domain"))
     )
 
 
@@ -1390,44 +1420,207 @@ def q_distinct_hll(sf_dir: str):
     return hll_distinct(ds, "user_id", p=12)
 
 
-def q_domain_counts(sf_dir: str):
-    """Pages per URL host (crawl-curation primitive): one RE2
-    extract_regex pass in Arrow C++; the oracle runs the identical RE2
-    pattern through DuckDB regexp_extract. Top-level per-domain counts
-    via value_counts partials + Sum groupby."""
-    from ray.data.aggregate import Sum
+# Domain histogram folded into q_corpus_histograms (variant 'domain');
+# the identical RE2 pattern runs through DuckDB regexp_extract here.
+SQL_DOMAIN_COUNTS = (
+    "SELECT regexp_extract('https://' || source || '.example/' ||"
+    " CAST(doc_id AS VARCHAR), '^https://([^/]+)/', 1) AS lang,"
+    " COUNT(*) AS n_docs FROM documents GROUP BY 1"
+)
 
-    ds = read_pages(sf_dir, columns=["url", "doc_id"])
 
-    def extract(batch: pa.Table) -> pa.Table:
-        url = batch["url"]
-        if isinstance(url, pa.ChunkedArray):
-            url = url.combine_chunks()
-        # Arrow requires a NAMED group; the capture semantics are identical
-        # to the oracle's unnamed group 1.
-        dom = pc.struct_field(
-            pc.extract_regex(url, r"^https://(?P<domain>[^/]+)/"), 0
+# Deterministic "dirty" URL per document — four mutually canonicalizing
+# variants (www./case/scheme/tracking-param/fragment/trailing-slash
+# noise) built from (source, doc_id) identically on both sides.
+_SQL_DIRTY_URL = (
+    "CASE CAST(doc_id % 4 AS INTEGER)"
+    " WHEN 0 THEN 'https://www.' || source || '.Example/p/'"
+    " || CAST(doc_id % 40 AS VARCHAR)"
+    " WHEN 1 THEN 'http://' || source || '.example/p/'"
+    " || CAST(doc_id % 40 AS VARCHAR) || '/'"
+    " WHEN 2 THEN 'HTTPS://' || upper(source) || '.EXAMPLE/p/'"
+    " || CAST(doc_id % 40 AS VARCHAR) || '?utm_source=feed'"
+    " ELSE 'https://' || source || '.example/p/'"
+    " || CAST(doc_id % 40 AS VARCHAR) || '?id=' ||"
+    " CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x#frag'"
+    " END"
+)
+
+
+def _dirty_urls_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized dirty-URL synthesis mirroring ``_SQL_DIRTY_URL``."""
+    did = batch["doc_id"].to_numpy()
+    src = batch["source"]
+    if isinstance(src, pa.ChunkedArray):
+        src = src.combine_chunks()
+    s40 = pa.array((did % 40).astype(np.int64)).cast(pa.string())
+    s7 = pa.array((did % 7).astype(np.int64)).cast(pa.string())
+    j = pc.binary_join_element_wise
+    v0 = j("https://www.", src, ".Example/p/", s40, "")
+    v1 = j("http://", src, ".example/p/", s40, "/", "")
+    v2 = j("HTTPS://", pc.utf8_upper(src), ".EXAMPLE/p/", s40,
+           "?utm_source=feed", "")
+    v3 = j("https://", src, ".example/p/", s40, "?id=", s7,
+           "&utm_campaign=x#frag", "")
+    m = did % 4
+    url = pc.if_else(
+        pa.array(m == 0), v0,
+        pc.if_else(pa.array(m == 1), v1, pc.if_else(pa.array(m == 2), v2, v3)),
+    )
+    return pa.table({"doc_id": batch["doc_id"], "url": url})
+
+
+def q_url_dedup(sf_dir: str):
+    """URL canonicalization + crawl dedup (functions/web.py): four dirty
+    variants per logical URL (scheme/www/case/tracking-param/fragment/
+    trailing-slash noise) are canonicalized by the shared RE2 rule chain
+    and deduped in ONE hash-bucketed exchange keeping the max doc_id
+    (latest crawl wins) plus the duplicate count.  The oracle applies
+    the IDENTICAL rule chain via DuckDB regexp_replace — both sides are
+    generated from web.URL_CANON_RULES, so they cannot drift."""
+    from .functions.web import url_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    n = ds.count()
+    dirty = ds.map_batches(
+        _dirty_urls_batch, batch_format="pyarrow", batch_size=None
+    )
+    return url_dedup(dirty, url_col="url", id_col="doc_id", num_rows=n)
+
+
+def _sql_canon_url(expr: str) -> str:
+    """The URL_CANON_RULES chain as nested DuckDB regexp_replace calls —
+    generated from the same rule list the Arrow kernel executes."""
+    from .functions.web import URL_CANON_RULES
+
+    out = f"lower({expr})"
+    for pat, rep in URL_CANON_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+SQL_URL_DEDUP = (
+    f"WITH dirty AS (SELECT doc_id, {_SQL_DIRTY_URL} AS url FROM documents),"
+    f" canon AS (SELECT doc_id, {_sql_canon_url('url')} AS url FROM dirty)"
+    " SELECT url, MAX(doc_id) AS doc_id, COUNT(*) AS n_dups"
+    " FROM canon GROUP BY url"
+)
+
+
+def q_webtext_quality(sf_dir: str):
+    """Webtext curation stats, one row per document: Gopher-style
+    duplicate-bigram fraction ×1000 (repetition gate), PII match count +
+    post-scrub length (emails/phones planted deterministically from
+    doc_id so the RE2 kernels have real work), and the deterministic
+    sequence-packing bin (running corpus chars within the doc's language
+    // 4000).  Repetition + PII are map-only Arrow kernels; packing is
+    the two-phase distributed prefix sum in web.pack_sequences (tiny
+    per-chunk partials driver-combined, then ONE bounded-group
+    exchange).  The stats stream is materialized before packing so the
+    partial-sum pass reads the lean 5-column table instead of re-running
+    the text kernels."""
+    from .functions.web import (
+        pack_sequences,
+        pii_scrub_batch,
+        repetition_x1000_batch,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+    n = ds.count()
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        did = batch["doc_id"].to_numpy()
+        rep = repetition_x1000_batch(texts)
+        j = pc.binary_join_element_wise
+        s_id = pc.cast(batch["doc_id"], pa.string())
+        email = j(" contact user", s_id, "@mail.example", "")
+        phone = j(
+            " call +1-555-",
+            pc.utf8_lpad(
+                pa.array((did % 10000).astype(np.int64)).cast(pa.string()),
+                4,
+                "0",
+            ),
+            "",
         )
-        vc = pc.value_counts(pc.fill_null(dom, ""))
+        aug = j(
+            texts,
+            pc.if_else(pa.array(did % 3 == 0), email, ""),
+            pc.if_else(pa.array(did % 5 == 0), phone, ""),
+            "",
+        )
+        n_email, n_phone, scrubbed = pii_scrub_batch(aug)
         return pa.table(
             {
-                "domain": vc.field("values"),
-                "n": vc.field("counts").cast(pa.int64()),
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"],
+                "dup_bigram_x1000": rep,
+                "n_pii": pc.add(n_email, n_phone),
+                "scrubbed_chars": pc.cast(
+                    pc.utf8_length(scrubbed), pa.int64()
+                ),
             }
         )
 
-    return (
-        ds.map_batches(extract, batch_format="pyarrow", batch_size=None)
-        .groupby("domain")
-        .aggregate(Sum("n", alias_name="n_pages"))
+    lean = ds.map_batches(
+        stats, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    packed = pack_sequences(
+        lean, size_col="n_chars", part_col="lang", id_col="doc_id",
+        budget=4000, num_rows=n,
+    )
+    return packed.select_columns(
+        ["doc_id", "dup_bigram_x1000", "n_pii", "scrubbed_chars", "pack_bin"]
     )
 
 
-SQL_DOMAIN_COUNTS = (
-    "SELECT regexp_extract('https://' || source || '.example/' ||"
-    " CAST(doc_id AS VARCHAR), '^https://([^/]+)/', 1) AS domain,"
-    " COUNT(*) AS n_pages FROM documents GROUP BY domain"
-)
+def _sql_webtext_quality() -> str:
+    from .functions.web import EMAIL_RE, PHONE_RE
+
+    aug = (
+        "text || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@mail.example' ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END"
+    )
+    scrub = (
+        "regexp_replace(regexp_replace(atext, '" + EMAIL_RE
+        + "', '[PII]', 'g'), '" + PHONE_RE + "', '[PII]', 'g')"
+    )
+    return (
+        "WITH aug AS (SELECT doc_id, " + aug + " AS atext FROM documents),"
+        " pii AS (SELECT doc_id,"
+        " CAST(len(regexp_extract_all(atext, '" + EMAIL_RE + "')) +"
+        " len(regexp_extract_all(atext, '" + PHONE_RE + "')) AS BIGINT)"
+        " AS n_pii,"
+        " CAST(length(" + scrub + ") AS BIGINT) AS scrubbed_chars"
+        " FROM aug),"
+        " words AS (SELECT doc_id, string_split(text, ' ') AS ws"
+        " FROM documents),"
+        " dis AS (SELECT doc_id, COUNT(DISTINCT"
+        " list_extract(ws, i) || ' ' || list_extract(ws, i + 1)) AS d"
+        " FROM words, unnest(range(1, len(ws))) AS t(i) GROUP BY doc_id),"
+        " rep AS (SELECT w.doc_id, CASE WHEN len(w.ws) - 1 <= 0 THEN 0"
+        " ELSE 1000 * (len(w.ws) - 1 - COALESCE(d.d, 0)) // (len(w.ws) - 1)"
+        " END AS dup_bigram_x1000"
+        " FROM words w LEFT JOIN dis d ON w.doc_id = d.doc_id),"
+        " pack AS (SELECT doc_id, COALESCE(SUM(n_chars) OVER"
+        " (PARTITION BY lang ORDER BY doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000"
+        " AS pack_bin FROM documents)"
+        " SELECT r.doc_id, CAST(r.dup_bigram_x1000 AS BIGINT)"
+        " AS dup_bigram_x1000, p.n_pii, p.scrubbed_chars,"
+        " CAST(k.pack_bin AS BIGINT) AS pack_bin"
+        " FROM rep r JOIN pii p ON r.doc_id = p.doc_id"
+        " JOIN pack k ON r.doc_id = k.doc_id"
+    )
+
+
+SQL_WEBTEXT_QUALITY = _sql_webtext_quality()
 
 
 def q_native_join(sf_dir: str):
@@ -1642,11 +1835,48 @@ def q_quantiles(sf_dir: str):
             }
         )
 
+    # PER-GROUP leg (l_quantity by l_returnflag; consolidates the former
+    # q_quantiles_by_group registry row): sparse (group, value, count)
+    # partials via np.unique per block → tiny groupby-sum → per-group
+    # cumulative pick; one row per (group, q) with variant
+    # 'group_<flag>'.  Driver state is bounded by distinct (group,
+    # value) combos, never row count.
+    ds_grp = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    gqs = [25, 50, 75, 99]
+    gpartial = _grouped_value_counts("l_returnflag", "l_quantity")
+    grows = (
+        ds_grp.map_batches(gpartial, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "v"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    from collections import defaultdict
+
+    per_group: dict = defaultdict(list)
+    for r in grows:
+        per_group[r["l_returnflag"]].append((int(r["v"]), int(r["n"])))
+    gv, gq, gval = [], [], []
+    for flag in sorted(per_group):
+        for q in gqs:
+            gv.append(f"group_{flag}")
+            gq.append(q)
+            gval.append(_order_stat(per_group[flag], q / 100.0))
+    group_tbl = pa.table(
+        {
+            "variant": pa.array(gv, pa.string()),
+            "q": pa.array(gq, pa.int64()),
+            "value": pa.array([float(v) for v in gval], pa.float64()),
+        }
+    )
+
     return pa.concat_tables(
         [
             tagged(int_tbl, "int_hist", "value"),
             tagged(fixed_tbl, "fixed_point", "value_cents"),
             tagged(bracket_tbl, "bracket", "value"),
+            group_tbl,
         ]
     )
 
@@ -1870,12 +2100,26 @@ SQL_QUANTILES_BRACKET = (
     " CAST(floor(v.q / 100.0 * ((SELECT cnt FROM n) - 1)) AS BIGINT)"
 )
 
+SQL_QUANTILES_BY_GROUP = (
+    "WITH s AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v"
+    " FROM lineitem),"
+    " o AS (SELECT l_returnflag, v, ROW_NUMBER() OVER"
+    " (PARTITION BY l_returnflag ORDER BY v) - 1 AS r FROM s),"
+    " n AS (SELECT l_returnflag, COUNT(*) AS cnt FROM s GROUP BY 1)"
+    " SELECT o.l_returnflag, CAST(q.q AS BIGINT) AS q, o.v AS value"
+    " FROM (VALUES (25),(50),(75),(99)) AS q(q)"
+    " JOIN n ON true JOIN o ON o.l_returnflag = n.l_returnflag"
+    " AND o.r = CAST(floor(q.q / 100.0 * (n.cnt - 1)) AS BIGINT)"
+)
+
 SQL_QUANTILES = (
     "SELECT 'int_hist' AS variant, q, CAST(value AS DOUBLE) AS value"
     f" FROM ({_SQL_QUANTILES_INT})"
     " UNION ALL SELECT 'fixed_point', q, CAST(value_cents AS DOUBLE)"
     f" FROM ({SQL_QUANTILES_FLOAT})"
     f" UNION ALL SELECT 'bracket', q, value FROM ({SQL_QUANTILES_BRACKET})"
+    " UNION ALL SELECT 'group_' || l_returnflag, q, CAST(value AS DOUBLE)"
+    f" FROM ({SQL_QUANTILES_BY_GROUP})"
 )
 
 
@@ -2370,58 +2614,6 @@ def _sql_events_pivot() -> str:
     )
 
 
-def q_quantiles_by_group(sf_dir: str):
-    """Exact PER-GROUP quantiles (l_quantity by l_returnflag): sparse
-    (group, value, count) partials via np.unique per block → tiny
-    groupby-sum → per-group cumulative pick. Same driver-state bound as
-    the grid quantiles (distinct (group, value) combos), per key."""
-    from ray.data.aggregate import Sum
-
-    ds = _rd().read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
-    )
-    qs = [25, 50, 75, 99]
-    partial = _grouped_value_counts("l_returnflag", "l_quantity")
-
-    rows = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(["l_returnflag", "v"])
-        .aggregate(Sum("n", alias_name="n"))
-        .take_all()
-    )
-    from collections import defaultdict
-
-    per_group: dict = defaultdict(list)
-    for r in rows:
-        per_group[r["l_returnflag"]].append((int(r["v"]), int(r["n"])))
-    out_flag, out_q, out_v = [], [], []
-    for flag in sorted(per_group):
-        for q in qs:
-            out_flag.append(flag)
-            out_q.append(q)
-            out_v.append(_order_stat(per_group[flag], q / 100.0))
-    return pa.table(
-        {
-            "l_returnflag": pa.array(out_flag, pa.string()),
-            "q": pa.array(out_q, pa.int64()),
-            "value": pa.array(out_v, pa.int64()),
-        }
-    )
-
-
-SQL_QUANTILES_BY_GROUP = (
-    "WITH s AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v"
-    " FROM lineitem),"
-    " o AS (SELECT l_returnflag, v, ROW_NUMBER() OVER"
-    " (PARTITION BY l_returnflag ORDER BY v) - 1 AS r FROM s),"
-    " n AS (SELECT l_returnflag, COUNT(*) AS cnt FROM s GROUP BY 1)"
-    " SELECT o.l_returnflag, CAST(q.q AS BIGINT) AS q, o.v AS value"
-    " FROM (VALUES (25),(50),(75),(99)) AS q(q)"
-    " JOIN n ON true JOIN o ON o.l_returnflag = n.l_returnflag"
-    " AND o.r = CAST(floor(q.q / 100.0 * (n.cnt - 1)) AS BIGINT)"
-)
-
-
 def q_median_filter(sf_dir: str):
     """Composite curation pattern: keep documents whose token count is at
     or above their LANGUAGE's median — a per-group quantile (sparse
@@ -2559,10 +2751,13 @@ SQL_LABEL_CENTROIDS = (
 # 50 queries in registration order (VERDICT r3 #3), so the registry is
 # consolidated to fit: same-oracle kernel variants share one entry with a
 # variant/method/strategy label column (q_encode_suite, q_join_rect,
-# q_knn, q_tile_counts_l8, q_token_count, q_lang_counts, q_neardup_pairs,
-# q_simsearch, q_media, q_quantiles, q_distinct_counts,
+# q_knn, q_tile_counts_l8, q_token_count, q_corpus_histograms (former
+# lang/langid/domain rows), q_neardup_pairs, q_simsearch, q_media,
+# q_quantiles (absorbed the by-group row in round 4), q_distinct_counts,
 # q_cover_regions_golden), and the standalone q_simhash / q_fingerprint
 # rows were dropped as redundant with the hash-exact q_sketch_golden.
+# Round 4 used the freed slots for the web-curation ops q_url_dedup and
+# q_webtext_quality.
 # Every kernel that was registered in round 3 is still exercised.
 QUERIES = {
     "q_encode_suite": q_encode_suite,
@@ -2578,7 +2773,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_token_count": q_token_count,
     "q_quality": q_quality,
-    "q_lang_counts": q_lang_counts,
+    "q_corpus_histograms": q_corpus_histograms,
     "q_neardup_pairs": q_neardup_pairs,
     "q_simsearch": q_simsearch,
     "q_media": q_media,
@@ -2596,7 +2791,8 @@ QUERIES = {
     "q_events_sliding": q_events_sliding,
     "q_sample_hash": q_sample_hash,
     "q_distinct_hll": q_distinct_hll,
-    "q_domain_counts": q_domain_counts,
+    "q_url_dedup": q_url_dedup,
+    "q_webtext_quality": q_webtext_quality,
     "q_native_join": q_native_join,
     "q_text_identity": q_text_identity,
     "q_top_orders_per_cust": q_top_orders_per_cust,
@@ -2606,7 +2802,6 @@ QUERIES = {
     "q_decontaminate": q_decontaminate,
     "q_heavy_hitters": q_heavy_hitters,
     "q_sketch_golden": q_sketch_golden,
-    "q_quantiles_by_group": q_quantiles_by_group,
     "q_events_pivot": q_events_pivot,
     "q_semi_join_customers": q_semi_join_customers,
     "q_outer_join_counts": q_outer_join_counts,
@@ -2652,9 +2847,9 @@ ORACLE_SQL = {
     "q_dedup_exact": SQL_DEDUP_EXACT,
     "q_token_count": SQL_TOKEN_COUNT,
     "q_quality": SQL_QUALITY,
-    # "q_lang_counts" is appended below — its SQL composes the declared
-    # and guessed legs, and the guessed leg's CTE chain is defined after
-    # this dict for readability.
+    # "q_corpus_histograms" is appended below — its SQL composes the
+    # declared/guessed/domain legs, and the guessed leg's CTE chain is
+    # defined after this dict for readability.
     "q_simsearch": SQL_SIMSEARCH,
     "q_pricing_summary": SQL_PRICING,
     "q_orders_by_segment": SQL_ORDERS_SEG,
@@ -2665,7 +2860,8 @@ ORACLE_SQL = {
     "q_band_join": SQL_BAND_JOIN,
     "q_events_sliding": SQL_SLIDING,
     "q_sample_hash": SQL_SAMPLE_HASH,
-    "q_domain_counts": SQL_DOMAIN_COUNTS,
+    "q_url_dedup": SQL_URL_DEDUP,
+    "q_webtext_quality": SQL_WEBTEXT_QUALITY,
     "q_native_join": SQL_NATIVE_JOIN,
     "q_text_identity": SQL_TEXT_IDENTITY,
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,
@@ -2676,7 +2872,6 @@ ORACLE_SQL = {
     "q_heavy_hitters": SQL_HEAVY_HITTERS,
     # Frozen self-golden for non-SQL sketch kernels (see q_sketch_golden)
     "q_sketch_golden": SQL_SKETCH_GOLDEN,
-    "q_quantiles_by_group": SQL_QUANTILES_BY_GROUP,
     "q_events_pivot": _sql_events_pivot(),
     "q_semi_join_customers": SQL_SEMI_JOIN,
     "q_outer_join_counts": SQL_OUTER_JOIN_COUNTS,
@@ -2719,9 +2914,10 @@ _SQL_LANG_GUESSED = (
         " SELECT lang_guess, COUNT(*) AS n_docs FROM final GROUP BY lang_guess"
 )
 
-SQL_LANG_COUNTS = (
+SQL_CORPUS_HISTOGRAMS = (
     f"SELECT lang, n_docs, 'declared' AS variant FROM ({_SQL_LANG_DECLARED})"
     " UNION ALL SELECT lang_guess, n_docs, 'guessed'"
     f" FROM ({_SQL_LANG_GUESSED})"
+    f" UNION ALL SELECT lang, n_docs, 'domain' FROM ({SQL_DOMAIN_COUNTS})"
 )
-ORACLE_SQL["q_lang_counts"] = SQL_LANG_COUNTS
+ORACLE_SQL["q_corpus_histograms"] = SQL_CORPUS_HISTOGRAMS

@@ -1,0 +1,152 @@
+"""Web-corpus curation operators (functions/web.py): URL
+canonicalization/dedup, PII scrub, repetition scoring, sequence packing.
+The oracle harness checks the registered queries end-to-end; these tests
+pin kernel semantics and the operators' distributed behavior on inputs
+the sf tables don't cover (multi-chunk packing, collision partitions,
+empty groups)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_canonicalize_urls_rules():
+    from s2sphere_ray.functions.web import canonicalize_urls
+
+    cases = {
+        "https://www.Host.Example/a": "https://host.example/a",
+        "http://host.example/a/": "https://host.example/a",
+        "HTTPS://HOST.EXAMPLE/a?utm_source=x": "https://host.example/a",
+        "https://host.example/a?id=1&utm_campaign=x#frag":
+            "https://host.example/a?id=1",
+        "https://host.example/a?utm_a=1&utm_b=2&fbclid=z":
+            "https://host.example/a",
+        "https://host.example/a?ref=r&id=2&q=3":
+            "https://host.example/a?id=2&q=3",
+        "https://host.example/": "https://host.example",
+    }
+    got = canonicalize_urls(pa.array(list(cases))).to_pylist()
+    assert got == list(cases.values())
+
+
+def test_pii_scrub_counts_and_replacement():
+    from s2sphere_ray.functions.web import pii_scrub_batch
+
+    t = pa.array(
+        [
+            "write a.b-c_9@mail.example now",
+            "call +1-555-0042 or +1-555-9999",
+            "nothing here",
+            "both x@y.zz and +1-555-0000",
+        ]
+    )
+    ne, nph, scrubbed = pii_scrub_batch(t)
+    assert ne.to_pylist() == [1, 0, 0, 1]
+    assert nph.to_pylist() == [0, 2, 0, 1]
+    assert scrubbed.to_pylist() == [
+        "write [PII] now",
+        "call [PII] or [PII]",
+        "nothing here",
+        "both [PII] and [PII]",
+    ]
+
+
+def test_repetition_fraction():
+    from s2sphere_ray.functions.web import repetition_x1000_batch
+
+    out = repetition_x1000_batch(
+        pa.array(["a b a b a b", "x y z w", "solo", "r r r r r"])
+    ).to_pylist()
+    # "a b a b a b": 5 bigrams, 2 distinct -> 600; unique text -> 0;
+    # single word -> no bigram -> 0; "r r"x4: 4 bigrams 1 distinct -> 750
+    assert out == [600, 0, 0, 750]
+
+
+def _naive_pack(rows, budget):
+    """Reference: bin = (sum of sizes of same-part rows with smaller id)
+    // budget."""
+    out = {}
+    for part, i, s in rows:
+        before = sum(s2 for p2, i2, s2 in rows if p2 == part and i2 < i)
+        out[i] = before // budget
+    return out
+
+
+def test_pack_sequences_matches_naive(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.web import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n = 400
+    parts = rng.choice(["en", "de", "fr"], size=n)
+    ids = rng.permutation(n * 3)[:n].astype(np.int64)  # sparse, shuffled
+    sizes = rng.integers(1, 500, size=n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(parts.tolist(), pa.string()),
+                "doc_id": pa.array(ids),
+                "n_chars": pa.array(sizes),
+                "extra": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+    ).repartition(13)  # force rows of one (part, chunk) across blocks
+    got = {
+        r["doc_id"]: r["pack_bin"]
+        for r in pack_sequences(
+            ds, size_col="n_chars", part_col="lang", id_col="doc_id",
+            budget=700, chunk_rows=256, num_rows=n,
+        ).take_all()
+    }
+    want = _naive_pack(list(zip(parts.tolist(), ids, sizes)), 700)
+    assert got == {int(k): int(v) for k, v in want.items()}
+
+
+def test_pack_sequences_carries_columns(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.web import pack_sequences
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(["en", "en", "de"], pa.string()),
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "n_chars": pa.array([10, 10, 10], pa.int64()),
+                "payload": pa.array(["a", "b", "c"], pa.string()),
+            }
+        )
+    )
+    out = pack_sequences(
+        ds, size_col="n_chars", part_col="lang", budget=15
+    ).take_all()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["payload"] == "a" and by_id[1]["pack_bin"] == 0
+    assert by_id[2]["pack_bin"] == 0  # 10 // 15
+    assert by_id[3]["pack_bin"] == 0
+    assert "_pb" not in out[0]
+
+
+def test_url_dedup_keeps_latest(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.web import url_dedup
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    [
+                        "https://www.a.example/x",
+                        "http://a.example/x/",
+                        "https://a.example/x?utm_source=s",
+                        "https://b.example/y",
+                    ]
+                ),
+                "doc_id": pa.array([1, 7, 3, 2], pa.int64()),
+            }
+        )
+    )
+    rows = {r["url"]: r for r in url_dedup(ds, num_rows=4).take_all()}
+    assert rows["https://a.example/x"]["doc_id"] == 7
+    assert rows["https://a.example/x"]["n_dups"] == 3
+    assert rows["https://b.example/y"]["n_dups"] == 1
+    assert len(rows) == 2
