@@ -157,6 +157,87 @@ def repetition_x1000_batch(
     return pa.array(out, pa.int64())
 
 
+def unigram_code_lengths(ds, text_col: str = "text"):
+    """Corpus-derived unigram "language model" for quality scoring:
+    returns ``(vocab_hashes_sorted, code_len, total_tokens)`` where
+    ``code_len[i] = floor(log2(total_tokens / freq_i))`` — the integer
+    Shannon code length of token i under the corpus unigram
+    distribution.  Computed exactly with integer division + bit_length,
+    so Ray and the SQL oracle (``printf('%b', ...)``) agree bit for bit
+    (no float log anywhere).
+
+    One counting pass (per-block token-hash value counts) + a tiny
+    groupby-sum; the merged vocabulary is gathered driver-side for
+    broadcast.  At crawl scale a natural-language vocabulary is
+    O(100M) entries (~1.6 GB as two int64 arrays) — large but broadcast-
+    viable via ray.put; beyond that, shard the vocab by hash range and
+    run one scoring pass per shard.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _token_hash_batch
+
+    def counts(batch: pa.Table) -> pa.Table:
+        h, _ = _token_hash_batch(batch[text_col])
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq.view(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    vocab = np.array([r["h"] for r in rows], dtype=np.int64)
+    freq = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(vocab)
+    vocab, freq = vocab[order], freq[order]
+    total = int(freq.sum())
+    ratio = total // freq  # >= 1
+    # floor(log2(k)) == bit_length(k) - 1, vectorized via float exponent
+    # extraction would round; use exact frexp-free integer path:
+    code_len = np.zeros(len(ratio), dtype=np.int64)
+    r = ratio.copy()
+    while np.any(r > 1):
+        big = r > 1
+        r[big] >>= 1
+        code_len[big] += 1
+    return vocab, code_len, total
+
+
+def surprisal_batch(
+    texts: pa.ChunkedArray | pa.Array,
+    vocab: np.ndarray,
+    code_len: np.ndarray,
+) -> tuple[pa.Array, pa.Array]:
+    """(n_tokens, surprisal_bits) per row: sum of the broadcast unigram
+    code lengths over the doc's tokens.  Tokens absent from the vocab
+    (never happens when the model was built on the same corpus) count 0
+    bits."""
+    from .dedup import _token_hash_batch
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    h, offsets = _token_hash_batch(texts)
+    n_tok = np.diff(offsets).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(texts)), n_tok)
+    pos = np.searchsorted(vocab, h.view(np.int64))
+    pos[pos >= len(vocab)] = 0
+    hit = vocab[pos] == h.view(np.int64) if len(vocab) else np.zeros(
+        len(h), bool
+    )
+    bits = np.zeros(len(h), dtype=np.int64)
+    bits[hit] = code_len[pos[hit]]
+    out = np.zeros(len(texts), dtype=np.int64)
+    np.add.at(out, doc_of, bits)
+    return pa.array(n_tok, pa.int64()), pa.array(out, pa.int64())
+
+
 def pack_sequences(
     ds,
     size_col: str,

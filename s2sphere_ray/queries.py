@@ -1511,22 +1511,35 @@ def q_webtext_quality(sf_dir: str):
     """Webtext curation stats, one row per document: Gopher-style
     duplicate-bigram fraction ×1000 (repetition gate), PII match count +
     post-scrub length (emails/phones planted deterministically from
-    doc_id so the RE2 kernels have real work), and the deterministic
+    doc_id so the RE2 kernels have real work), the corpus-unigram
+    surprisal score (a unigram "LM" counted from the corpus itself,
+    broadcast, then summed per doc as INTEGER Shannon code lengths —
+    floor(log2(total/freq)) via bit_length, so no float log can diverge
+    from the oracle's printf('%b') computation), and the deterministic
     sequence-packing bin (running corpus chars within the doc's language
-    // 4000).  Repetition + PII are map-only Arrow kernels; packing is
-    the two-phase distributed prefix sum in web.pack_sequences (tiny
-    per-chunk partials driver-combined, then ONE bounded-group
-    exchange).  The stats stream is materialized before packing so the
-    partial-sum pass reads the lean 5-column table instead of re-running
-    the text kernels."""
+    // 4000).  Repetition + PII + scoring are map-only Arrow/numpy
+    kernels (the model is one tiny counting groupby + ray.put);
+    packing is the two-phase distributed prefix sum in
+    web.pack_sequences (tiny per-chunk partials driver-combined, then
+    ONE bounded-group exchange).  The stats stream is materialized
+    before packing so the partial-sum pass reads the lean table instead
+    of re-running the text kernels."""
+    import ray as _ray
+
     from .functions.web import (
         pack_sequences,
         pii_scrub_batch,
         repetition_x1000_batch,
+        surprisal_batch,
+        unigram_code_lengths,
     )
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
     n = ds.count()
+    vocab, code_len, _total = unigram_code_lengths(
+        _docs(sf_dir, ["text"])
+    )
+    model_ref = _ray.put((vocab, code_len))
 
     def stats(batch: pa.Table) -> pa.Table:
         texts = batch["text"]
@@ -1553,6 +1566,8 @@ def q_webtext_quality(sf_dir: str):
             "",
         )
         n_email, n_phone, scrubbed = pii_scrub_batch(aug)
+        v, cl = _ray.get(model_ref)
+        n_tok, bits = surprisal_batch(texts, v, cl)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -1563,6 +1578,8 @@ def q_webtext_quality(sf_dir: str):
                 "scrubbed_chars": pc.cast(
                     pc.utf8_length(scrubbed), pa.int64()
                 ),
+                "n_tokens": n_tok,
+                "surprisal_bits": bits,
             }
         )
 
@@ -1574,7 +1591,15 @@ def q_webtext_quality(sf_dir: str):
         budget=4000, num_rows=n,
     )
     return packed.select_columns(
-        ["doc_id", "dup_bigram_x1000", "n_pii", "scrubbed_chars", "pack_bin"]
+        [
+            "doc_id",
+            "dup_bigram_x1000",
+            "n_pii",
+            "scrubbed_chars",
+            "n_tokens",
+            "surprisal_bits",
+            "pack_bin",
+        ]
     )
 
 
@@ -1611,11 +1636,26 @@ def _sql_webtext_quality() -> str:
         " pack AS (SELECT doc_id, COALESCE(SUM(n_chars) OVER"
         " (PARTITION BY lang ORDER BY doc_id"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000"
-        " AS pack_bin FROM documents)"
+        " AS pack_bin FROM documents),"
+        # Corpus-unigram surprisal: integer Shannon code length per token
+        # — floor(log2(total // freq)) via the binary printf, bit-exact
+        # with the Ray kernel's bit_length loop.
+        " toks AS (SELECT doc_id, w FROM (SELECT doc_id,"
+        " unnest(string_split(text, ' ')) AS w FROM documents)"
+        " WHERE w <> ''),"
+        " ufreq AS (SELECT w, COUNT(*) AS f FROM toks GROUP BY w),"
+        " utot AS (SELECT COUNT(*) AS t FROM toks),"
+        " surp AS (SELECT toks.doc_id, COUNT(*) AS n_tokens,"
+        " SUM(length(printf('%b', (SELECT t FROM utot) // ufreq.f)) - 1)"
+        " AS surprisal_bits"
+        " FROM toks JOIN ufreq ON toks.w = ufreq.w GROUP BY toks.doc_id)"
         " SELECT r.doc_id, CAST(r.dup_bigram_x1000 AS BIGINT)"
         " AS dup_bigram_x1000, p.n_pii, p.scrubbed_chars,"
+        " CAST(s.n_tokens AS BIGINT) AS n_tokens,"
+        " CAST(s.surprisal_bits AS BIGINT) AS surprisal_bits,"
         " CAST(k.pack_bin AS BIGINT) AS pack_bin"
         " FROM rep r JOIN pii p ON r.doc_id = p.doc_id"
+        " JOIN surp s ON r.doc_id = s.doc_id"
         " JOIN pack k ON r.doc_id = k.doc_id"
     )
 

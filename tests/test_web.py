@@ -62,6 +62,32 @@ def test_repetition_fraction():
     assert out == [600, 0, 0, 750]
 
 
+def test_unigram_surprisal_exact(ray_session):
+    import math
+
+    import ray.data as rd
+    from s2sphere_ray.functions.web import (
+        surprisal_batch,
+        unigram_code_lengths,
+    )
+
+    texts = ["a a a b", "b c", "a c c"]
+    # freqs: a=4, b=2, c=3 -> total=9; code lens: a=floor(log2(9//4))=1,
+    # b=floor(log2(9//2))=2, c=floor(log2(9//3))=1
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    vocab, code_len, total = unigram_code_lengths(ds)
+    assert total == 9 and len(vocab) == 3
+    n_tok, bits = surprisal_batch(pa.array(texts), vocab, code_len)
+    assert n_tok.to_pylist() == [4, 2, 3]
+    # doc0: 3*a + 1*b = 3*1+2 = 5; doc1: b + c = 3; doc2: a + 2*c = 3
+    assert bits.to_pylist() == [5, 3, 3]
+    # cross-check the integer code length against float log2
+    for v, cl in zip(vocab.tolist(), code_len.tolist()):
+        f = {"a": 4, "b": 2, "c": 3}
+        ratios = [9 // x for x in f.values()]
+        assert cl in [int(math.floor(math.log2(r))) for r in ratios]
+
+
 def _naive_pack(rows, budget):
     """Reference: bin = (sum of sizes of same-part rows with smaller id)
     // budget."""
