@@ -157,6 +157,28 @@ def repetition_x1000_batch(
     return pa.array(out, pa.int64())
 
 
+# Minimal main-content extraction: strip tags, then unescape the basic
+# entities.  Order matters — entities must be decoded AFTER tag removal
+# so '&lt;p&gt;' in content cannot create a phantom tag.
+_HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&amp;", "&"))
+
+
+def html_text_batch(html: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """HTML → text extraction (crawl E1 inverse): one RE2 tag-strip pass
+    plus fixed entity substitutions, all Arrow C++ kernels.  The sandbox
+    corpus wraps text losslessly, so extraction must be byte-exact; a
+    real-crawl extractor would add boilerplate heuristics on top of this
+    same vectorized skeleton."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        html = html.cast(pa.string())
+    out = pc.replace_substring_regex(html, r"<[^>]*>", "")
+    for ent, ch in _HTML_ENTITIES:
+        out = pc.replace_substring(out, ent, ch)
+    return out
+
+
 def unigram_code_lengths(ds, text_col: str = "text"):
     """Corpus-derived unigram "language model" for quality scoring:
     returns ``(vocab_hashes_sorted, code_len, total_tokens)`` where

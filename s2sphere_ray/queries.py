@@ -1721,10 +1721,26 @@ SQL_NATIVE_JOIN = (
 
 def q_text_identity(sf_dir: str):
     """North-rule invariant, checked end-to-end: ``text`` must arrive
-    byte-identical per url/doc after riding through the pages derivation +
-    geocode map stages (the driver hash-compares every byte against the
-    raw documents table)."""
-    ds = read_pages(sf_dir, columns=["url", "text", "doc_id"])
+    byte-identical per url/doc.  Round 4 hardened this from a
+    pass-through check to a real EXTRACTION check — the query reads the
+    ``html`` column only and recovers the text with the vectorized
+    HTML→text extractor (web.html_text_batch: RE2 tag strip + entity
+    decode), then rides it through the geocode map stage; the driver
+    hash-compares every byte against the raw documents table."""
+    from .functions.web import html_text_batch
+
+    ds = read_pages(sf_dir, columns=["url", "html", "doc_id"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "url": batch["url"],
+                "text": html_text_batch(batch["html"]),
+            }
+        )
+
+    ds = ds.map_batches(extract, batch_format="pyarrow", batch_size=None)
     ds = ds.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
     return ds.select_columns(["doc_id", "url", "text"])
 

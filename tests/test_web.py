@@ -62,6 +62,27 @@ def test_repetition_fraction():
     assert out == [600, 0, 0, 750]
 
 
+def test_html_text_extraction():
+    from s2sphere_ray.functions.web import html_text_batch
+
+    out = html_text_batch(
+        pa.array(
+            [
+                "<html><body>plain words here</body></html>",
+                "<div class='x'>a <b>bold</b> move</div>",
+                "tagless",
+                "<p>&lt;not a tag&gt; &amp; &quot;quoted&quot;</p>",
+            ]
+        )
+    ).to_pylist()
+    assert out == [
+        "plain words here",
+        "a bold move",
+        "tagless",
+        '<not a tag> & "quoted"',
+    ]
+
+
 def test_unigram_surprisal_exact(ray_session):
     import math
 
