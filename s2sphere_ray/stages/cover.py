@@ -43,9 +43,18 @@ class CovererStage:
         self.interior = interior
         self.tokens = tokens
 
+    # region_object() consumes only the region-spec columns; everything
+    # else in the batch (payload, ids, covers from earlier stages) stays
+    # in Arrow and never round-trips through Python (VERDICT r3 minor).
+    _SPEC_COLS = (
+        "kind", "lat_lo", "lng_lo", "lat_hi", "lng_hi",
+        "axis_lat", "axis_lng", "radius_deg", "poly_json",
+    )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         covers = []
-        rows = batch.to_pylist()
+        spec = [c for c in self._SPEC_COLS if c in batch.column_names]
+        rows = batch.select(spec).to_pylist()
         for row in rows:
             region = region_object(row)
             if self.interior:
