@@ -277,6 +277,26 @@ def run_bench() -> dict:
         ).num_rows
 
     timed("quantiles_float", quantiles_float)
+    from s2sphere_ray.queries import q_webtext_quality
+
+    def jaccard():
+        # q_ngram_jaccard's sf0.01 config (bigrams, t=0.5) is degenerate
+        # on the larger synthetic corpus (its tiny vocabulary makes ~all
+        # pairs candidates and the guards fire, correctly); bench the
+        # operator at a crawl-realistic trigram/0.8 config instead.
+        import ray.data as rd
+
+        from s2sphere_ray.functions.dedup import ngram_jaccard_pairs
+
+        ds = rd.read_parquet(
+            f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return ngram_jaccard_pairs(
+            ds, n=3, threshold=0.8, num_rows=ds.count()
+        ).count()
+
+    timed("jaccard", jaccard)
+    timed("webtext_quality", lambda: q_webtext_quality(SF_DIR).count())
 
     total = round(time.time() - t0, 3)
     result = {
