@@ -867,9 +867,12 @@ def ngram_jaccard_pairs(
     5. exact verify, ONE exchange: the capped candidate set (≤
        ``max_candidates`` pairs, 16 B each) is gathered and a
        doc → pair-slot index broadcast via ``ray.put``; a stateless map
-       expands each candidate doc's gram rows to (pair, gram, side,
-       set_sz) — non-candidate docs never leave their block — and a
-       single pk-bucketed groupby counts each pair's true intersection
+       expands each candidate doc's gram rows to bare (pair, gram)
+       rows — 16 B each; no side flag or set size is carried, because
+       per-doc grams are distinct so a (pair, gram) run of length 2 IS
+       an intersection element and a pair's total rows are |A|+|B| —
+       non-candidate docs never leave their block — and a single
+       pk-bucketed groupby counts each pair's true intersection
        vectorized (lexsort + run scan); integer-exact threshold test
        ``1000·inter ≥ 1000·t·union`` (no float boundary).
 
@@ -1196,19 +1199,19 @@ def ngram_jaccard_pairs(
     b_ids = cand_tbl["id_b"].to_numpy().astype(np.int64)
     all_did = np.concatenate([a_ids, b_ids])
     all_pk = np.concatenate([np.arange(n_cand), np.arange(n_cand)])
-    all_side = np.concatenate(
-        [np.zeros(n_cand, np.int8), np.ones(n_cand, np.int8)]
-    )
     order_ix = np.argsort(all_did, kind="stable")
     did_sorted = all_did[order_ix]
     uniq_docs, first_ix = np.unique(did_sorted, return_index=True)
     slot_offs = np.append(first_ix, len(did_sorted)).astype(np.int64)
-    index_ref = _ray.put(
-        (uniq_docs, slot_offs, all_pk[order_ix], all_side[order_ix])
-    )
+    index_ref = _ray.put((uniq_docs, slot_offs, all_pk[order_ix]))
 
+    # The expansion carries ONLY (pk, gram) — 16 B/row.  Neither a side
+    # flag nor the set size is needed: per-doc grams are DISTINCT (the
+    # tokenize pass dedups), so a (pk, gram) run has at most one row per
+    # side — run length 2 ⟺ intersection element — and the total rows
+    # of a pair are exactly |A| + |B|, giving union = rows − inter.
     def emit_pair_grams(batch: pa.Table) -> pa.Table:
-        uniq, offs, pk_arr, side_arr = _ray.get(index_ref)
+        uniq, offs, pk_arr = _ray.get(index_ref)
         did = batch["did"].to_numpy()
         pos = np.searchsorted(uniq, did)
         pos[pos >= len(uniq)] = 0
@@ -1218,8 +1221,6 @@ def ngram_jaccard_pairs(
                 {
                     "pk": pa.array([], pa.int64()),
                     "gram": pa.array([], pa.int64()),
-                    "side": pa.array([], pa.int8()),
-                    "sz": pa.array([], pa.int64()),
                 }
             )
         pos = pos[valid]
@@ -1235,12 +1236,6 @@ def ngram_jaccard_pairs(
                 "gram": pa.array(
                     np.repeat(batch["gram"].to_numpy()[valid], cnt)
                 ),
-                "side": pa.array(side_arr[slot]),
-                "sz": pa.array(
-                    np.repeat(
-                        batch["set_sz"].to_numpy()[valid].astype(np.int64), cnt
-                    )
-                ),
             }
         )
 
@@ -1252,37 +1247,27 @@ def ngram_jaccard_pairs(
     def count_pairs(group: pa.Table) -> pa.Table:
         pk = group["pk"].to_numpy()
         gram = group["gram"].to_numpy()
-        side = group["side"].to_numpy()
-        sz = group["sz"].to_numpy()
-        order_ix = np.lexsort((side, gram, pk))
-        pk, gram, side, sz = (
-            pk[order_ix], gram[order_ix], side[order_ix], sz[order_ix]
-        )
-        # runs of identical (pk, gram); a run holding both sides is one
-        # intersection element for that pair
+        order_ix = np.lexsort((gram, pk))
+        pk, gram = pk[order_ix], gram[order_ix]
+        # runs of identical (pk, gram): length 2 ⟺ both sides hold the
+        # gram (per-doc grams are distinct) ⟺ one intersection element.
         new_run = np.ones(len(pk), dtype=bool)
         new_run[1:] = (pk[1:] != pk[:-1]) | (gram[1:] != gram[:-1])
         run_id = np.cumsum(new_run) - 1
         n_runs = int(run_id[-1]) + 1 if len(run_id) else 0
-        has0 = np.zeros(n_runs, dtype=bool)
-        has1 = np.zeros(n_runs, dtype=bool)
-        has0[run_id[side == 0]] = True
-        has1[run_id[side == 1]] = True
+        run_len = np.bincount(run_id, minlength=n_runs)
         upk, pk_local = np.unique(pk, return_inverse=True)
         upk_of_run = pk_local[new_run]
         inter = np.bincount(
-            upk_of_run[has0 & has1], minlength=len(upk)
+            upk_of_run[run_len == 2], minlength=len(upk)
         ).astype(np.int64)
-        na = np.zeros(len(upk), dtype=np.int64)
-        nb = np.zeros(len(upk), dtype=np.int64)
-        na[pk_local[side == 0]] = sz[side == 0]
-        nb[pk_local[side == 1]] = sz[side == 1]
+        total = np.bincount(pk_local, minlength=len(upk)).astype(np.int64)
         return pa.table(
             {
                 "pk": pa.array(upk),
                 "inter_n": pa.array(inter),
-                "na": pa.array(na),
-                "nb": pa.array(nb),
+                # total rows per pair = |A| + |B| ⇒ union = total − inter
+                "union_n": pa.array(total - inter),
             }
         )
 
@@ -1331,9 +1316,7 @@ def ngram_jaccard_pairs(
         aa, bb = _ray.get(ids_ref)
         pk = batch["pk"].to_numpy()
         inter = batch["inter_n"].to_numpy().astype(np.int64)
-        na = batch["na"].to_numpy().astype(np.int64)
-        nb = batch["nb"].to_numpy().astype(np.int64)
-        union = na + nb - inter
+        union = batch["union_n"].to_numpy().astype(np.int64)
         keep = inter * 1000 >= t_x1000 * union
         jac = np.zeros(len(inter), dtype=np.int64)
         nz = union > 0
