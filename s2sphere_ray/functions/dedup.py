@@ -1331,7 +1331,25 @@ def ngram_jaccard_pairs(
             }
         )
 
-    return counted.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    out = counted.map_batches(
+        finish, batch_format="pyarrow", batch_size=None
+    )
+    # The bucketed exchange leaves 0-row schema-less blocks for empty
+    # partitions, and map_batches never calls ``finish`` on them (see
+    # functions/_schema.py) — heal so downstream joins/writes are safe.
+    # The pairs stream is compact (≤ max_candidates rows) by construction.
+    return stabilize_schema(
+        out,
+        pa.schema(
+            [
+                ("id_a", pa.int64()),
+                ("id_b", pa.int64()),
+                ("inter_n", pa.int64()),
+                ("union_n", pa.int64()),
+                ("jac_x1000", pa.int64()),
+            ]
+        ),
+    )
 
 
 def decontaminate(
