@@ -254,13 +254,13 @@ def run_bench() -> dict:
     timed("cc_clusters", cc_clusters)
     from s2sphere_ray.queries import (
         q_dedup_exact,
-        q_quality,
+        q_text_stats,
         q_sessions,
         q_asof_orders,
     )
 
     timed("dedup_exact", lambda: q_dedup_exact(SF_DIR).count())
-    timed("text_quality", lambda: q_quality(SF_DIR).count())
+    timed("text_quality", lambda: q_text_stats(SF_DIR).count())
     timed("sessions", lambda: q_sessions(SF_DIR).count())
     timed("asof_join", lambda: q_asof_orders(SF_DIR).count())
     from s2sphere_ray.queries import q_join_anti

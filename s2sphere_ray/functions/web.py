@@ -377,3 +377,126 @@ def pack_sequences(
         .groupby("_pb")
         .map_groups(cumsum_chunk, batch_format="pyarrow")
     )
+
+
+# --- corpus-level line dedup (CCNet-style) ---------------------------------
+
+# Wrap pattern used by queries.q_line_dedup to derive a multi-line corpus
+# deterministically from the single-line synthetic documents: insert a
+# newline after every 8th word.  RE2 leftmost non-overlapping semantics —
+# identical in Arrow's replace_substring_regex and DuckDB's
+# regexp_replace(..., 'g'), so the oracle re-derives the same bytes.
+LINE_WRAP_PATTERN = r"([^ ]+( [^ ]+){7}) "
+
+
+def line_dedup(ds, text_col: str = "text", min_count: int = 2):
+    """Corpus-level duplicated-line removal — the CCNet/RefinedWeb gate
+    that strips boilerplate (nav bars, cookie banners, footers) by
+    deleting every line whose exact content occurs at least ``min_count``
+    times across the corpus, preserving the remaining lines' order.
+
+    Two passes, both stateless maps plus one tiny exchange:
+
+    1. count: per-block partial value-counts of 64-bit line hashes
+       (``poly_hash_strings`` over the flattened split-line values — one
+       vectorized pass, O(total bytes)) are pre-aggregated BEFORE the
+       ``groupby``, so the exchange carries one row per distinct line
+       per block, not one per line occurrence.  Hashes with a global
+       count ≥ ``min_count`` form the duplicated-line set.
+    2. strip: the set is sorted and broadcast once via ``ray.put``; a
+       stateless map splits each doc, tests membership with one
+       ``np.searchsorted``, rebuilds the surviving lines into a
+       ``ListArray`` and re-joins with ``binary_join`` — no Python per
+       row, no second shuffle.
+
+    Scale shape: the broadcast set holds only lines that are actually
+    duplicated (boilerplate is a tiny fraction of distinct lines).  At
+    crawl scale where even that outgrows a broadcast (O(100M) × 8 B is
+    still viable; beyond it), shard the dup set by hash range and run
+    one strip pass per shard, or swap pass 2's membership test for a
+    hash-bucketed exchange of (line_hash → doc, ord) with a re-sort —
+    the CCNet sharding.  64-bit hashing: a collision deletes an innocent
+    line; at ~1e9 distinct lines the expected collision count is ~0.03
+    (birthday bound), the standard trade CCNet itself makes.
+
+    Appends ``n_lines_kept`` / ``n_lines_dropped`` (int64) and replaces
+    ``text_col`` with the re-joined surviving lines ('' when every line
+    was duplicated).  Assumes non-null text.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import poly_hash_strings
+
+    def counts(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        flat = pc.split_pattern(txt, "\n").flatten()
+        h = poly_hash_strings(flat)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq.view(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        keep = pc.greater_equal(batch["n"], min_count)
+        return pa.table({"h": batch["h"].filter(keep)})
+
+    dup_rows = agg.map_batches(
+        only_dups, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    dup = np.sort(np.array([r["h"] for r in dup_rows], dtype=np.int64))
+    dup_ref = _ray.put(dup)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        dup_s = _ray.get(dup_ref)
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        lines = pc.split_pattern(txt, "\n")
+        offs = lines.offsets.to_numpy().astype(np.int64)
+        offs = offs - offs[0]
+        flat = lines.flatten()
+        h = poly_hash_strings(flat).view(np.int64)
+        if len(dup_s) and len(h):
+            pos = np.searchsorted(dup_s, h)
+            valid = pos < len(dup_s)
+            is_dup = np.zeros(len(h), dtype=bool)
+            is_dup[valid] = dup_s[pos[valid]] == h[valid]
+        else:
+            is_dup = np.zeros(len(h), dtype=bool)
+        keep = ~is_dup
+        n_rows = len(txt)
+        per_row = np.diff(offs)
+        row_of = np.repeat(np.arange(n_rows), per_row)
+        kept_per = np.bincount(row_of[keep], minlength=n_rows)
+        new_offs = np.concatenate(
+            [[0], np.cumsum(kept_per)]
+        ).astype(np.int32)
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep))
+        )
+        new_text = pc.binary_join(new_list, "\n")
+        ix = batch.schema.get_field_index(text_col)
+        out = batch.set_column(ix, text_col, new_text)
+        out = out.append_column(
+            "n_lines_kept", pa.array(kept_per.astype(np.int64))
+        )
+        return out.append_column(
+            "n_lines_dropped",
+            pa.array((per_row - kept_per).astype(np.int64)),
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow", batch_size=None)

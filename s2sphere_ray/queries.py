@@ -634,43 +634,40 @@ def q_dedup_exact(sf_dir: str):
 SQL_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
-def q_token_count(sf_dir: str):
-    """Whitespace token count, character count AND the BPE-ish regex token
-    count (one RE2 pass in Arrow C++), all in ONE map over the documents —
-    consolidates the former q_token_count / q_token_regex registry rows."""
+def q_text_stats(sf_dir: str):
+    """Per-document text statistics in ONE fused map over the documents:
+    whitespace token count, character count, the BPE-ish regex token
+    count (one RE2 pass in Arrow C++), mean token length, stopword hits
+    and alpha ratio — consolidates the former q_token_count / q_quality
+    registry rows (which were two separate full passes over the same
+    input) into a single read + single stateless stage."""
     from .functions.text import regex_token_count_batch
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     out = ds.map_batches(
-        lambda b: regex_token_count_batch(token_count_batch(b)),
+        lambda b: quality_batch(regex_token_count_batch(token_count_batch(b))),
         batch_format="pyarrow",
         batch_size=None,
     )
     return out.select_columns(
-        ["doc_id", "n_tokens", "n_chars_obs", "n_bpe_tokens"]
-    )
-
-
-SQL_TOKEN_COUNT = (
-    "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,"
-    " CAST(length(text) AS BIGINT) AS n_chars_obs,"
-    " CAST(len(regexp_extract_all(coalesce(text, ''),"
-    " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens"
-    " FROM documents"
-)
-
-
-def q_quality(sf_dir: str):
-    ds = _docs(sf_dir, ["doc_id", "text"])
-    out = ds.map_batches(quality_batch, batch_format="pyarrow")
-    return out.select_columns(
-        ["doc_id", "mean_token_len_x1000", "stopword_hits", "alpha_ratio_x1000"]
+        [
+            "doc_id",
+            "n_tokens",
+            "n_chars_obs",
+            "n_bpe_tokens",
+            "mean_token_len_x1000",
+            "stopword_hits",
+            "alpha_ratio_x1000",
+        ]
     )
 
 
 _STOP_SQL = "('the','of','and','to','in','is','was','for','on','that','with','as','by','at','from','are','this','be','an','or')"
-SQL_QUALITY = (
-    "SELECT doc_id,"
+SQL_TEXT_STATS = (
+    "SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,"
+    " CAST(length(text) AS BIGINT) AS n_chars_obs,"
+    " CAST(len(regexp_extract_all(coalesce(text, ''),"
+    " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,"
     " CAST(length(replace(text,' ','')) AS BIGINT) * 1000"
     " // CAST(len(string_split(text,' ')) AS BIGINT) AS mean_token_len_x1000,"
     f" CAST(len(list_filter(string_split(text,' '), x -> x IN {_STOP_SQL})) AS BIGINT)"
@@ -1661,6 +1658,58 @@ def _sql_webtext_quality() -> str:
 
 
 SQL_WEBTEXT_QUALITY = _sql_webtext_quality()
+
+
+def q_line_dedup(sf_dir: str):
+    """CCNet-style corpus-level duplicated-line removal (E27): delete
+    every line occurring ≥2 times across the corpus, keep the rest in
+    order.  The synthetic documents are single-line word streams, so the
+    query first derives a deterministic multi-line corpus by wrapping
+    after every 8th word with ONE RE2 replace — the identical pattern the
+    oracle applies in SQL (both engines are RE2; byte-identical, verified
+    like q_text_identity's html derivation).  The operator itself is
+    web.line_dedup: per-block pre-aggregated line-hash counts → one tiny
+    groupby exchange → broadcast dup set → stateless strip pass."""
+    from .functions.web import LINE_WRAP_PATTERN, line_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(
+            batch["text"], pattern=LINE_WRAP_PATTERN, replacement="\\1\n"
+        )
+        ix = batch.schema.get_field_index("text")
+        return batch.set_column(ix, "text", t)
+
+    out = line_dedup(
+        ds.map_batches(wrap, batch_format="pyarrow", batch_size=None),
+        min_count=2,
+    )
+    return out.select_columns(
+        ["doc_id", "text", "n_lines_kept", "n_lines_dropped"]
+    )
+
+
+SQL_LINE_DEDUP = (
+    "WITH d AS ("
+    " SELECT doc_id, string_split(regexp_replace(text,"
+    " '([^ ]+( [^ ]+){7}) ', '\\1' || chr(10), 'g'), chr(10)) AS ls"
+    " FROM documents"
+    "), lines AS ("
+    " SELECT doc_id, unnest(ls) AS line, unnest(range(len(ls))) AS ord"
+    " FROM d"
+    "), dup AS ("
+    " SELECT line, TRUE AS is_dup FROM lines GROUP BY line"
+    " HAVING COUNT(*) >= 2"
+    ") SELECT l.doc_id,"
+    " coalesce(string_agg(l.line, chr(10) ORDER BY l.ord)"
+    "   FILTER (WHERE dup.is_dup IS NULL), '') AS text,"
+    " CAST(COUNT(*) FILTER (WHERE dup.is_dup IS NULL) AS BIGINT)"
+    "   AS n_lines_kept,"
+    " CAST(COUNT(*) FILTER (WHERE dup.is_dup) AS BIGINT)"
+    "   AS n_lines_dropped"
+    " FROM lines l LEFT JOIN dup USING (line) GROUP BY l.doc_id"
+)
 
 
 def q_native_join(sf_dir: str):
@@ -2807,7 +2856,8 @@ SQL_LABEL_CENTROIDS = (
 # 50 queries in registration order (VERDICT r3 #3), so the registry is
 # consolidated to fit: same-oracle kernel variants share one entry with a
 # variant/method/strategy label column (q_encode_suite, q_join_rect,
-# q_knn, q_tile_counts_l8, q_token_count, q_corpus_histograms (former
+# q_knn, q_tile_counts_l8, q_text_stats (former token_count/quality
+# rows, merged late round 4), q_corpus_histograms (former
 # lang/langid/domain rows), q_neardup_pairs, q_simsearch, q_media,
 # q_quantiles (absorbed the by-group row in round 4), q_distinct_counts,
 # q_cover_regions_golden), and the standalone q_simhash / q_fingerprint
@@ -2827,8 +2877,7 @@ QUERIES = {
     "q_write_tiles_roundtrip": q_write_tiles_roundtrip,
     "q_hilbert_order": q_hilbert_order,
     "q_dedup_exact": q_dedup_exact,
-    "q_token_count": q_token_count,
-    "q_quality": q_quality,
+    "q_text_stats": q_text_stats,
     "q_corpus_histograms": q_corpus_histograms,
     "q_neardup_pairs": q_neardup_pairs,
     "q_simsearch": q_simsearch,
@@ -2849,6 +2898,7 @@ QUERIES = {
     "q_distinct_hll": q_distinct_hll,
     "q_url_dedup": q_url_dedup,
     "q_webtext_quality": q_webtext_quality,
+    "q_line_dedup": q_line_dedup,
     "q_native_join": q_native_join,
     "q_text_identity": q_text_identity,
     "q_top_orders_per_cust": q_top_orders_per_cust,
@@ -2901,8 +2951,7 @@ ORACLE_SQL = {
     "q_knn": SQL_KNN,
     "q_join_poly": SQL_JOIN_POLY_ALL,
     "q_dedup_exact": SQL_DEDUP_EXACT,
-    "q_token_count": SQL_TOKEN_COUNT,
-    "q_quality": SQL_QUALITY,
+    "q_text_stats": SQL_TEXT_STATS,
     # "q_corpus_histograms" is appended below — its SQL composes the
     # declared/guessed/domain legs, and the guessed leg's CTE chain is
     # defined after this dict for readability.
@@ -2918,6 +2967,7 @@ ORACLE_SQL = {
     "q_sample_hash": SQL_SAMPLE_HASH,
     "q_url_dedup": SQL_URL_DEDUP,
     "q_webtext_quality": SQL_WEBTEXT_QUALITY,
+    "q_line_dedup": SQL_LINE_DEDUP,
     "q_native_join": SQL_NATIVE_JOIN,
     "q_text_identity": SQL_TEXT_IDENTITY,
     "q_top_orders_per_cust": SQL_TOP_ORDERS_PER_CUST,

@@ -16,7 +16,7 @@ SAMPLE = [
     "q_join_cap",
     "q_join_poly",
     "q_knn",
-    "q_token_count",
+    "q_text_stats",
     "q_pricing_summary",
     "q_sessions",
     "q_curation",

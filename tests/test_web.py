@@ -197,3 +197,53 @@ def test_url_dedup_keeps_latest(ray_session):
     assert rows["https://a.example/x"]["n_dups"] == 3
     assert rows["https://b.example/y"]["n_dups"] == 1
     assert len(rows) == 2
+
+
+def test_line_dedup_strips_corpus_duplicates(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.web import line_dedup
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "cookie banner\nunique alpha\nfooter",
+                        "cookie banner\nunique beta",
+                        "footer\nunique gamma\nfooter",
+                        "cookie banner",  # all lines duplicated -> ''
+                    ]
+                ),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in line_dedup(ds).take_all()}
+    # 'cookie banner' x3 and 'footer' x3 (doc 3 has it twice) are dups.
+    assert out[1]["text"] == "unique alpha"
+    assert out[1]["n_lines_kept"] == 1 and out[1]["n_lines_dropped"] == 2
+    assert out[2]["text"] == "unique beta"
+    assert out[3]["text"] == "unique gamma"
+    assert out[3]["n_lines_dropped"] == 2
+    assert out[4]["text"] == "" and out[4]["n_lines_kept"] == 0
+
+
+def test_line_dedup_min_count_and_order(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.web import line_dedup
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["b\na\nb\nc", "c\nz"]),
+            }
+        )
+    )
+    # min_count=3: only 'b' (2x in doc 1) + 'c' (2x total) stay under 3.
+    out = {r["doc_id"]: r for r in line_dedup(ds, min_count=3).take_all()}
+    assert out[1]["text"] == "b\na\nb\nc"  # order + multiplicity kept
+    assert out[2]["text"] == "c\nz"
+    out2 = {r["doc_id"]: r for r in line_dedup(ds, min_count=2).take_all()}
+    assert out2[1]["text"] == "a"
+    assert out2[2]["text"] == "z"
