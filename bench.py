@@ -297,6 +297,9 @@ def run_bench() -> dict:
 
     timed("jaccard", jaccard)
     timed("webtext_quality", lambda: q_webtext_quality(SF_DIR).count())
+    from s2sphere_ray.queries import q_line_dedup
+
+    timed("line_dedup", lambda: q_line_dedup(SF_DIR).count())
 
     total = round(time.time() - t0, 3)
     result = {
