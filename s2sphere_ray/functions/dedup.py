@@ -1430,3 +1430,124 @@ def _get_broadcast(ref):
 
 
 _BROADCAST_CACHE: dict = {}
+
+
+# --- incremental (snapshot) dedup via a distributed Bloom filter -----------
+
+
+def bloom_build(ds, key_col: str = "text", m_bits: int = 1 << 26, k: int = 7):
+    """Build a Bloom filter over ``key_col`` of a reference corpus — the
+    bounded-memory side of incremental dedup (dedupe THIS crawl against
+    LAST crawl without ever reshuffling the old corpus).
+
+    Distributed shape: one stateless map hashes each block's keys
+    (``poly_hash_strings``), derives the k probe-bit positions by double
+    hashing (h2 forced odd so every probe stride is invertible mod the
+    power-of-two ``m_bits``), and pre-aggregates with ``np.unique`` so
+    the exchange carries DISTINCT bit positions per block, never one row
+    per key occurrence.  Positions then hash-range-bucket into
+    ``groupby().map_groups`` slice builders: each group OR-builds its
+    fixed 512 KiB slice of the bitmap, and the driver gathers exactly
+    ``m_bits/8`` bytes total (plus empty-slice zero fill) regardless of
+    corpus size.  Returns a ``np.uint64[m_bits/64]`` bitmap.
+
+    Memory bound is the point: the broadcast is always ``m_bits/8``
+    bytes, unlike ``decontaminate``'s exact hash-set broadcast which
+    grows with the reference's distinct cardinality.  The trade is a
+    false-positive rate of ``(1 - e^(-k·n/m))^k`` — size ``m_bits`` to
+    ~10 bits/key for ~1% FP and pick ``mode='flag'`` downstream when a
+    human gate reviews drops.
+    """
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    slice_bits = min(m_bits, 1 << 22)
+    n_slices = m_bits // slice_bits
+
+    def positions(batch: pa.Table) -> pa.Table:
+        h = poly_hash_strings(batch[key_col])
+        pos = _bloom_positions(h, m_bits, k)
+        u = np.unique(pos)
+        return pa.table(
+            {
+                "_sl": pa.array((u // slice_bits).astype(np.int64)),
+                "pos": pa.array(u.astype(np.int64)),
+            }
+        )
+
+    def build_slice(group: pa.Table) -> pa.Table:
+        sl = int(group["_sl"][0].as_py())
+        rel = group["pos"].to_numpy() - sl * slice_bits
+        words = np.zeros(slice_bits // 64, dtype=np.uint64)
+        np.bitwise_or.at(
+            words, rel >> 6, np.uint64(1) << (rel & 63).astype(np.uint64)
+        )
+        return pa.table(
+            {"_sl": pa.array([sl], pa.int64()),
+             "bits": pa.array([words.tobytes()], pa.binary())}
+        )
+
+    rows = (
+        ds.map_batches(positions, batch_format="pyarrow", batch_size=None)
+        .groupby("_sl")
+        .map_groups(build_slice, batch_format="pyarrow")
+        .take_all()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    wps = slice_bits // 64
+    for r in rows:
+        sl = r["_sl"]
+        bitmap[sl * wps : (sl + 1) * wps] = np.frombuffer(
+            r["bits"], dtype=np.uint64
+        )
+    return bitmap
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k probe-bit positions per hash, double hashing, shape (len(h)*k,)."""
+    h = h.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h2 = (h ^ (h >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+        h2 |= np.uint64(1)  # odd stride: all k probes distinct mod 2^b
+        i = np.arange(k, dtype=np.uint64)
+        pos = (h[:, None] + i[None, :] * h2[:, None]) & np.uint64(m_bits - 1)
+    return pos.reshape(-1)
+
+
+def bloom_dedup_against(
+    ds_new,
+    bitmap: np.ndarray,
+    key_col: str = "text",
+    k: int = 7,
+    mode: str = "flag",
+):
+    """Filter (or flag) rows of a NEW shard whose key is (probably)
+    already present in the reference corpus summarized by ``bitmap``
+    (from :func:`bloom_build`).  One stateless map — the bitmap is
+    ``ray.put`` once and fetched once per worker process
+    (``_get_broadcast``); membership is k vectorized gathers + an
+    AND-reduce, no shuffle, no contact with the old corpus.
+
+    Bloom guarantees NO false negatives: every true duplicate is caught.
+    False positives drop/flag a fresh row at the documented rate;
+    ``mode='flag'`` appends ``maybe_dup: bool`` instead of dropping so a
+    downstream exact check (or a human gate) can arbitrate.
+    """
+    import ray as _ray
+
+    m_bits = len(bitmap) * 64
+    assert m_bits & (m_bits - 1) == 0
+    ref = _ray.put(bitmap)
+
+    def check(batch: pa.Table) -> pa.Table:
+        bm = _get_broadcast(ref)
+        h = poly_hash_strings(batch[key_col])
+        if not len(h):
+            hit_all = np.zeros(0, dtype=bool)
+        else:
+            pos = _bloom_positions(h, m_bits, k).reshape(len(h), k)
+            bits = (bm[pos >> np.uint64(6)] >> (pos & np.uint64(63))) & np.uint64(1)
+            hit_all = bits.all(axis=1)
+        if mode == "drop":
+            return batch.filter(pa.array(~hit_all))
+        return batch.append_column("maybe_dup", pa.array(hit_all))
+
+    return ds_new.map_batches(check, batch_format="pyarrow", batch_size=None)

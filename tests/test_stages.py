@@ -1188,3 +1188,29 @@ def test_exact_float_quantiles_nulls_dropped(ray_session):
     # lower order statistic over the 100 non-null values:
     # k = floor(q/100 * 99) -> indices 0, 49, 98 -> values 1, 50, 99
     assert out["value"].to_pylist() == [1.0, 50.0, 99.0]
+
+
+def test_bloom_incremental_dedup(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.dedup import bloom_build, bloom_dedup_against
+
+    ref_texts = [f"ref document number {i}" for i in range(2000)]
+    new_texts = [f"new document number {i}" for i in range(500)]
+    planted = ref_texts[::100]  # 20 true duplicates in the new shard
+    ref = rd.from_arrow(pa.table({"text": pa.array(ref_texts)}))
+    new = rd.from_arrow(
+        pa.table({"text": pa.array(new_texts + planted)})
+    ).repartition(8)
+
+    bitmap = bloom_build(ref, "text", m_bits=1 << 18, k=7)
+    flagged = bloom_dedup_against(new, bitmap, "text", k=7).take_all()
+    by_text = {r["text"]: r["maybe_dup"] for r in flagged}
+    # Bloom guarantees zero false negatives: every planted dup flagged.
+    assert all(by_text[t] for t in planted)
+    # 2^18 bits / 2000 keys = 131 bits/key -> FP rate ~ 0; allow a few.
+    fps = sum(1 for t in new_texts if by_text[t])
+    assert fps <= 2, f"implausible Bloom FP count {fps}"
+    # drop mode removes exactly the flagged rows
+    n_flagged = sum(1 for v in by_text.values() if v)
+    kept = bloom_dedup_against(new, bitmap, "text", k=7, mode="drop").count()
+    assert kept == 520 - n_flagged
