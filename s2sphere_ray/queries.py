@@ -1318,19 +1318,50 @@ SQL_CURATION = (
 
 
 def q_sample_hash(sf_dir: str):
-    """Deterministic 10% sample by id hash (resumable sampling — the scale
-    substitute for random_sample when reruns must see the same rows)."""
+    """Deterministic sampling, two variants in one long-format entry
+    (variant, doc_id, lang):
+
+    - 'hash10': 10% rate sample by id hash (map-only; resumable — the
+      scale substitute for random_sample when reruns must see the same
+      rows).
+    - 'quota': stratified per-language quota (≤ 20 docs per lang, the
+      smallest hash keys win — distributed ROW_NUMBER() OVER (PARTITION
+      BY lang ORDER BY hash, id) ≤ k via functions/sampling.py: per-block
+      local top-k pre-filter bounds the exchange by k·keys·blocks, then
+      one hash-bucketed rank pass)."""
+    from .functions.sampling import stratified_sample
+
     ds = _docs(sf_dir, ["doc_id", "lang"])
 
     def keep(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()
-        return batch.filter(pa.array((d * 2654435761) % 10 == 0))
+        out = batch.filter(pa.array((d * 2654435761) % 10 == 0))
+        return out.append_column(
+            "variant", pa.array(np.repeat("hash10", out.num_rows))
+        )
 
-    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    hash10 = ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    quota = stratified_sample(
+        ds, key_col="lang", id_col="doc_id", k=20, num_rows=ds.count()
+    ).map_batches(
+        lambda b: b.append_column(
+            "variant", pa.array(np.repeat("quota", b.num_rows))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return hash10.union(quota).select_columns(["variant", "doc_id", "lang"])
 
 
 SQL_SAMPLE_HASH = (
-    "SELECT doc_id, lang FROM documents WHERE (doc_id * 2654435761) % 10 = 0"
+    "SELECT 'hash10' AS variant, doc_id, lang FROM documents"
+    " WHERE (doc_id * 2654435761) % 10 = 0"
+    " UNION ALL"
+    " SELECT 'quota' AS variant, doc_id, lang FROM ("
+    "  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang"
+    "   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn"
+    "  FROM documents)"
+    " WHERE rn <= 20"
 )
 
 

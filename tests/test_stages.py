@@ -1214,3 +1214,42 @@ def test_bloom_incremental_dedup(ray_session):
     n_flagged = sum(1 for v in by_text.values() if v)
     kept = bloom_dedup_against(new, bitmap, "text", k=7, mode="drop").count()
     assert kept == 520 - n_flagged
+
+
+def test_stratified_sample_quota_and_determinism(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.sampling import (
+        SAMPLE_MOD,
+        SAMPLE_MULT,
+        stratified_sample,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "lang": pa.array([("en", "de", "fr")[i % 3] for i in range(300)]),
+        }
+    )
+    k = 5
+    # naive oracle: smallest (hash, id) per lang
+    import collections
+
+    by_lang = collections.defaultdict(list)
+    for i in range(300):
+        by_lang[("en", "de", "fr")[i % 3]].append(
+            ((i * SAMPLE_MULT) % SAMPLE_MOD, i)
+        )
+    expect = {
+        (lang, i)
+        for lang, rows in by_lang.items()
+        for _, i in sorted(rows)[:k]
+    }
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got = {
+            (r["lang"], r["doc_id"])
+            for r in stratified_sample(
+                ds, key_col="lang", id_col="doc_id", k=k, num_rows=300
+            ).take_all()
+        }
+        assert got == expect, f"parts={parts}"
