@@ -500,3 +500,83 @@ def line_dedup(ds, text_col: str = "text", min_count: int = 2):
         )
 
     return ds.map_batches(strip, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_documents(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+):
+    """Split every document into fixed-width character chunks with
+    overlap — the context-window preparation step between curation and
+    tokenization (each chunk becomes one training sequence; the overlap
+    preserves cross-boundary context).
+
+    Stateless one-to-many map, no shuffle: per batch, the chunk count
+    per doc is ``ceil((len - overlap) / stride)`` (≥ 1), chunk starts
+    are built by one ``np.repeat``/cumsum pass, and every chunk is
+    sliced from the ORIGINAL Arrow value buffer with a zero-copy-build
+    ``pa.StringArray.from_buffers`` — a new offsets array over shared
+    byte data plus one gather for the chunk bytes, never a Python
+    substring loop.  Emits (id, chunk_ix, n_chunks, chunk_text).
+
+    Operates on bytes (== characters for ASCII corpora; for general
+    UTF-8, boundaries may split a code point — chunk on a
+    codepoint-offset column upstream if that matters).  Output order
+    within a block is (doc, chunk_ix), globally as unordered as the
+    input — downstream packing (pack_sequences) does not care.
+    """
+    assert 0 <= overlap < chunk_chars
+    stride = chunk_chars - overlap
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        arr = txt.cast(pa.binary())
+        n = len(arr)
+        offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + n + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(offsets)
+        n_chunks = np.maximum(
+            1, -(-(lens - overlap) // stride)
+        ).astype(np.int64)
+        doc_of = np.repeat(np.arange(n), n_chunks)
+        # chunk index within each doc: global arange minus each doc's base
+        base = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        cix = np.arange(int(n_chunks.sum()), dtype=np.int64) - base[doc_of]
+        starts = offsets[:-1][doc_of] + cix * stride
+        ends = np.minimum(starts + chunk_chars, offsets[1:][doc_of])
+        clen = ends - starts
+        new_off = np.concatenate([[0], np.cumsum(clen)]).astype(np.int32)
+        # gather chunk bytes in one fancy-index pass
+        total = int(clen.sum())
+        if total:
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                new_off[:-1].astype(np.int64), clen
+            )
+            flat = data[np.repeat(starts, clen) + within]
+        else:
+            flat = np.zeros(0, dtype=np.uint8)
+        chunk_arr = pa.StringArray.from_buffers(
+            len(clen),
+            pa.py_buffer(new_off.tobytes()),
+            pa.py_buffer(flat.tobytes()),
+        )
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(doc_of)),
+                "chunk_ix": pa.array(cix),
+                "n_chunks": pa.array(n_chunks[doc_of]),
+                "chunk_text": chunk_arr,
+            }
+        )
+
+    return ds.map_batches(chunks, batch_format="pyarrow", batch_size=None)

@@ -247,3 +247,57 @@ def test_line_dedup_min_count_and_order(ray_session):
     out2 = {r["doc_id"]: r for r in line_dedup(ds, min_count=2).take_all()}
     assert out2[1]["text"] == "a"
     assert out2[2]["text"] == "z"
+
+
+def test_chunk_documents_matches_naive(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.web import chunk_documents
+
+    rng = np.random.default_rng(3)
+    texts = [
+        "x" * 0,
+        "short",
+        "a" * 100,
+        "".join(chr(97 + c) for c in rng.integers(0, 26, 5000)),
+        "".join(chr(97 + c) for c in rng.integers(0, 26, 2048)),
+        "".join(chr(97 + c) for c in rng.integers(0, 26, 2049)),
+    ]
+    C, O = 2048, 256
+    stride = C - O
+
+    def naive(t):
+        out, i = [], 0
+        while True:
+            out.append(t[i : i + C])
+            if i + C >= len(t) or len(out) >= 1 + max(
+                0, -(-(len(t) - O) // stride) - 1
+            ):
+                # same count formula as the operator
+                pass
+            i += stride
+            if len(out) >= max(1, -(-(len(t) - O) // stride)):
+                return out
+
+    want = {}
+    for d, t in enumerate(texts):
+        for ix, ch in enumerate(naive(t)):
+            want[(d, ix)] = ch
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(3)
+    got = chunk_documents(ds, chunk_chars=C, overlap=O).take_all()
+    assert {(r["doc_id"], r["chunk_ix"]): r["chunk_text"] for r in got} == want
+    n_by_doc = {r["doc_id"]: r["n_chunks"] for r in got}
+    assert n_by_doc[3] == -(-(5000 - O) // stride)
+    assert n_by_doc[0] == 1 and n_by_doc[4] == 1 and n_by_doc[5] == 2
+    # overlap invariant: consecutive chunks share O characters
+    d3 = sorted(
+        (r["chunk_ix"], r["chunk_text"]) for r in got if r["doc_id"] == 3
+    )
+    for (_, a), (_, b) in zip(d3, d3[1:]):
+        assert a[stride : stride + O] == b[:O]
