@@ -580,3 +580,44 @@ def chunk_documents(
         )
 
     return ds.map_batches(chunks, batch_format="pyarrow", batch_size=None)
+
+
+def collapse_repeated_tokens_batch(
+    texts: pa.ChunkedArray | pa.Array, sep: str = " "
+) -> tuple[pa.Array, pa.Array, pa.Array]:
+    """Intra-document stutter removal: collapse every run of identical
+    consecutive ``sep``-separated tokens to a single occurrence (the
+    crawl artifact where templating repeats a word/line N times).
+    Map-only and exact: adjacency is tested with ONE Arrow C++ string
+    compare of the flattened token array against itself shifted by one
+    (no hashing, so no collision can merge distinct tokens), and the
+    survivors rebuild through the same ListArray/binary_join path as
+    ``line_dedup``.  Returns (new_text, n_kept, n_dropped) arrays."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(texts, sep)
+    offs = lists.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    flat = lists.flatten()
+    n, m = len(texts), len(flat)
+    eq_prev = np.zeros(m, dtype=bool)
+    if m > 1:
+        eq_prev[1:] = pc.equal(
+            flat.slice(1), flat.slice(0, m - 1)
+        ).to_numpy(zero_copy_only=False)
+    first = np.zeros(m, dtype=bool)
+    starts = offs[:-1]
+    first[starts[starts < m]] = True
+    keep = first | ~eq_prev
+    per_row = np.diff(offs)
+    row_of = np.repeat(np.arange(n), per_row)
+    kept_per = np.bincount(row_of[keep], minlength=n)
+    new_offs = np.concatenate([[0], np.cumsum(kept_per)]).astype(np.int32)
+    new_list = pa.ListArray.from_arrays(
+        pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep))
+    )
+    return (
+        pc.binary_join(new_list, sep),
+        pa.array(kept_per.astype(np.int64)),
+        pa.array((per_row - kept_per).astype(np.int64)),
+    )

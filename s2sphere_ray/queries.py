@@ -1701,7 +1701,11 @@ def q_line_dedup(sf_dir: str):
     like q_text_identity's html derivation).  The operator itself is
     web.line_dedup: per-block pre-aggregated line-hash counts → one tiny
     groupby exchange → broadcast dup set → stateless strip pass."""
-    from .functions.web import LINE_WRAP_PATTERN, line_dedup
+    from .functions.web import (
+        LINE_WRAP_PATTERN,
+        collapse_repeated_tokens_batch,
+        line_dedup,
+    )
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -1712,12 +1716,37 @@ def q_line_dedup(sf_dir: str):
         ix = batch.schema.get_field_index("text")
         return batch.set_column(ix, "text", t)
 
-    out = line_dedup(
+    corpus = line_dedup(
         ds.map_batches(wrap, batch_format="pyarrow", batch_size=None),
         min_count=2,
+    ).map_batches(
+        lambda b: b.append_column(
+            "variant", pa.array(np.repeat("corpus", b.num_rows))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
     )
-    return out.select_columns(
-        ["doc_id", "text", "n_lines_kept", "n_lines_dropped"]
+
+    # Second variant: intra-doc stutter removal over raw space tokens —
+    # map-only, exact string adjacency compare (no corpus state).
+    def collapse(batch: pa.Table) -> pa.Table:
+        t, kept, dropped = collapse_repeated_tokens_batch(batch["text"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text": t,
+                "n_lines_kept": kept,
+                "n_lines_dropped": dropped,
+                "variant": pa.array(np.repeat("collapse", batch.num_rows)),
+            }
+        )
+
+    collapsed = ds.map_batches(
+        collapse, batch_format="pyarrow", batch_size=None
+    )
+    cols = ["variant", "doc_id", "text", "n_lines_kept", "n_lines_dropped"]
+    return corpus.select_columns(cols).union(
+        collapsed.select_columns(cols)
     )
 
 
@@ -1732,7 +1761,14 @@ SQL_LINE_DEDUP = (
     "), dup AS ("
     " SELECT line, TRUE AS is_dup FROM lines GROUP BY line"
     " HAVING COUNT(*) >= 2"
-    ") SELECT l.doc_id,"
+    "), toks AS ("
+    " SELECT doc_id, unnest(string_split(text, ' ')) AS line,"
+    " unnest(range(len(string_split(text, ' ')))) AS ord FROM documents"
+    "), coll AS ("
+    " SELECT doc_id, line, ord, CASE WHEN lag(line) OVER"
+    " (PARTITION BY doc_id ORDER BY ord) = line THEN 0 ELSE 1 END AS kp"
+    " FROM toks"
+    ") SELECT 'corpus' AS variant, l.doc_id,"
     " coalesce(string_agg(l.line, chr(10) ORDER BY l.ord)"
     "   FILTER (WHERE dup.is_dup IS NULL), '') AS text,"
     " CAST(COUNT(*) FILTER (WHERE dup.is_dup IS NULL) AS BIGINT)"
@@ -1740,6 +1776,13 @@ SQL_LINE_DEDUP = (
     " CAST(COUNT(*) FILTER (WHERE dup.is_dup) AS BIGINT)"
     "   AS n_lines_dropped"
     " FROM lines l LEFT JOIN dup USING (line) GROUP BY l.doc_id"
+    " UNION ALL"
+    " SELECT 'collapse' AS variant, doc_id,"
+    " coalesce(string_agg(line, ' ' ORDER BY ord)"
+    "   FILTER (WHERE kp = 1), '') AS text,"
+    " CAST(COUNT(*) FILTER (WHERE kp = 1) AS BIGINT) AS n_lines_kept,"
+    " CAST(COUNT(*) FILTER (WHERE kp = 0) AS BIGINT) AS n_lines_dropped"
+    " FROM coll GROUP BY doc_id"
 )
 
 

@@ -301,3 +301,14 @@ def test_chunk_documents_matches_naive(ray_session):
     )
     for (_, a), (_, b) in zip(d3, d3[1:]):
         assert a[stride : stride + O] == b[:O]
+
+
+def test_collapse_repeated_tokens():
+    from s2sphere_ray.functions.web import collapse_repeated_tokens_batch
+
+    t, kept, dropped = collapse_repeated_tokens_batch(
+        pa.array(["a a a b a", "x", "", "y y"])
+    )
+    assert t.to_pylist() == ["a b a", "x", "", "y"]
+    assert kept.to_pylist() == [3, 1, 1, 1]
+    assert dropped.to_pylist() == [2, 0, 0, 1]
