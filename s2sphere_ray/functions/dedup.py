@@ -1453,7 +1453,10 @@ def bloom_build(ds, key_col: str = "text", m_bits: int = 1 << 26, k: int = 7):
 
     Memory bound is the point: the broadcast is always ``m_bits/8``
     bytes, unlike ``decontaminate``'s exact hash-set broadcast which
-    grows with the reference's distinct cardinality.  The trade is a
+    grows with the reference's distinct cardinality.  (Sibling:
+    ``state.BloomFilter`` is the DRIVER-side build for small key sets
+    already gathered — the shuffle-join semi-join pushdown; this
+    function is the distributed build that never gathers keys.)  The trade is a
     false-positive rate of ``(1 - e^(-k·n/m))^k`` — size ``m_bits`` to
     ~10 bits/key for ~1% FP and pick ``mode='flag'`` downstream when a
     human gate reviews drops.

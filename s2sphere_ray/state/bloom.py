@@ -34,7 +34,13 @@ def _mix(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 class BloomFilter:
-    """Fixed-size Bloom filter; build once, broadcast via ``ray.put``."""
+    """Fixed-size Bloom filter; build once, broadcast via ``ray.put``.
+
+    Driver-side build for key sets that are ALREADY gathered (the
+    shuffle-join semi-join pushdown).  For corpus-scale reference sets
+    that must never touch the driver, use the distributed build in
+    ``functions.dedup.bloom_build`` (slice-bucketed bitmap assembly).
+    """
 
     __slots__ = ("bits", "n_bits", "k")
 

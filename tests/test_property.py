@@ -130,3 +130,59 @@ def test_bloom_never_false_negative(members):
     arr = np.array(members, dtype=np.int64)
     bf = BloomFilter.build(arr)
     assert bf.contains(arr).all()
+
+
+_line_st = st.text(alphabet="abc \n", max_size=60)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts=st.lists(_line_st, min_size=1, max_size=12))
+def test_collapse_tokens_matches_naive(texts):
+    import pyarrow as pa
+
+    from s2sphere_ray.functions.web import collapse_repeated_tokens_batch
+
+    got, kept, dropped = collapse_repeated_tokens_batch(pa.array(texts))
+    for t, g_, k_, d_ in zip(
+        texts, got.to_pylist(), kept.to_pylist(), dropped.to_pylist()
+    ):
+        toks = t.split(" ")
+        out = [w for i, w in enumerate(toks) if i == 0 or w != toks[i - 1]]
+        assert g_ == " ".join(out)
+        assert k_ == len(out) and d_ == len(toks) - len(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(_line_st, min_size=1, max_size=10),
+    chunk=st.integers(min_value=2, max_value=9),
+    overlap=st.integers(min_value=0, max_value=4),
+)
+def test_chunk_documents_matches_naive_property(texts, chunk, overlap, ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from s2sphere_ray.functions.web import chunk_documents
+
+    # ASCII-only corpus (operator chunks on bytes == chars here)
+    if overlap >= chunk:
+        return
+    stride = chunk - overlap
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    got = {}
+    for r in chunk_documents(
+        ds, chunk_chars=chunk, overlap=overlap
+    ).take_all():
+        got[(r["doc_id"], r["chunk_ix"])] = r["chunk_text"]
+    for d, t in enumerate(texts):
+        n = max(1, -(-(len(t) - overlap) // stride))
+        for ix in range(n):
+            assert got[(d, ix)] == t[ix * stride : ix * stride + chunk]
+        assert (d, n) not in got
