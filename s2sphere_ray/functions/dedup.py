@@ -1554,3 +1554,147 @@ def bloom_dedup_against(
         return batch.append_column("maybe_dup", pa.array(hit_all))
 
     return ds_new.map_batches(check, batch_format="pyarrow", batch_size=None)
+
+
+# --- exact duplicated-substring (window-span) removal -----------------------
+
+_SPAN_MULT = np.uint64(0x100000001B3)  # FNV prime as rolling combiner
+
+
+def _space_window_hashes(txt, n: int):
+    """Shared kernel for duplicated-span dedup: split on single spaces
+    (string_split SQL parity — empty tokens kept), hash every token with
+    ``poly_hash_strings``, and roll an n-token window combine.  Returns
+    (token_list_array, rel_offsets, flat_tokens, window_hashes,
+    window_start_global_ix) with windows never crossing a doc boundary.
+    """
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    lists = pc.split_pattern(txt, " ")
+    offs = lists.offsets.to_numpy().astype(np.int64)
+    offs = offs - offs[0]
+    flat = lists.flatten()
+    th = poly_hash_strings(flat)
+    m = len(th)
+    per_row = np.diff(offs)
+    doc_of = np.repeat(np.arange(len(txt)), per_row)
+    if m >= n:
+        with np.errstate(over="ignore"):
+            acc = th[: m - n + 1].copy()
+            for k in range(1, n):
+                acc = acc * _SPAN_MULT + th[k : m - n + 1 + k]
+        valid = doc_of[: m - n + 1] == doc_of[n - 1 :]
+        wh = acc[valid]
+        wstart = np.arange(m - n + 1, dtype=np.int64)[valid]
+    else:
+        wh = np.zeros(0, dtype=np.uint64)
+        wstart = np.zeros(0, dtype=np.int64)
+    return lists, offs, flat, wh, wstart
+
+
+def duplicated_span_strip(
+    ds, text_col: str = "text", n: int = 6, min_count: int = 2
+):
+    """Exact duplicated-substring removal (the corpus-level span dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", 2022 — re-expressed over word windows instead of a suffix
+    array): delete every token covered by ANY word n-gram window that
+    occurs ≥ ``min_count`` times across the corpus, keep the rest in
+    order.
+
+    Same two-pass shape as ``web.line_dedup`` but at window granularity:
+
+    1. count: per-block window hashes (one ``poly_hash_strings`` pass +
+       n−1 vectorized rolling combines), per-block ``np.unique``
+       pre-aggregation, one tiny groupby-sum exchange; hashes with a
+       global count ≥ ``min_count`` are gathered sorted and broadcast.
+       Unlike line counts, window counts barely compress per block (most
+       windows are unique), so the exchange is O(tokens) rows of 16 B —
+       the honest cost of exact substring dedup; the suffix-array
+       original pays O(total bytes × ~8) of single-node RAM instead.
+       At crawl scale, shard pass 1 by window-hash range (run R
+       independent count+strip passes, each over hashes ≡ r mod R) to
+       bound both the exchange and the broadcast.
+    2. strip: a stateless map recomputes each doc's window hashes, marks
+       duplicated window STARTS via ``np.searchsorted`` against the
+       broadcast set, expands starts to covered token spans with one
+       ±1-delta cumsum (spans never cross docs, so the deltas cancel at
+       boundaries), and rebuilds the surviving tokens through the shared
+       ListArray/binary_join path.
+
+    64-bit window hashing: a collision cuts an innocent span (same
+    documented trade as ``line_dedup``).  Appends ``n_tok_kept`` /
+    ``n_tok_dropped`` and replaces ``text_col``.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        _, _, _, wh, _ = _space_window_hashes(batch[text_col], n)
+        uniq, cnt = np.unique(wh, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(uniq.view(np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64())})
+        return pa.table(
+            {"h": batch["h"].filter(pc.greater_equal(batch["c"], min_count))}
+        )
+
+    dup_rows = agg.map_batches(
+        only_dups, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    dup = np.sort(np.array([r["h"] for r in dup_rows], dtype=np.int64))
+    dup_ref = _ray.put(dup)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        dup_s = _get_broadcast(dup_ref)
+        lists, offs, flat, wh, wstart = _space_window_hashes(
+            batch[text_col], n
+        )
+        m = len(flat)
+        whs = wh.view(np.int64)
+        if len(dup_s) and len(whs):
+            pos = np.searchsorted(dup_s, whs)
+            v = pos < len(dup_s)
+            is_dup = np.zeros(len(whs), dtype=bool)
+            is_dup[v] = dup_s[pos[v]] == whs[v]
+        else:
+            is_dup = np.zeros(len(whs), dtype=bool)
+        starts = wstart[is_dup]
+        delta = np.zeros(m + 1, dtype=np.int64)
+        np.add.at(delta, starts, 1)
+        np.add.at(delta, starts + n, -1)
+        keep = np.cumsum(delta[:-1]) == 0
+        n_rows = batch.num_rows
+        per_row = np.diff(offs)
+        row_of = np.repeat(np.arange(n_rows), per_row)
+        kept_per = np.bincount(row_of[keep], minlength=n_rows)
+        new_offs = np.concatenate([[0], np.cumsum(kept_per)]).astype(
+            np.int32
+        )
+        new_list = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), flat.filter(pa.array(keep))
+        )
+        ix = batch.schema.get_field_index(text_col)
+        out = batch.set_column(ix, text_col, pc.binary_join(new_list, " "))
+        out = out.append_column(
+            "n_tok_kept", pa.array(kept_per.astype(np.int64))
+        )
+        return out.append_column(
+            "n_tok_dropped",
+            pa.array((per_row - kept_per).astype(np.int64)),
+        )
+
+    return ds.map_batches(strip, batch_format="pyarrow", batch_size=None)

@@ -1744,9 +1744,29 @@ def q_line_dedup(sf_dir: str):
     collapsed = ds.map_batches(
         collapse, batch_format="pyarrow", batch_size=None
     )
+
+    # Third variant: exact duplicated-substring removal (Lee et al. span
+    # dedup over word 6-gram windows) on the raw space-token stream.
+    from .functions.dedup import duplicated_span_strip
+
+    spans = duplicated_span_strip(ds, n=6, min_count=2).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+                "n_lines_kept": b["n_tok_kept"],
+                "n_lines_dropped": b["n_tok_dropped"],
+                "variant": pa.array(np.repeat("substring", b.num_rows)),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     cols = ["variant", "doc_id", "text", "n_lines_kept", "n_lines_dropped"]
-    return corpus.select_columns(cols).union(
-        collapsed.select_columns(cols)
+    return (
+        corpus.select_columns(cols)
+        .union(collapsed.select_columns(cols))
+        .union(spans.select_columns(cols))
     )
 
 
@@ -1783,6 +1803,35 @@ SQL_LINE_DEDUP = (
     " CAST(COUNT(*) FILTER (WHERE kp = 1) AS BIGINT) AS n_lines_kept,"
     " CAST(COUNT(*) FILTER (WHERE kp = 0) AS BIGINT) AS n_lines_dropped"
     " FROM coll GROUP BY doc_id"
+    " UNION ALL"
+    " SELECT 'substring' AS variant, doc_id,"
+    " coalesce(string_agg(line, ' ' ORDER BY ord)"
+    "   FILTER (WHERE covered = 0), '') AS text,"
+    " CAST(COUNT(*) FILTER (WHERE covered = 0) AS BIGINT) AS n_lines_kept,"
+    " CAST(COUNT(*) FILTER (WHERE covered = 1) AS BIGINT)"
+    "   AS n_lines_dropped"
+    " FROM ("
+    "  SELECT doc_id, ord, line, MAX(isd) OVER (PARTITION BY doc_id"
+    "   ORDER BY ord ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS covered"
+    "  FROM ("
+    "   SELECT g.doc_id, g.ord, g.line,"
+    "    CASE WHEN dupg.gram IS NOT NULL THEN 1 ELSE 0 END AS isd"
+    "   FROM ("
+    "    SELECT doc_id, ord, line, CASE WHEN lead(line,5) OVER w IS NOT NULL"
+    "     THEN line || ' ' || lead(line,1) OVER w || ' ' || lead(line,2) OVER w"
+    "      || ' ' || lead(line,3) OVER w || ' ' || lead(line,4) OVER w"
+    "      || ' ' || lead(line,5) OVER w END AS gram"
+    "    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)"
+    "   ) g LEFT JOIN ("
+    "    SELECT gram FROM ("
+    "     SELECT CASE WHEN lead(line,5) OVER w IS NOT NULL"
+    "      THEN line || ' ' || lead(line,1) OVER w || ' ' || lead(line,2) OVER w"
+    "       || ' ' || lead(line,3) OVER w || ' ' || lead(line,4) OVER w"
+    "       || ' ' || lead(line,5) OVER w END AS gram"
+    "     FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord))"
+    "    WHERE gram IS NOT NULL GROUP BY gram HAVING COUNT(*) >= 2"
+    "   ) dupg USING (gram)"
+    " )) GROUP BY doc_id"
 )
 
 
