@@ -260,6 +260,125 @@ def surprisal_batch(
     return pa.array(n_tok, pa.int64()), pa.array(out, pa.int64())
 
 
+# Odd multiplier (FNV-64 prime) combining adjacent token hashes into a
+# bigram key — shared with dedup's window roller so collision analysis
+# covers both.
+_BIGRAM_MULT = np.uint64(0x100000001B3)
+
+
+def _bigram_hashes_batch(
+    texts: pa.ChunkedArray | pa.Array,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(ctx_hash, bigram_hash, doc_of) over every in-document adjacent
+    token pair of the batch — the bigram stream both the counting pass
+    and the scoring pass share.  Token stream and hashes come from the
+    same ``_token_hash_batch`` the unigram model uses (whitespace split,
+    empty tokens dropped), so the two models see identical tokens."""
+    from .dedup import _token_hash_batch
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    h, offsets = _token_hash_batch(texts)
+    n_tok = np.diff(offsets).astype(np.int64)
+    doc_of = np.repeat(np.arange(len(texts)), n_tok)
+    if len(h) < 2:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z.copy(), np.zeros(0, dtype=np.int64)
+    valid = doc_of[:-1] == doc_of[1:]
+    ctx = h[:-1][valid]
+    with np.errstate(over="ignore"):
+        bg = ctx * _BIGRAM_MULT + h[1:][valid]
+    return ctx, bg, doc_of[:-1][valid]
+
+
+def bigram_code_lengths(ds, text_col: str = "text"):
+    """Corpus bigram "language model" for perplexity-style quality
+    scoring (the CCNet/KenLM filter idea one order up from
+    :func:`unigram_code_lengths`): for each adjacent token pair (c, w)
+    the integer Shannon code length of P(w|c) is
+    ``floor(log2(count(c,·) // count(c,w)))`` — context occurrences
+    over pair occurrences, exact integer division + bit_length, so the
+    Ray kernel and the SQL oracle (``printf('%b')``) agree bit for bit.
+
+    One counting pass: per-block ``np.unique`` over the bigram keys
+    (each unique bigram determines its context, so the context hash
+    rides along via the unique index), ONE small
+    ``groupby(bg).sum`` exchange, then context totals are a numpy
+    re-aggregation over the merged rows driver-side — no second
+    exchange.  Returns ``(bigram_hashes_sorted, code_len)`` ready for
+    broadcast.  At crawl scale the bigram vocabulary is ~10× the
+    unigram one; the same mitigation applies (shard by hash range and
+    score in R passes), and the counting exchange stays tiny because
+    per-block pre-aggregation already collapsed repeats."""
+    from ray.data.aggregate import Sum
+
+    def counts(batch: pa.Table) -> pa.Table:
+        ctx, bg, _ = _bigram_hashes_batch(batch[text_col])
+        uniq, ix, cnt = np.unique(bg, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "bg": pa.array(uniq.view(np.int64)),
+                "ctx": pa.array(ctx[ix].view(np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    # Group by the PAIR: ctx is functionally determined by bg (one
+    # bigram key = one (c, w) pair up to 64-bit collision — the same
+    # documented trade as every hash-keyed operator here), so grouping
+    # by (bg, ctx) is the same partition as bg alone but carries the
+    # context through the exchange for free.
+    rows = (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby(["bg", "ctx"])
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    bg = np.array([r["bg"] for r in rows], dtype=np.int64)
+    ctx = np.array([r["ctx"] for r in rows], dtype=np.int64)
+    f = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(bg)
+    bg, ctx, f = bg[order], ctx[order], f[order]
+    # Context totals: numpy re-aggregation over the merged vocabulary —
+    # count(c,·) = Σ over bigrams sharing the context.
+    cu, cinv = np.unique(ctx, return_inverse=True)
+    cf = np.zeros(len(cu), dtype=np.int64)
+    np.add.at(cf, cinv, f)
+    ratio = cf[cinv] // f  # >= 1 by construction
+    code_len = np.zeros(len(ratio), dtype=np.int64)
+    r = ratio.copy()
+    while np.any(r > 1):
+        big = r > 1
+        r[big] >>= 1
+        code_len[big] += 1
+    return bg, code_len
+
+
+def bigram_surprisal_batch(
+    texts: pa.ChunkedArray | pa.Array,
+    bg_vocab: np.ndarray,
+    bg_code_len: np.ndarray,
+) -> tuple[pa.Array, pa.Array]:
+    """(n_bigrams, bigram_bits) per row: sum of the broadcast bigram
+    code lengths over the doc's adjacent token pairs.  Pairs absent
+    from the model (never happens when it was built on the same
+    corpus) count 0 bits; docs with < 2 tokens score (0, 0)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    _, bg, doc_of = _bigram_hashes_batch(texts)
+    bgs = bg.view(np.int64)
+    n_bg = np.bincount(doc_of, minlength=len(texts)).astype(np.int64)
+    bits_per = np.zeros(len(bgs), dtype=np.int64)
+    if len(bg_vocab) and len(bgs):
+        pos = np.searchsorted(bg_vocab, bgs)
+        pos[pos >= len(bg_vocab)] = 0
+        hit = bg_vocab[pos] == bgs
+        bits_per[hit] = bg_code_len[pos[hit]]
+    out = np.zeros(len(texts), dtype=np.int64)
+    np.add.at(out, doc_of, bits_per)
+    return pa.array(n_bg, pa.int64()), pa.array(out, pa.int64())
+
+
 def pack_sequences(
     ds,
     size_col: str,

@@ -1555,6 +1555,8 @@ def q_webtext_quality(sf_dir: str):
     import ray as _ray
 
     from .functions.web import (
+        bigram_code_lengths,
+        bigram_surprisal_batch,
         pack_sequences,
         pii_scrub_batch,
         repetition_x1000_batch,
@@ -1567,7 +1569,8 @@ def q_webtext_quality(sf_dir: str):
     vocab, code_len, _total = unigram_code_lengths(
         _docs(sf_dir, ["text"])
     )
-    model_ref = _ray.put((vocab, code_len))
+    bg_vocab, bg_code_len = bigram_code_lengths(_docs(sf_dir, ["text"]))
+    model_ref = _ray.put((vocab, code_len, bg_vocab, bg_code_len))
 
     def stats(batch: pa.Table) -> pa.Table:
         texts = batch["text"]
@@ -1594,8 +1597,9 @@ def q_webtext_quality(sf_dir: str):
             "",
         )
         n_email, n_phone, scrubbed = pii_scrub_batch(aug)
-        v, cl = _ray.get(model_ref)
+        v, cl, bgv, bgcl = _ray.get(model_ref)
         n_tok, bits = surprisal_batch(texts, v, cl)
+        n_bg, bg_bits = bigram_surprisal_batch(texts, bgv, bgcl)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -1608,6 +1612,8 @@ def q_webtext_quality(sf_dir: str):
                 ),
                 "n_tokens": n_tok,
                 "surprisal_bits": bits,
+                "n_bigrams": n_bg,
+                "bigram_bits": bg_bits,
             }
         )
 
@@ -1626,6 +1632,8 @@ def q_webtext_quality(sf_dir: str):
             "scrubbed_chars",
             "n_tokens",
             "surprisal_bits",
+            "n_bigrams",
+            "bigram_bits",
             "pack_bin",
         ]
     )
@@ -1676,14 +1684,35 @@ def _sql_webtext_quality() -> str:
         " surp AS (SELECT toks.doc_id, COUNT(*) AS n_tokens,"
         " SUM(length(printf('%b', (SELECT t FROM utot) // ufreq.f)) - 1)"
         " AS surprisal_bits"
-        " FROM toks JOIN ufreq ON toks.w = ufreq.w GROUP BY toks.doc_id)"
+        " FROM toks JOIN ufreq ON toks.w = ufreq.w GROUP BY toks.doc_id),"
+        # Bigram LM: P(w|c) code length = floor(log2(count(c,*)//
+        # count(c,w))), summed per doc over adjacent non-empty tokens —
+        # mirrors web.bigram_code_lengths/bigram_surprisal_batch.
+        " otoks AS (SELECT doc_id, w, ord FROM (SELECT doc_id,"
+        " unnest(string_split(text, ' ')) AS w,"
+        " unnest(range(len(string_split(text, ' ')))) AS ord"
+        " FROM documents) WHERE w <> ''),"
+        " seq AS (SELECT doc_id, w, row_number() OVER"
+        " (PARTITION BY doc_id ORDER BY ord) AS r FROM otoks),"
+        " big AS (SELECT doc_id, w AS c, lead(w) OVER"
+        " (PARTITION BY doc_id ORDER BY r) AS nx FROM seq"
+        " QUALIFY nx IS NOT NULL),"
+        " bgf AS (SELECT c, nx, COUNT(*) AS f FROM big GROUP BY c, nx),"
+        " ctxf AS (SELECT c, COUNT(*) AS cf FROM big GROUP BY c),"
+        " bsurp AS (SELECT big.doc_id, COUNT(*) AS n_bigrams,"
+        " SUM(length(printf('%b', ctxf.cf // bgf.f)) - 1) AS bigram_bits"
+        " FROM big JOIN bgf ON big.c = bgf.c AND big.nx = bgf.nx"
+        " JOIN ctxf ON big.c = ctxf.c GROUP BY big.doc_id)"
         " SELECT r.doc_id, CAST(r.dup_bigram_x1000 AS BIGINT)"
         " AS dup_bigram_x1000, p.n_pii, p.scrubbed_chars,"
         " CAST(s.n_tokens AS BIGINT) AS n_tokens,"
         " CAST(s.surprisal_bits AS BIGINT) AS surprisal_bits,"
+        " CAST(COALESCE(b.n_bigrams, 0) AS BIGINT) AS n_bigrams,"
+        " CAST(COALESCE(b.bigram_bits, 0) AS BIGINT) AS bigram_bits,"
         " CAST(k.pack_bin AS BIGINT) AS pack_bin"
         " FROM rep r JOIN pii p ON r.doc_id = p.doc_id"
         " JOIN surp s ON r.doc_id = s.doc_id"
+        " LEFT JOIN bsurp b ON r.doc_id = b.doc_id"
         " JOIN pack k ON r.doc_id = k.doc_id"
     )
 

@@ -109,6 +109,64 @@ def test_unigram_surprisal_exact(ray_session):
         assert cl in [int(math.floor(math.log2(r))) for r in ratios]
 
 
+def test_bigram_surprisal_exact(ray_session):
+    import ray.data as rd
+    from s2sphere_ray.functions.web import (
+        bigram_code_lengths,
+        bigram_surprisal_batch,
+    )
+
+    texts = ["a a a b", "b c", "a c c", "x", ""]
+    # Bigrams (in-doc adjacency): doc0 = (a,a)x2 (a,b); doc1 = (b,c);
+    # doc2 = (a,c) (c,c); docs 3/4 have none.
+    # ctx totals: a -> 4 [(a,a)x2, (a,b), (a,c)], b -> 1, c -> 1.
+    # code lens: (a,a) floor(log2(4//2))=1; (a,b) floor(log2(4//1))=2;
+    # (b,c) log2(1//1)=0; (a,c) 2; (c,c) 0.
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    bgv, bgcl = bigram_code_lengths(ds)
+    assert len(bgv) == 5
+    n_bg, bits = bigram_surprisal_batch(pa.array(texts), bgv, bgcl)
+    assert n_bg.to_pylist() == [3, 1, 2, 0, 0]
+    # doc0: 1+1+2 = 4; doc1: 0; doc2: 2+0 = 2
+    assert bits.to_pylist() == [4, 0, 2, 0, 0]
+
+
+def test_bigram_model_naive_parity(ray_session):
+    """Random corpus: model + scoring vs a per-doc dict reference."""
+    import ray.data as rd
+    from s2sphere_ray.functions.web import (
+        bigram_code_lengths,
+        bigram_surprisal_batch,
+    )
+
+    rng = np.random.default_rng(31)
+    words = ["w%d" % i for i in range(17)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 24)))
+        for _ in range(200)
+    ]
+    from collections import Counter
+
+    pair, ctx = Counter(), Counter()
+    for t in texts:
+        ws = t.split()
+        for a, b in zip(ws, ws[1:]):
+            pair[(a, b)] += 1
+            ctx[a] += 1
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    bgv, bgcl = bigram_code_lengths(ds)
+    assert len(bgv) == len(pair)
+    n_bg, bits = bigram_surprisal_batch(pa.array(texts), bgv, bgcl)
+    for i, t in enumerate(texts):
+        ws = t.split()
+        want = sum(
+            (ctx[a] // pair[(a, b)]).bit_length() - 1
+            for a, b in zip(ws, ws[1:])
+        )
+        assert n_bg[i].as_py() == max(len(ws) - 1, 0)
+        assert bits[i].as_py() == want, (i, t)
+
+
 def _naive_pack(rows, budget):
     """Reference: bin = (sum of sizes of same-part rows with smaller id)
     // budget."""
