@@ -318,3 +318,146 @@ def cosine_topk_lsh(
 
     pruned = bucketed.map_batches(keep, batch_format="pyarrow")
     return cosine_topk(pruned, queries, k, id_col=id_col, query_id_col=query_id_col)
+
+
+def kmeans_milli(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pa.Table:
+    """Distributed Lloyd's k-means over an embedding column, run
+    entirely in exact integer milli-unit arithmetic so the result is
+    bit-reproducible AND SQL-checkable (the semantic-clustering
+    primitive of embedding-based corpus curation, e.g. cluster-balanced
+    sampling / SemDeDup-style pruning).
+
+    Determinism contract (mirrored line for line by the iterated-CTE
+    oracle in queries.SQL_LABEL_CENTROIDS):
+
+    * vectors are quantized once: ``m = floor(v * 1000)`` as int64;
+    * init = the ``k`` globally smallest ``id_col`` vectors, cluster
+      index assigned in id order;
+    * assignment = argmin of the EXACT integer squared distance, ties
+      to the lowest cluster index (numpy argmin first-hit == SQL
+      ``ROW_NUMBER() ... ORDER BY d2, c``);
+    * update = elementwise ``floor(sum / count)``; empty clusters keep
+      their previous centroid.
+
+    Each iteration is one streaming pass: centroids are broadcast via
+    ``ray.put``; per-batch partials (argmin over a float64 matmul —
+    exact, since |Σ m·c| ≤ D·10⁶ ≪ 2⁵³ — then one reduceat per
+    cluster) shuffle only (cluster, dim, sum, n) rows through a tiny
+    groupby.  The quantized working set is materialized once so the
+    ``iters`` passes re-read the compact int64 matrix, not the source
+    parquet; at crawl scale this is the standard cached-working-set
+    trade of any iterative algorithm (or drop the materialize and pay a
+    re-read per pass).
+
+    Returns a k×D pyarrow table (cluster, dim, centroid_milli, n_vecs)
+    with n_vecs from the final assignment.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        mat = _emb_matrix(batch, col).astype(np.float64)
+        milli = np.floor(mat * 1000.0).astype(np.int64)
+        dim = milli.shape[1] if milli.size else 0
+        return pa.table(
+            {
+                "vid": batch[id_col].cast(pa.int64()),
+                "m": pa.FixedSizeListArray.from_arrays(
+                    pa.array(milli.reshape(-1), pa.int64()), dim
+                ),
+            }
+        )
+
+    q = ds.map_batches(
+        quantize, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    # Init: per-block k smallest ids -> driver merge (k rows per block).
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        vid = batch["vid"].to_numpy()
+        take = np.argsort(vid, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(take)))
+
+    seed_rows = q.map_batches(
+        seed_partial, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    seed_rows.sort(key=lambda r: r["vid"])
+    seed_rows = seed_rows[:k]
+    cent = np.array([r["m"] for r in seed_rows], dtype=np.int64)
+    dim = cent.shape[1] if cent.size else 0
+    k_eff = len(cent)
+
+    counts = np.zeros(k_eff, dtype=np.int64)
+    for _ in range(iters):
+        cent_ref = _ray.put(cent)
+
+        def partial(batch: pa.Table, _ref=cent_ref) -> pa.Table:
+            from .dedup import _get_broadcast
+
+            c = _get_broadcast(_ref)
+            m = (
+                batch["m"]
+                .combine_chunks()
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(-1, c.shape[1])
+                .astype(np.int64)
+            )
+            # Exact: every term bounded by D·10⁶ ≪ 2⁵³.
+            cross = (m.astype(np.float64) @ c.T.astype(np.float64)).astype(
+                np.int64
+            )
+            d2 = (
+                (m * m).sum(axis=1)[:, None]
+                + (c * c).sum(axis=1)[None, :]
+                - 2 * cross
+            )
+            assign = d2.argmin(axis=1)
+            o = np.argsort(assign, kind="stable")
+            ms, asg = m[o], assign[o]
+            uniq, starts, cnt = np.unique(
+                asg, return_index=True, return_counts=True
+            )
+            sums = np.add.reduceat(ms, starts, axis=0)
+            d = m.shape[1]
+            return pa.table(
+                {
+                    "c": pa.array(np.repeat(uniq.astype(np.int64), d)),
+                    "dim": pa.array(
+                        np.tile(np.arange(d, dtype=np.int64), len(uniq))
+                    ),
+                    "s": pa.array(sums.reshape(-1)),
+                    "n": pa.array(np.repeat(cnt.astype(np.int64), d)),
+                }
+            )
+
+        rows = (
+            q.map_batches(partial, batch_format="pyarrow", batch_size=None)
+            .groupby(["c", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()
+        )
+        counts = np.zeros(k_eff, dtype=np.int64)
+        new_cent = cent.copy()
+        for r in rows:
+            c, d = int(r["c"]), int(r["dim"])
+            new_cent[c, d] = r["s"] // r["n"]
+            counts[c] = r["n"]
+        cent = new_cent
+
+    return pa.table(
+        {
+            "cluster": pa.array(
+                np.repeat(np.arange(k_eff, dtype=np.int64), dim)
+            ),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k_eff)),
+            "centroid_milli": pa.array(cent.reshape(-1)),
+            "n_vecs": pa.array(np.repeat(counts, dim)),
+        }
+    )

@@ -2941,11 +2941,21 @@ SQL_MEDIAN_FILTER = (
 
 
 def q_label_centroids(sf_dir: str):
-    """Vector aggregation: per-label embedding centroid, computed as exact
-    integer milli-unit sums (floor(v·1000)) so the oracle compare is exact
-    regardless of float summation order. Per-batch partials are one
-    reduceat per label group; the shuffle moves (label, dim, partial)
-    rows only."""
+    """Vector aggregation suite over the embeddings table, two variants
+    in exact integer milli-unit arithmetic (floor(v·1000)) so every
+    float-summation-order hazard is gone and the oracle compare is
+    exact:
+
+    * ``label_centroid`` — per-label embedding sum (one reduceat per
+      label group per batch; the shuffle moves (label, dim, partial)
+      rows only);
+    * ``kmeans`` — distributed Lloyd's k-means (k=8, 3 iterations,
+      deterministic smallest-id init; sim.kmeans_milli), each iteration
+      one streaming pass with broadcast centroids and a tiny
+      (cluster, dim) partial-sum exchange.  The oracle replays the same
+      iterations as expanded CTEs (assignment = ROW_NUMBER over exact
+      integer d², update = floor(sum/count), empty clusters keep their
+      centroid)."""
     from ray.data.aggregate import Sum
 
     ds = _rd().read_parquet(
@@ -2979,23 +2989,122 @@ def q_label_centroids(sf_dir: str):
             }
         )
 
-    return (
+    cents = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(["label", "dim"])
         .aggregate(
             Sum("sum_milli", alias_name="sum_milli"),
             Sum("n_vecs", alias_name="n_vecs"),
         )
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "variant": pa.array(
+                        np.repeat("label_centroid", b.num_rows)
+                    ),
+                    "gid": b["label"].cast(pa.int64())
+                    if b.num_rows
+                    else pa.array([], pa.int64()),
+                    "dim": b["dim"],
+                    "val_milli": b["sum_milli"],
+                    "n_vecs": b["n_vecs"],
+                }
+            )
+            if b.num_columns
+            else _EMPTY_VECAGG,
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     )
+
+    from .functions.sim import kmeans_milli
+
+    km = kmeans_milli(
+        _rd().read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        k=8,
+        iters=3,
+    )
+    km_tbl = pa.table(
+        {
+            "variant": pa.array(np.repeat("kmeans", km.num_rows)),
+            "gid": km["cluster"],
+            "dim": km["dim"],
+            "val_milli": km["centroid_milli"],
+            "n_vecs": km["n_vecs"],
+        }
+    )
+    return cents.union(_rd().from_arrow(km_tbl))
+
+
+_EMPTY_VECAGG = pa.table(
+    {
+        "variant": pa.array([], pa.string()),
+        "gid": pa.array([], pa.int64()),
+        "dim": pa.array([], pa.int64()),
+        "val_milli": pa.array([], pa.int64()),
+        "n_vecs": pa.array([], pa.int64()),
+    }
+)
+
+
+def _sql_kmeans(k: int = 8, iters: int = 3) -> str:
+    """Expanded-CTE replay of sim.kmeans_milli (no recursion — the
+    iteration count is a fixed hyperparameter on both sides)."""
+    parts = [
+        "ke AS (SELECT CAST(vec_id AS BIGINT) AS vid,"
+        " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,"
+        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
+        " AS m FROM embeddings)",
+        f"kinit AS (SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1"
+        f" AS BIGINT) AS c FROM (SELECT DISTINCT vid FROM ke ORDER BY vid"
+        f" LIMIT {k}))",
+        "kc0 AS (SELECT i.c, ke.dim, ke.m AS val"
+        " FROM kinit i JOIN ke USING (vid))",
+    ]
+    for i in range(1, iters + 1):
+        p = f"kc{i - 1}"
+        parts.append(
+            f"kd{i} AS (SELECT ke.vid, p.c,"
+            f" SUM((ke.m - p.val) * (ke.m - p.val)) AS d2"
+            f" FROM ke JOIN {p} p USING (dim) GROUP BY ke.vid, p.c)"
+        )
+        parts.append(
+            f"ka{i} AS (SELECT vid, c FROM (SELECT vid, c,"
+            f" ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c) AS rn"
+            f" FROM kd{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"ks{i} AS (SELECT a.c, ke.dim,"
+            f" CAST(floor(CAST(SUM(ke.m) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            f" AS val, CAST(COUNT(*) AS BIGINT) AS n"
+            f" FROM ke JOIN ka{i} a USING (vid) GROUP BY a.c, ke.dim)"
+        )
+        parts.append(
+            f"kc{i} AS (SELECT p.c, p.dim, COALESCE(s.val, p.val) AS val"
+            f" FROM {p} p LEFT JOIN ks{i} s"
+            f" ON p.c = s.c AND p.dim = s.dim)"
+        )
+    final = (
+        f"SELECT 'kmeans' AS variant, c.c AS gid, c.dim,"
+        f" c.val AS val_milli, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_vecs"
+        f" FROM kc{iters} c LEFT JOIN (SELECT c, CAST(COUNT(*) AS BIGINT)"
+        f" AS n FROM ka{iters} GROUP BY c) n ON c.c = n.c"
+    )
+    return ", ".join(parts) + " " + final
 
 
 SQL_LABEL_CENTROIDS = (
     "WITH e AS (SELECT CAST(label AS BIGINT) AS label,"
     " unnest(embedding) AS v, generate_subscripts(embedding, 1) AS ord"
-    " FROM embeddings)"
-    " SELECT label, CAST(ord - 1 AS BIGINT) AS dim,"
+    " FROM embeddings), "
+    + _sql_kmeans(8, 3)
+    + " UNION ALL"
+    " SELECT 'label_centroid' AS variant, label AS gid,"
+    " CAST(ord - 1 AS BIGINT) AS dim,"
     " CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT)"
-    " AS sum_milli, CAST(COUNT(*) AS BIGINT) AS n_vecs"
+    " AS val_milli, CAST(COUNT(*) AS BIGINT) AS n_vecs"
     " FROM e GROUP BY label, dim"
 )
 

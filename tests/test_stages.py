@@ -1253,3 +1253,51 @@ def test_stratified_sample_quota_and_determinism(ray_session):
             ).take_all()
         }
         assert got == expect, f"parts={parts}"
+
+
+def test_kmeans_milli_matches_naive(ray_session):
+    """Distributed Lloyd iterations == single-process integer reference
+    (same init, tie-break, floor update, empty-cluster carry)."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.sim import kmeans_milli
+
+    rng = np.random.default_rng(7)
+    n, d, k, iters = 300, 16, 5, 3
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    vid = rng.permutation(n * 2)[:n].astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "embedding": pa.array([list(map(float, r)) for r in emb]),
+            }
+        )
+    ).repartition(7)
+    out = kmeans_milli(ds, k=k, iters=iters)
+
+    m = np.floor(emb.astype(np.float64) * 1000).astype(np.int64)
+    cent = m[np.argsort(vid)[:k]].copy()
+    counts = np.zeros(k, dtype=np.int64)
+    for _ in range(iters):
+        d2 = (
+            (m * m).sum(1)[:, None]
+            + (cent * cent).sum(1)[None, :]
+            - 2 * (m @ cent.T)
+        )
+        a = d2.argmin(1)
+        counts = np.zeros(k, dtype=np.int64)
+        nc = cent.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                nc[c] = m[sel].sum(0) // sel.sum()
+                counts[c] = sel.sum()
+        cent = nc
+
+    assert np.array_equal(
+        np.array(out["centroid_milli"]).reshape(k, d), cent
+    )
+    assert np.array_equal(
+        np.array(out["n_vecs"]).reshape(k, d)[:, 0], counts
+    )
