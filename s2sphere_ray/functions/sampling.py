@@ -72,6 +72,106 @@ def stratified_sample(ds, key_col: str, id_col: str, k: int, num_rows=None):
     )
 
 
+def temperature_sample(
+    ds, key_col: str, id_col: str, budget: int, num_rows=None
+):
+    """Temperature-tilted domain downsampling — the data-mixing
+    primitive of multilingual/multi-source LLM corpora (sample sources
+    ∝ n^α with α = 1/2 instead of ∝ n, so head domains shrink and tail
+    domains keep representation).  Deterministic and SQL-checkable:
+
+    1. per-key counts: per-block ``value_counts`` pre-aggregation →
+       one tiny groupby-sum (one row per key);
+    2. driver computes integer quotas
+       ``t_key = budget · floor(sqrt(n_key)) // Σ floor(sqrt(n))``
+       (floor(sqrt) on doubles — identical in numpy and DuckDB; exact
+       for counts ≪ 2⁵²);
+    3. the stratified-rank machinery selects each key's ``t_key``
+       smallest-hash rows — same per-block local pre-filter (bounding
+       the exchange by Σ t over keys-per-block) + one bucketed exact
+       rank pass, with the fixed ``k`` generalized to a per-key quota
+       looked up through the batch's dictionary codes (O(unique keys)
+       per block, not O(rows)).
+
+    The quota dict is closed over (one row per key — tiny by
+    construction; a 100 M-domain corpus would ``ray.put`` it instead).
+    """
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    from ._buckets import derive_buckets, hash_buckets
+
+    if num_rows is None:
+        num_rows = ds.count()
+
+    def kcounts(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch[key_col])
+        return pa.table(
+            {
+                "k": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    rows = (
+        ds.map_batches(kcounts, batch_format="pyarrow", batch_size=None)
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n"))
+        .take_all()
+    )
+    w = {
+        r["k"]: int(np.floor(np.sqrt(float(r["n"])))) for r in rows
+    }
+    tot = sum(w.values())
+    quota = (
+        {k: (budget * v) // tot for k, v in w.items()} if tot else {}
+    )
+    n_buckets = derive_buckets(num_rows)
+
+    def _code_quota(key: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        enc = key.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        per_code = np.array(
+            [quota.get(v.as_py(), 0) for v in enc.dictionary],
+            dtype=np.int64,
+        )
+        return codes, per_code
+
+    def _keep(batch: pa.Table) -> np.ndarray:
+        key = batch[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        codes, per_code = _code_quota(key)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids * SAMPLE_MULT) % SAMPLE_MOD
+        order = np.lexsort((ids, h, codes))
+        return _rank_leq_k(codes, order, per_code[codes])
+
+    def local_pre(batch: pa.Table) -> pa.Table:
+        out = batch.take(pa.array(np.nonzero(_keep(batch))[0]))
+        kc = out[key_col]
+        if pa.types.is_string(kc.type) or pa.types.is_binary(kc.type):
+            from .dedup import poly_hash_strings
+
+            kv = poly_hash_strings(kc).view(np.int64)
+        else:
+            kv = kc.to_numpy(zero_copy_only=False)
+        return out.append_column(
+            "_sb", pa.array(hash_buckets(kv, n_buckets))
+        )
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["_sb"])
+        return group.take(pa.array(np.nonzero(_keep(group))[0]))
+
+    return (
+        ds.map_batches(local_pre, batch_format="pyarrow", batch_size=None)
+        .groupby("_sb")
+        .map_groups(rank_bucket, batch_format="pyarrow")
+    )
+
+
 def _rank_arrays(batch: pa.Table, key_col: str, id_col: str):
     key = batch[key_col]
     if isinstance(key, pa.ChunkedArray):
@@ -83,14 +183,17 @@ def _rank_arrays(batch: pa.Table, key_col: str, id_col: str):
     return codes.astype(np.int64), ids, order
 
 
-def _rank_leq_k(key_codes: np.ndarray, order: np.ndarray, k: int):
-    """Boolean keep-mask (original row order): rank within key ≤ k."""
+def _rank_leq_k(key_codes: np.ndarray, order: np.ndarray, k):
+    """Boolean keep-mask (original row order): rank within key ≤ k.
+    ``k`` is a scalar quota or a per-row quota array (original order —
+    constant within a key by construction)."""
     ks = key_codes[order]
     new_seg = np.ones(len(ks), dtype=bool)
     new_seg[1:] = ks[1:] != ks[:-1]
     seg_ix = np.flatnonzero(new_seg)
     seg_start = np.repeat(seg_ix, np.diff(np.append(seg_ix, len(ks))))
     rnk = np.arange(len(ks)) - seg_start
+    kk = k[order] if isinstance(k, np.ndarray) else k
     keep = np.zeros(len(ks), dtype=bool)
-    keep[order[rnk < k]] = True
+    keep[order[rnk < kk]] = True
     return keep

@@ -1328,8 +1328,12 @@ def q_sample_hash(sf_dir: str):
       smallest hash keys win — distributed ROW_NUMBER() OVER (PARTITION
       BY lang ORDER BY hash, id) ≤ k via functions/sampling.py: per-block
       local top-k pre-filter bounds the exchange by k·keys·blocks, then
-      one hash-bucketed rank pass)."""
-    from .functions.sampling import stratified_sample
+      one hash-bucketed rank pass).
+    - 'temp': temperature-tilted source resampling (quota per source ∝
+      floor(sqrt(count)) of a 200-row budget — the α=½ data-mixing rule;
+      sampling.temperature_sample: one tiny count exchange, then the
+      same rank machinery with a per-key quota)."""
+    from .functions.sampling import stratified_sample, temperature_sample
 
     ds = _docs(sf_dir, ["doc_id", "lang"])
 
@@ -1350,7 +1354,23 @@ def q_sample_hash(sf_dir: str):
         batch_format="pyarrow",
         batch_size=None,
     )
-    return hash10.union(quota).select_columns(["variant", "doc_id", "lang"])
+    temp = temperature_sample(
+        _docs(sf_dir, ["doc_id", "lang", "source"]),
+        key_col="source",
+        id_col="doc_id",
+        budget=200,
+    ).map_batches(
+        lambda b: b.append_column(
+            "variant", pa.array(np.repeat("temp", b.num_rows))
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return (
+        hash10.union(quota)
+        .union(temp)
+        .select_columns(["variant", "doc_id", "lang"])
+    )
 
 
 SQL_SAMPLE_HASH = (
@@ -1362,6 +1382,21 @@ SQL_SAMPLE_HASH = (
     "   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn"
     "  FROM documents)"
     " WHERE rn <= 20"
+    " UNION ALL"
+    " SELECT 'temp' AS variant, doc_id, lang FROM ("
+    "  SELECT doc_id, lang, source, ROW_NUMBER() OVER"
+    "   (PARTITION BY source"
+    "   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn"
+    "  FROM documents) r"
+    " JOIN ("
+    "  SELECT source, 200 * CAST(floor(sqrt(CAST(n AS DOUBLE)))"
+    "   AS BIGINT) // (SELECT SUM(CAST(floor(sqrt(CAST(n AS DOUBLE)))"
+    "    AS BIGINT)) FROM"
+    "    (SELECT COUNT(*) AS n FROM documents GROUP BY source)) AS t"
+    "  FROM (SELECT source, COUNT(*) AS n FROM documents"
+    "   GROUP BY source)"
+    " ) q USING (source)"
+    " WHERE r.rn <= q.t"
 )
 
 

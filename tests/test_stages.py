@@ -1255,6 +1255,58 @@ def test_stratified_sample_quota_and_determinism(ray_session):
         assert got == expect, f"parts={parts}"
 
 
+def test_temperature_sample_quota_and_determinism(ray_session):
+    """sqrt-tilted quotas: head source shrinks, tail keeps share; result
+    is layout-independent and matches the naive rank reference."""
+    import collections
+
+    import ray.data as rd
+
+    from s2sphere_ray.functions.sampling import (
+        SAMPLE_MOD,
+        SAMPLE_MULT,
+        temperature_sample,
+    )
+
+    # skewed sources: a=240, b=50, c=10
+    srcs = ["a"] * 240 + ["b"] * 50 + ["c"] * 10
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "source": pa.array(srcs),
+        }
+    )
+    budget = 60
+    w = {
+        s: int(np.floor(np.sqrt(n)))
+        for s, n in collections.Counter(srcs).items()
+    }
+    tot = sum(w.values())
+    quota = {s: budget * v // tot for s, v in w.items()}
+    assert quota["a"] < 240 * budget // 300  # tilted vs proportional
+    by_src = collections.defaultdict(list)
+    for i, s in enumerate(srcs):
+        by_src[s].append(((i * SAMPLE_MULT) % SAMPLE_MOD, i))
+    expect = {
+        (s, i)
+        for s, rows in by_src.items()
+        for _, i in sorted(rows)[: quota[s]]
+    }
+    for parts in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got = {
+            (r["source"], r["doc_id"])
+            for r in temperature_sample(
+                ds,
+                key_col="source",
+                id_col="doc_id",
+                budget=budget,
+                num_rows=300,
+            ).take_all()
+        }
+        assert got == expect, f"parts={parts}"
+
+
 def test_kmeans_milli_matches_naive(ray_session):
     """Distributed Lloyd iterations == single-process integer reference
     (same init, tie-break, floor update, empty-cluster carry)."""
