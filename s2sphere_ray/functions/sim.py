@@ -326,6 +326,7 @@ def kmeans_milli(
     iters: int = 3,
     id_col: str = "vec_id",
     col: str = "embedding",
+    scale: int = 1000,
 ) -> pa.Table:
     """Distributed Lloyd's k-means over an embedding column, run
     entirely in exact integer milli-unit arithmetic so the result is
@@ -336,7 +337,8 @@ def kmeans_milli(
     Determinism contract (mirrored line for line by the iterated-CTE
     oracle in queries.SQL_LABEL_CENTROIDS):
 
-    * vectors are quantized once: ``m = floor(v * 1000)`` as int64;
+    * vectors are quantized once: ``m = floor(v * scale)`` as int64
+      (scale=1000 default);
     * init = the ``k`` globally smallest ``id_col`` vectors, cluster
       index assigned in id order;
     * assignment = argmin of the EXACT integer squared distance, ties
@@ -363,7 +365,7 @@ def kmeans_milli(
 
     def quantize(batch: pa.Table) -> pa.Table:
         mat = _emb_matrix(batch, col).astype(np.float64)
-        milli = np.floor(mat * 1000.0).astype(np.int64)
+        milli = np.floor(mat * float(scale)).astype(np.int64)
         dim = milli.shape[1] if milli.size else 0
         return pa.table(
             {
@@ -461,3 +463,132 @@ def kmeans_milli(
             "n_vecs": pa.array(np.repeat(counts, dim)),
         }
     )
+
+
+def semdedup(
+    ds,
+    k: int = 8,
+    iters: int = 3,
+    thr_num: int = 99,
+    thr_den: int = 100,
+    scale: int = 100,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    the corpus with k-means, then drop every vector that has a
+    same-cluster neighbor with smaller id and cosine ≥ thr_num/thr_den.
+    Returns the drop list as (id_a = dropped id, id_b = smallest id of a
+    qualifying neighbor).
+
+    Every comparison is EXACT integer arithmetic so the whole pipeline —
+    clustering, assignment, pruning — replays bit-for-bit in SQL:
+    vectors quantize once to ``m = floor(v·scale)``; clustering/
+    assignment run on integer squared distances (``kmeans_milli``); the
+    cosine gate is the cross-multiplied square
+    ``thr_den²·(m·m')² ≥ thr_num²·|m|²·|m'|²  AND  m·m' > 0``
+    (no division, no sqrt, no float accumulation — the dot products are
+    float64 matmuls whose terms are bounded ≪ 2⁵³, cast back exact).
+
+    Scale shape: clustering bounds the pairwise work — each cluster is
+    one ``map_groups`` group with an O(|cluster|²·D) matmul, so ``k``
+    must grow ∝ N to hold |cluster| steady (SemDeDup uses ~10⁵ clusters
+    at crawl scale); the exchange moves (vid, cluster, m) rows once.
+    An int64-overflow guard rejects scale/dim combinations whose gate
+    products could exceed 2⁶².
+    """
+    import ray as _ray
+    import ray.data as rd
+
+    from .dedup import _get_broadcast
+
+    cent_tbl = kmeans_milli(
+        ds, k=k, iters=iters, id_col=id_col, col=col, scale=scale
+    )
+    if cent_tbl.num_rows == 0:
+        from ._schema import PAIR_SCHEMA
+
+        return rd.from_arrow(PAIR_SCHEMA.empty_table())
+    import pyarrow.compute as pc
+
+    dim = int(pc.max(cent_tbl["dim"]).as_py()) + 1
+    k_eff = cent_tbl.num_rows // dim
+    cent = np.array(cent_tbl["centroid_milli"], dtype=np.int64).reshape(
+        k_eff, dim
+    )
+    cent_ref = _ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _get_broadcast(cent_ref)
+        mat = _emb_matrix(batch, col).astype(np.float64)
+        m = np.floor(mat * float(scale)).astype(np.int64)
+        cross = (m.astype(np.float64) @ c.T.astype(np.float64)).astype(
+            np.int64
+        )
+        d2 = (
+            (m * m).sum(axis=1)[:, None]
+            + (c * c).sum(axis=1)[None, :]
+            - 2 * cross
+        )
+        return pa.table(
+            {
+                "vid": batch[id_col].cast(pa.int64()),
+                "c": pa.array(d2.argmin(axis=1).astype(np.int64)),
+                "m": pa.FixedSizeListArray.from_arrays(
+                    pa.array(m.reshape(-1), pa.int64()), m.shape[1]
+                ),
+            }
+        )
+
+    tn2, td2 = thr_num * thr_num, thr_den * thr_den
+
+    def prune(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        m = (
+            group["m"]
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(group.num_rows, -1)
+            .astype(np.int64)
+        )
+        ids = group["vid"].to_numpy().astype(np.int64)
+        n2 = (m * m).sum(axis=1)
+        if len(n2) and td2 * int(n2.max()) ** 2 >= 1 << 62:
+            raise ValueError(
+                "semdedup: integer cosine gate would overflow int64 — "
+                "lower `scale` or normalize the embeddings"
+            )
+        dot = (m.astype(np.float64) @ m.T.astype(np.float64)).astype(
+            np.int64
+        )
+        qual = (
+            (dot > 0)
+            & (td2 * dot * dot >= tn2 * np.outer(n2, n2))
+            & (ids[None, :] < ids[:, None])
+        )
+        has = qual.any(axis=1)
+        if not has.any():
+            return empty
+        big = np.iinfo(np.int64).max
+        nb = np.where(qual, ids[None, :], big).min(axis=1)
+        return pa.table(
+            {
+                "id_a": pa.array(ids[has]),
+                "id_b": pa.array(nb[has]),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+        .groupby("c")
+        .map_groups(prune, batch_format="pyarrow")
+    )
+

@@ -1096,13 +1096,25 @@ from .functions.sessions import SESSIONS_SQL as SQL_SESSIONS  # noqa: E402
 
 
 def q_embed_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs. The embeddings table has no natural
-    near-dups (random vectors), so deterministic duplicates are injected
-    (every 50th vector re-appears as vec_id+100000) and must all be found
-    (LSH guarantees identical vectors collide)."""
+    """Embedding near-duplicate suite, two strategies over the same
+    planted-duplicate corpus (every 50th vector re-appears as
+    vec_id+100000):
+
+    - 'lsh_pairs': sign-LSH bucketing → within-bucket exact float64
+      cosine ≥ 0.99 (identical vectors collide at every level, so the
+      planted pairs are guaranteed found);
+    - 'semdedup': SemDeDup-style pruning (sim.semdedup) — k-means
+      buckets (k=8, 3 Lloyd iterations, scale=100 integer milli units)
+      bound the pairwise work, then the integer cross-multiplied cosine
+      gate drops every vector with a smaller-id same-cluster neighbor
+      at ≥ 99/100; emitted as (dropped id, keeper id).  The oracle
+      replays the ENTIRE pipeline in SQL from first principles:
+      augmented table → expanded k-means CTEs → final assignment →
+      within-cluster integer-dot join with the identical
+      10000·dp² ≥ 9801·|a|²·|b|² gate."""
     import pyarrow.parquet as pq
 
-    from .functions.sim import embedding_neardup_pairs
+    from .functions.sim import embedding_neardup_pairs, semdedup
 
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
     vid = emb["vec_id"].to_numpy()
@@ -1111,8 +1123,35 @@ def q_embed_neardup(sf_dir: str):
         0, "vec_id", pc.add(dups["vec_id"], 100000)
     )
     both = pa.concat_tables([emb, dups])
-    ds = _rd().from_arrow(both)
-    return embedding_neardup_pairs(ds, threshold=0.99)
+
+    def tag(name):
+        def f(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0 or b.num_rows == 0:
+                return pa.table(
+                    {
+                        "variant": pa.array([], pa.string()),
+                        "id_a": pa.array([], pa.int64()),
+                        "id_b": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "variant": pa.array(np.repeat(name, b.num_rows)),
+                    "id_a": b["id_a"],
+                    "id_b": b["id_b"],
+                }
+            )
+
+        return f
+
+    pairs = embedding_neardup_pairs(
+        _rd().from_arrow(both), threshold=0.99
+    ).map_batches(tag("lsh_pairs"), batch_format="pyarrow", batch_size=None)
+    sd = semdedup(
+        _rd().from_arrow(both), k=8, iters=3, thr_num=99, thr_den=100,
+        scale=100,
+    ).map_batches(tag("semdedup"), batch_format="pyarrow", batch_size=None)
+    return pairs.union(sd)
 
 
 def q_cellset_ops(sf_dir: str):
@@ -3084,14 +3123,22 @@ _EMPTY_VECAGG = pa.table(
 )
 
 
-def _sql_kmeans(k: int = 8, iters: int = 3) -> str:
+def _sql_kmeans(
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 1000,
+    src: str = "embeddings",
+    final_select: bool = True,
+) -> str:
     """Expanded-CTE replay of sim.kmeans_milli (no recursion — the
-    iteration count is a fixed hyperparameter on both sides)."""
+    iteration count is a fixed hyperparameter on both sides).  With
+    ``final_select=False`` returns only the CTE chain (ke … kc{iters},
+    ka{iters}) for callers that keep deriving (e.g. semdedup)."""
     parts = [
         "ke AS (SELECT CAST(vec_id AS BIGINT) AS vid,"
         " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,"
-        " CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)"
-        " AS m FROM embeddings)",
+        f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale})"
+        f" AS BIGINT) AS m FROM {src})",
         f"kinit AS (SELECT vid, CAST(ROW_NUMBER() OVER (ORDER BY vid) - 1"
         f" AS BIGINT) AS c FROM (SELECT DISTINCT vid FROM ke ORDER BY vid"
         f" LIMIT {k}))",
@@ -3121,6 +3168,8 @@ def _sql_kmeans(k: int = 8, iters: int = 3) -> str:
             f" FROM {p} p LEFT JOIN ks{i} s"
             f" ON p.c = s.c AND p.dim = s.dim)"
         )
+    if not final_select:
+        return ", ".join(parts)
     final = (
         f"SELECT 'kmeans' AS variant, c.c AS gid, c.dim,"
         f" c.val AS val_milli, CAST(COALESCE(n.n, 0) AS BIGINT) AS n_vecs"
@@ -3290,8 +3339,32 @@ ORACLE_SQL = {
     # and identical vectors always share an LSH bucket → output is exactly
     # the injected set.
     "q_embed_neardup": (
-        "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings"
+        "WITH aug AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding"
+        " FROM embeddings UNION ALL"
+        " SELECT CAST(vec_id + 100000 AS BIGINT), embedding"
+        " FROM embeddings WHERE vec_id % 50 = 0), "
+        + _sql_kmeans(8, 3, scale=100, src="aug", final_select=False)
+        + ", kd4 AS (SELECT ke.vid, p.c,"
+        " SUM((ke.m - p.val) * (ke.m - p.val)) AS d2"
+        " FROM ke JOIN kc3 p USING (dim) GROUP BY ke.vid, p.c),"
+        " ka4 AS (SELECT vid, c FROM (SELECT vid, c,"
+        " ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, c) AS rn"
+        " FROM kd4) WHERE rn = 1),"
+        " nrm AS (SELECT vid, SUM(m * m) AS n2 FROM ke GROUP BY vid),"
+        " vv AS (SELECT ke.vid, a.c, ke.dim, ke.m"
+        " FROM ke JOIN ka4 a USING (vid)),"
+        " dots AS (SELECT a.vid AS ia, b.vid AS ib, SUM(a.m * b.m) AS dp"
+        " FROM vv a JOIN vv b ON a.c = b.c AND a.dim = b.dim"
+        " AND b.vid < a.vid GROUP BY a.vid, b.vid),"
+        " drops AS (SELECT ia AS id_a, MIN(ib) AS id_b FROM dots"
+        " JOIN nrm na ON na.vid = dots.ia JOIN nrm nb ON nb.vid = dots.ib"
+        " WHERE dp > 0 AND 10000 * dp * dp >= 9801 * na.n2 * nb.n2"
+        " GROUP BY ia)"
+        " SELECT 'lsh_pairs' AS variant, CAST(vec_id AS BIGINT) AS id_a,"
+        " CAST(vec_id + 100000 AS BIGINT) AS id_b FROM embeddings"
         " WHERE vec_id % 50 = 0"
+        " UNION ALL SELECT 'semdedup' AS variant, id_a,"
+        " CAST(id_b AS BIGINT) AS id_b FROM drops"
     ),
 }
 

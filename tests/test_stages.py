@@ -1353,3 +1353,70 @@ def test_kmeans_milli_matches_naive(ray_session):
     assert np.array_equal(
         np.array(out["n_vecs"]).reshape(k, d)[:, 0], counts
     )
+
+
+def test_semdedup_matches_naive(ray_session):
+    """Cluster-bucketed integer-cosine pruning == a single-process replay
+    (same quantize, kmeans, final assignment, gate, keeper choice)."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.sim import semdedup
+
+    rng = np.random.default_rng(23)
+    n, d, k, iters, scale = 240, 12, 4, 3, 100
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    emb[50] = emb[10]            # exact duplicate (same cluster, drops)
+    emb[120] = emb[40] * 2.0     # parallel copy: cosine 1, other norm
+    vid = np.arange(n, dtype=np.int64) * 3 + 1
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(vid),
+                "embedding": pa.array([list(map(float, r)) for r in emb]),
+            }
+        )
+    ).repartition(6)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup(
+            ds, k=k, iters=iters, thr_num=99, thr_den=100, scale=scale
+        ).take_all()
+    }
+
+    # single-process replay
+    m = np.floor(emb.astype(np.float64) * scale).astype(np.int64)
+    cent = m[np.argsort(vid)[:k]].copy()
+    for _ in range(iters):
+        d2 = (
+            (m * m).sum(1)[:, None]
+            + (cent * cent).sum(1)[None, :]
+            - 2 * (m @ cent.T)
+        )
+        a = d2.argmin(1)
+        nc = cent.copy()
+        for c in range(k):
+            sel = a == c
+            if sel.any():
+                nc[c] = m[sel].sum(0) // sel.sum()
+        cent = nc
+    d2 = (
+        (m * m).sum(1)[:, None]
+        + (cent * cent).sum(1)[None, :]
+        - 2 * (m @ cent.T)
+    )
+    a = d2.argmin(1)
+    n2 = (m * m).sum(1)
+    expect = set()
+    for i in range(n):
+        keepers = [
+            vid[j]
+            for j in range(n)
+            if a[j] == a[i]
+            and vid[j] < vid[i]
+            and (dp := int(m[i] @ m[j])) > 0
+            and 10000 * dp * dp >= 9801 * int(n2[i]) * int(n2[j])
+        ]
+        if keepers:
+            expect.add((vid[i], min(keepers)))
+    assert expect, "test corpus must contain at least one planted drop"
+    assert got == expect
