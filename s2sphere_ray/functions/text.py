@@ -214,3 +214,155 @@ def regex_token_count_batch(
     txt = pc.fill_null(col, "")
     n = pc.count_substring_regex(txt, pattern)
     return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
+def keyword_topk(
+    ds,
+    query_terms: dict[int, list[str]],
+    k: int = 10,
+    n_docs: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sparse keyword retrieval: integer-idf TF-IDF top-k — the
+    inverted-index complement to the dense ANN paths in
+    ``functions/sim.py``.  ``score(doc, q) = Σ_{t ∈ distinct(q)}
+    tf(doc, t) · (floor(log2(N/df_t)) + 1)`` — the same integer Shannon
+    code-length idf as web.unigram_code_lengths (+1 so matches on
+    corpus-common terms still count), computed with integer division +
+    bit_length only, so the DuckDB oracle (``printf('%b')``) agrees bit
+    for bit and the per-query ranking (score DESC, id ASC) is exact.
+
+    Two passes, both pruned to the ≤ |Q|·|terms| query vocabulary:
+    (1) df: per-block "docs containing term" partial counts against the
+    broadcast sorted term-hash set (searchsorted — O(tokens·log|terms|))
+    → one tiny groupby-sum; (2) score: per-block tf per (doc, term) via
+    the same searchsorted + bincount, local per-query top-k
+    pre-filter, then one ``groupby(query_id)`` merge — the exchange
+    carries ≤ k·|Q| rows per block, never the corpus.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import _token_hash_batch
+
+    # Driver-side query vocabulary (≤ a handful of terms by contract).
+    def _hash_terms(terms: list[str]) -> np.ndarray:
+        arr = pa.array(terms, pa.string())
+        h, _ = _token_hash_batch(arr)
+        return h.view(np.int64)
+
+    q_ids = sorted(query_terms)
+    per_q: dict[int, np.ndarray] = {}
+    vocab_list: list[int] = []
+    for qid in q_ids:
+        terms = list(dict.fromkeys(query_terms[qid]))  # distinct, ordered
+        th = _hash_terms(terms)
+        per_q[qid] = th
+        vocab_list.extend(th.tolist())
+    vocab = np.array(sorted(set(vocab_list)), dtype=np.int64)
+    n_terms = len(vocab)
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def _term_tf(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tf matrix rows×terms) for the batch."""
+        h, offsets = _token_hash_batch(batch[text_col])
+        hs = h.view(np.int64)
+        n_tok = np.diff(offsets).astype(np.int64)
+        doc_of = np.repeat(np.arange(batch.num_rows), n_tok)
+        tf = np.zeros((batch.num_rows, n_terms), dtype=np.int64)
+        if len(hs) and n_terms:
+            pos = np.searchsorted(vocab, hs)
+            pos[pos >= n_terms] = 0
+            hit = vocab[pos] == hs
+            np.add.at(tf, (doc_of[hit], pos[hit]), 1)
+        return batch[id_col].to_numpy().astype(np.int64), tf
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, tf = _term_tf(batch)
+        return pa.table(
+            {
+                "t": pa.array(np.arange(n_terms, dtype=np.int64)),
+                "df": pa.array((tf > 0).sum(axis=0).astype(np.int64)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("t")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    df = np.zeros(n_terms, dtype=np.int64)
+    for r in rows:
+        df[r["t"]] = r["df"]
+    icl = np.zeros(n_terms, dtype=np.int64)
+    present = df > 0
+    ratio = np.ones(n_terms, dtype=np.int64)
+    ratio[present] = n_docs // df[present]
+    r = ratio.copy()
+    while np.any(r > 1):
+        big = r > 1
+        r[big] >>= 1
+        icl[big] += 1
+    weight = icl + 1  # matches on common terms still count
+
+    # Per-query weight vectors over the shared vocabulary.
+    qw = np.zeros((len(q_ids), n_terms), dtype=np.int64)
+    for i, qid in enumerate(q_ids):
+        sel = np.searchsorted(vocab, np.sort(per_q[qid]))
+        qw[i, sel] = weight[sel]
+    q_arr = np.array(q_ids, dtype=np.int64)
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        ids, tf = _term_tf(batch)
+        scores = tf @ qw.T  # (docs, queries) int64
+        out_q, out_d, out_s = [], [], []
+        for qi in range(len(q_arr)):
+            s = scores[:, qi]
+            nz = np.nonzero(s > 0)[0]
+            if not len(nz):
+                continue
+            order = np.lexsort((ids[nz], -s[nz]))[:k]
+            pick = nz[order]
+            out_q.append(np.full(len(pick), q_arr[qi], dtype=np.int64))
+            out_d.append(ids[pick])
+            out_s.append(s[pick])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_d)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        s = group["score"].to_numpy()
+        ids = group[id_col].to_numpy()
+        order = np.lexsort((ids, -s))[:k]
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+                id_col: group[id_col].take(pa.array(order)),
+                "score": group["score"].take(pa.array(order)),
+            }
+        )
+
+    return (
+        ds.map_batches(
+            score_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )

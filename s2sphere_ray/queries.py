@@ -804,20 +804,64 @@ def simsearch_base(sf_dir: str):
 
 
 def q_simsearch(sf_dir: str):
-    """ANN top-k through BOTH E21 paths — brute-force cosine and IVF with
-    ``nprobe == n_centroids`` (probing every inverted list makes the
-    approximate path exact, so one oracle covers both while the full IVF
-    machinery — deterministic k-means train, broadcast centroids,
-    per-batch assignment pruning — runs end-to-end; recall-vs-nprobe is
-    covered in pytest). Consolidates q_simsearch / q_simsearch_ivf."""
+    """Similarity-search suite, three retrieval paths in one entry:
+
+    - 'brute' / 'ivf': dense ANN top-k through BOTH E21 paths —
+      brute-force cosine and IVF with ``nprobe == n_centroids``
+      (probing every inverted list makes the approximate path exact, so
+      one oracle covers both while the full IVF machinery runs
+      end-to-end; recall-vs-nprobe is covered in pytest);
+    - 'keyword': sparse integer-idf TF-IDF retrieval
+      (text.keyword_topk) over the documents table — queries are the
+      first three tokens of docs 0/100/200, scores are exact integer
+      Σ tf·(floor(log2(N/df))+1), ranked (score DESC, id ASC).  The
+      ``vec_id`` column carries the hit's doc_id for this method.
+    """
     from .functions.sim import ivf_topk
+    from .functions.text import keyword_topk
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
     ivf = ivf_topk(
         ds, _embedding_queries(sf_dir), k=10, n_centroids=8, nprobe=8
     ).select_columns(["query_id", "rank", "vec_id"])
-    return _tag_ds(simsearch_base(sf_dir), "method", "brute").union(
-        _tag_ds(ivf, "method", "ivf")
+
+    import pyarrow.dataset as pads
+
+    qdocs = (
+        _rd()
+        .read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filter=pads.field("doc_id").isin([0, 100, 200]),
+        )
+        .take_all()
+    )
+    q_terms = {int(r["doc_id"]): r["text"].split()[:3] for r in qdocs}
+    kw = keyword_topk(
+        _docs(sf_dir, ["doc_id", "text"]), q_terms, k=10
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": b["query_id"],
+                "rank": b["rank"],
+                "vec_id": b["doc_id"],
+            }
+        )
+        if b.num_columns
+        else pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return (
+        _tag_ds(simsearch_base(sf_dir), "method", "brute")
+        .union(_tag_ds(ivf, "method", "ivf"))
+        .union(_tag_ds(kw, "method", "keyword"))
     )
 
 
@@ -829,11 +873,38 @@ _SQL_SIMSEARCH_ONE = (
     " vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC,"
     " vec_id) AS rank FROM s) t WHERE rank <= 10"
 )
+_SQL_KEYWORD_TOPK = (
+    "WITH qdoc AS (SELECT doc_id AS query_id,"
+    " string_split(text, ' ') AS ws FROM documents"
+    " WHERE doc_id IN (0, 100, 200)),"
+    " qterm AS (SELECT DISTINCT query_id, unnest(ws[1:3]) AS w"
+    " FROM qdoc),"
+    " toks AS (SELECT doc_id, w FROM (SELECT doc_id,"
+    " unnest(string_split(text, ' ')) AS w FROM documents)"
+    " WHERE w <> ''),"
+    " nn AS (SELECT COUNT(*) AS n FROM documents),"
+    " dfq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM toks"
+    " JOIN (SELECT DISTINCT w FROM qterm) USING (w) GROUP BY w),"
+    " icl AS (SELECT w, length(printf('%b', (SELECT n FROM nn) // df))"
+    " - 1 + 1 AS wgt FROM dfq),"
+    " tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks GROUP BY"
+    " doc_id, w),"
+    " sc AS (SELECT q.query_id, tf.doc_id,"
+    " SUM(tf.tf * icl.wgt) AS score FROM qterm q"
+    " JOIN tf ON q.w = tf.w JOIN icl ON icl.w = q.w"
+    " GROUP BY q.query_id, tf.doc_id)"
+    " SELECT query_id, rank, doc_id AS vec_id FROM"
+    " (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id"
+    " ORDER BY score DESC, doc_id) AS rank FROM sc WHERE score > 0) t"
+    " WHERE rank <= 10"
+)
 SQL_SIMSEARCH = (
     "SELECT query_id, rank, vec_id, 'brute' AS method"
     f" FROM ({_SQL_SIMSEARCH_ONE})"
     " UNION ALL SELECT query_id, rank, vec_id, 'ivf'"
     f" FROM ({_SQL_SIMSEARCH_ONE})"
+    " UNION ALL SELECT query_id, rank, vec_id, 'keyword'"
+    f" FROM ({_SQL_KEYWORD_TOPK})"
 )
 
 

@@ -370,3 +370,55 @@ def test_collapse_repeated_tokens():
     assert t.to_pylist() == ["a b a", "x", "", "y"]
     assert kept.to_pylist() == [3, 1, 1, 1]
     assert dropped.to_pylist() == [2, 0, 0, 1]
+
+
+def test_keyword_topk_matches_naive(ray_session):
+    """Sparse integer-idf retrieval == a per-doc dict reference, ranking
+    and weighting included; layout-independent."""
+    import collections
+
+    import ray.data as rd
+
+    from s2sphere_ray.functions.text import keyword_topk
+
+    rng = np.random.default_rng(5)
+    words = ["common"] * 6 + ["w%d" % i for i in range(12)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(3, 20)))
+        for _ in range(150)
+    ]
+    queries = {7: ["common", "w3", "w3"], 9: ["w11"]}
+    n = len(texts)
+    df = collections.Counter()
+    for t in texts:
+        for w in set(t.split()):
+            df[w] += 1
+    expect = {}
+    for qid, terms in queries.items():
+        scores = []
+        for i, t in enumerate(texts):
+            cnt = collections.Counter(t.split())
+            s = sum(
+                cnt[w] * ((n // df[w]).bit_length() - 1 + 1)
+                for w in dict.fromkeys(terms)
+                if df[w]
+            )
+            if s > 0:
+                scores.append((-s, i))
+        expect[qid] = [i for _, i in sorted(scores)[:10]]
+    for parts in (1, 5):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.arange(len(texts), dtype=np.int64)
+                    ),
+                    "text": pa.array(texts),
+                }
+            )
+        ).repartition(parts)
+        rows = keyword_topk(ds, queries, k=10).take_all()
+        got = collections.defaultdict(list)
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            got[r["query_id"]].append(r["doc_id"])
+        assert dict(got) == expect, f"parts={parts}"
