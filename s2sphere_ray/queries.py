@@ -1551,7 +1551,11 @@ def q_events_sliding(sf_dir: str):
 
 def q_neighbors_l8(sf_dir: str):
     """E10 as a pipeline op: 1→4 edge-neighbor expansion of each page's
-    level-8 cell (rows-only; symmetry/parity covered by pytest)."""
+    level-8 cell.  Oracle-exact: the SQL twin replays encode →
+    inverse-Hilbert decode → ±size ij algebra (incl. the cross-face
+    linear-projection wrap) → re-encode entirely in DuckDB
+    (oracle_sql.s2_neighbors_sql); symmetry/parity also covered by
+    pytest."""
     from .stages.encode import neighbors_expand
 
     ds = _points(sf_dir)
@@ -3406,6 +3410,13 @@ ORACLE_SQL = {
     # output (content+order); not an independent derivation — see
     # q_cover_regions_golden docstring.
     "q_cover_regions_golden": SQL_COVER_GOLDEN,
+    # Full in-SQL edge-neighbor derivation: encode → inverse-Hilbert
+    # decode (LOOKUP_IJ joins) → ±size ij algebra incl. the cross-face
+    # linear-projection wrap → re-encode → token.  Exact-IEEE mul/div
+    # only past the shared encode, so DuckDB matches numpy bit-for-bit
+    # (upgrades this query from rows-only; wrap branch additionally
+    # stress-tested in tests/test_oracle_sql.py).
+    "q_neighbors_l8": None,  # bound below (needs oracle_sql import)
     # Injected duplicates are the only pairs ≥ 0.99 (natural max sim ≈ 0.2),
     # and identical vectors always share an LSH bucket → output is exactly
     # the injected set.
@@ -3467,3 +3478,12 @@ SQL_CORPUS_HISTOGRAMS = (
     f" UNION ALL SELECT lang, n_docs, 'domain' FROM ({SQL_DOMAIN_COUNTS})"
 )
 ORACLE_SQL["q_corpus_histograms"] = SQL_CORPUS_HISTOGRAMS
+
+
+def _sql_neighbors_l8() -> str:
+    from .oracle_sql import s2_neighbors_sql
+
+    return s2_neighbors_sql(8, SQL_GEOCODE)
+
+
+ORACLE_SQL["q_neighbors_l8"] = _sql_neighbors_l8()

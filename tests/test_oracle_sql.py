@@ -32,3 +32,60 @@ def test_sql_tokens_match_kernels(level):
 def test_sql_tokens_reject_odd_level():
     with pytest.raises(ValueError):
         s2_token_sql(11, "SELECT 1 AS doc_id, 0.0 AS lat, 0.0 AS lng")
+
+
+@pytest.mark.parametrize("level", [4, 8, 14])
+def test_sql_edge_neighbors_match_kernels(level):
+    """The in-SQL edge-neighbor derivation (decode → ±size → wrap →
+    re-encode) must match cells.edge_neighbors bit-for-bit, including the
+    cross-face linear-projection wrap — the stress grid hugs every cube
+    edge (±45° lat, 45°-multiple lngs) and both poles, so a majority of
+    cells touch a face boundary and exercise the wrap branch."""
+    from s2sphere_ray.oracle_sql import s2_neighbors_sql
+
+    rng = np.random.default_rng(level)
+    eps = [-1e-4, 0.0, 1e-4]
+    lats = sorted(
+        {round(b + e, 6) for b in (-89.9999, -45.0, 0.0, 45.0, 89.9999) for e in eps}
+        | set(np.round(rng.uniform(-89, 89, 40), 4))
+    )
+    lngs = sorted(
+        {round(b + e, 6) for b in (-179.9999, -135.0, -90.0, -45.0, 0.0, 45.0, 90.0, 135.0, 179.9999) for e in eps}
+        | set(np.round(rng.uniform(-180, 179.9, 20), 4))
+    )
+    grid = [(la, ln) for la in lats for ln in lngs]
+    lat = np.array([g[0] for g in grid])
+    lng = np.array([g[1] for g in grid])
+    doc_id = np.arange(len(grid))
+    cell = ck.parent(ck.cell_id_from_latlng(lat, lng), level)
+    nbrs = ck.edge_neighbors(cell)
+    want = sorted(
+        zip(
+            np.repeat(doc_id, 4).tolist(),
+            ck.token_from_cell_id(nbrs.reshape(-1)),
+        )
+    )
+    # Sanity: the grid must actually reach the wrap branch.
+    f, i, j, _ = ck.cell_id_to_face_ij_orientation(cell)
+    size = 1 << (30 - level)
+    wraps = (
+        (i - size < 0) | (i + size >= ck.MAX_SIZE)
+        | (j - size < 0) | (j + size >= ck.MAX_SIZE)
+    )
+    assert wraps.sum() > 50
+    con = duckdb.connect()
+    con.register(
+        "pts_src",
+        __import__("pyarrow").table({"doc_id": doc_id, "lat": lat, "lng": lng}),
+    )
+    sql = s2_neighbors_sql(level, "SELECT doc_id, lat, lng FROM pts_src")
+    got = sorted(con.execute(sql).fetchall())
+    assert [(a, b) for a, b in got] == want
+
+
+def test_sql_neighbors_reject_bad_level():
+    from s2sphere_ray.oracle_sql import s2_neighbors_sql
+
+    for bad in (7, 0, 30):
+        with pytest.raises(ValueError):
+            s2_neighbors_sql(bad, "SELECT 1 AS doc_id, 0.0 AS lat, 0.0 AS lng")
