@@ -231,3 +231,179 @@ def s2_token_sql(level: int, points_sql: str, id_col: str = "doc_id") -> str:
         f" {token_expr}"
         f" AS cell_token FROM {prev}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate sketch oracle: full MinHash-LSH + SimHash replay in SQL.
+# ---------------------------------------------------------------------------
+
+_M64 = "18446744073709551616"  # 2^64 (uint64 wraparound modulus)
+_M61S = "2305843009213693951"  # 2^61 - 1 (minhash permutation modulus)
+_FNV_P = "1099511628211"  # FNV-1a prime (token hash + rolling combine)
+_FNV_OFF = "14695981039346656037"  # FNV-1a offset basis
+
+
+def _hex_byte_values() -> str:
+    rows = ",".join(f"('{i:02X}',{i})" for i in range(256))
+    return f"(VALUES {rows})"
+
+
+def _minhash_perm_values(num_hashes: int, seed: int) -> str:
+    """The EXACT affine permutation constants MinHashStage builds
+    (functions/dedup.py:310-313): default_rng(seed) uint64 draws."""
+    rng = np.random.default_rng(seed)
+    m61 = (1 << 61) - 1
+    a = rng.integers(1, m61, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, m61, size=num_hashes, dtype=np.uint64)
+    rows = ",".join(f"({j},{int(a[j])},{int(b[j])})" for j in range(num_hashes))
+    return f"(VALUES {rows})"
+
+
+def neardup_pairs_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> str:
+    """SQL producing ``(id_a, id_b, method)`` — the union of the
+    MinHash-LSH (exact-Jaccard-verified) and SimHash pigeonhole
+    near-duplicate pair streams, replaying functions/dedup.py end to end:
+
+    - FNV-1a token hashing byte-by-byte via a recursive CTE over a
+      256-row hex LUT (``fnv_over_offsets``, dedup.py:60-125);
+    - word-``shingle_n``-gram rolling uint64 combine with the short-doc
+      token fallback and the empty-doc 0 sentinel (``_shingle_batch``,
+      dedup.py:170-222);
+    - the 64 affine (a·h+b) mod 2^61−1 permutations with the EXACT
+      default_rng(42) constants (``MinHashStage``, dedup.py:307-341);
+    - banded LSH candidate generation + exact distinct-shingle Jaccard
+      verification (``minhash_lsh_pairs``, dedup.py:344-);
+    - per-token-hash bit voting with strict majority and the
+      all-pairs hamming filter (``simhash_neardup_pairs``).
+
+    Tokenization: ``\\s+`` regex split (ASCII whitespace) — matches
+    ``utf8_split_whitespace`` on ASCII corpora (the testdata domain);
+    Unicode-only whitespace (U+00A0 …) would diverge and is absent from
+    the generated tables.
+
+    All-pairs caveat: the SimHash leg joins ``simdocs × simdocs`` and the
+    recursive FNV walks max(token bytes) iterations — an ORACLE for
+    sf≤0.01-scale correctness replays, not a scalable implementation (the
+    Ray side banding/pigeonhole IS the scale path).
+    """
+    if num_hashes % bands:
+        raise ValueError("bands must divide num_hashes")
+    rpb = num_hashes // bands
+    # Rolling n-gram combine ((h1*P + h2) mod 2^64)*P + h3 ... generic n.
+    joins = ["FROM seq t0"]
+    expr = "CAST(t0.h AS HUGEINT)"
+    for k in range(1, shingle_n):
+        joins.append(
+            f"JOIN seq t{k} ON t{k}.doc_id = t0.doc_id"
+            f" AND t{k}.pos = t0.pos + {k}"
+        )
+        expr = f"(({expr}) * {_FNV_P} + t{k}.h) % {_M64}"
+    gram_sql = (
+        f"SELECT t0.doc_id, CAST({expr} AS UBIGINT) AS sh " + " ".join(joins)
+    )
+    # Band hash: FNV-prime fold over the band's rows_per_band signature
+    # values in j order (explode_bands, dedup.py:400-421).
+    fold = f"CAST(MAX(CASE WHEN j % {rpb} = 0 THEN mh END) AS HUGEINT)"
+    for c in range(1, rpb):
+        fold = (
+            f"(({fold}) * {_FNV_P} + MAX(CASE WHEN j % {rpb} = {c} THEN mh END))"
+            f" % {_M64}"
+        )
+    # SimHash: 64 per-bit vote columns, strict-majority sign.
+    votes = ",".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS v{b}"
+        for b in range(64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN 2 * v{b} > nt THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 2 * v{b} > nt THEN {1 << (b - 32)} ELSE 0 END)"
+        for b in range(32, 64)
+    )
+    return f"""
+WITH RECURSIVE
+hx(hb, hv) AS MATERIALIZED {_hex_byte_values()},
+perms(j, pa, pb) AS MATERIALIZED {_minhash_perm_values(num_hashes, seed)},
+src AS MATERIALIZED ({docs_sql}),
+toks0 AS MATERIALIZED (
+  SELECT doc_id, i, list_extract(ws, i) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(COALESCE(text, ''), '\\s+') AS ws
+        FROM src) s,
+       unnest(range(1, len(ws) + 1)) AS t(i)
+  WHERE list_extract(ws, i) <> ''
+),
+toks AS MATERIALIZED (SELECT doc_id,
+  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS pos, tok
+  FROM toks0),
+tokhex AS MATERIALIZED (SELECT tok, hex(encode(tok)) AS hs,
+  octet_length(encode(tok)) AS nb
+  FROM (SELECT DISTINCT tok FROM toks)),
+fnv(tok, i, h) AS (
+  SELECT tok, 0, CAST({_FNV_OFF} AS UBIGINT) FROM tokhex
+  UNION ALL
+  SELECT f.tok, f.i + 1,
+    CAST((CAST(xor(f.h, CAST(hx.hv AS UBIGINT)) AS HUGEINT) * {_FNV_P})
+         % {_M64} AS UBIGINT)
+  FROM fnv f JOIN tokhex tx ON tx.tok = f.tok
+  JOIN hx ON hx.hb = substr(tx.hs, f.i * 2 + 1, 2)
+  WHERE f.i < tx.nb
+),
+tokh AS (SELECT f.tok, f.h FROM fnv f
+  JOIN tokhex tx ON tx.tok = f.tok AND f.i = tx.nb),
+seq AS MATERIALIZED (SELECT t.doc_id, t.pos, th.h FROM toks t
+  JOIN tokh th ON th.tok = t.tok),
+ntok AS MATERIALIZED (SELECT doc_id, COUNT(*) AS nt FROM seq GROUP BY doc_id),
+alldocs AS (SELECT doc_id FROM src),
+gN AS MATERIALIZED ({gram_sql}),
+shing AS MATERIALIZED (
+  SELECT DISTINCT doc_id, sh FROM gN
+  UNION
+  SELECT DISTINCT s.doc_id, s.h AS sh FROM seq s
+    JOIN ntok USING (doc_id) WHERE ntok.nt < {shingle_n}
+  UNION
+  SELECT d.doc_id, CAST(0 AS UBIGINT) FROM alldocs d
+    LEFT JOIN ntok USING (doc_id) WHERE ntok.doc_id IS NULL
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS ns FROM shing
+  GROUP BY doc_id),
+sigs AS MATERIALIZED (SELECT doc_id, j,
+  MIN(CAST((CAST(sh AS HUGEINT) * pa + pb) % {_M64} % {_M61S} AS UBIGINT))
+    AS mh
+  FROM shing CROSS JOIN perms GROUP BY doc_id, j),
+bh AS MATERIALIZED (SELECT doc_id, CAST(j // {rpb} AS INTEGER) AS band,
+  CAST(({fold}) AS UBIGINT) AS bhash
+  FROM sigs GROUP BY doc_id, j // {rpb}),
+cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bh a JOIN bh b ON b.band = a.band AND b.bhash = a.bhash
+   AND a.doc_id < b.doc_id),
+inters AS (SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cands c JOIN shing sa ON sa.doc_id = c.id_a
+               JOIN shing sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b),
+mh_pairs AS (SELECT i.id_a, i.id_b FROM inters i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE CAST(i.ni AS DOUBLE) / (za.ns + zb.ns - i.ni)
+        >= {jaccard_threshold!r}),
+votes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS nt, {votes} FROM seq
+  GROUP BY doc_id),
+ssig AS (SELECT doc_id, {lo} AS lo, {hi} AS hi FROM votes),
+simdocs AS MATERIALIZED (SELECT d.doc_id, COALESCE(s.lo, 0) AS lo,
+  COALESCE(s.hi, 0) AS hi
+  FROM alldocs d LEFT JOIN ssig s USING (doc_id)),
+sim_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM simdocs a JOIN simdocs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+        <= {max_hamming})
+SELECT id_a, id_b, 'minhash_lsh' AS method FROM mh_pairs
+UNION ALL SELECT id_a, id_b, 'simhash' AS method FROM sim_pairs
+"""

@@ -765,10 +765,13 @@ def minhash_pairs_base(sf_dir: str):
 def q_neardup_pairs(sf_dir: str):
     """Near-duplicate candidate pairs from BOTH probabilistic sketches —
     MinHash-LSH (Jaccard ≥ 0.8) and SimHash pigeonhole banding (hamming
-    ≤ 3) — tagged (method) and unioned; rows-only (bit voting / banding
-    are not SQL-expressible; the underlying sketch kernels are
-    golden-pinned by q_sketch_golden). Consolidates the former
-    q_minhash_pairs / q_simhash_pairs registry rows."""
+    ≤ 3) — tagged (method) and unioned.  ORACLE-EXACT since round 4:
+    oracle_sql.neardup_pairs_sql replays FNV-1a token hashing, shingling,
+    the seeded minhash permutations, banded LSH + exact-Jaccard verify,
+    and simhash bit voting + the full hamming filter entirely in DuckDB
+    SQL (the sketch kernels are additionally golden-pinned by
+    q_sketch_golden). Consolidates the former q_minhash_pairs /
+    q_simhash_pairs registry rows."""
     from .functions.dedup import simhash_neardup_pairs
     from .functions._schema import PAIR_SCHEMA, stabilize_schema
 
@@ -3487,3 +3490,12 @@ def _sql_neighbors_l8() -> str:
 
 
 ORACLE_SQL["q_neighbors_l8"] = _sql_neighbors_l8()
+
+
+def _sql_neardup_pairs() -> str:
+    from .oracle_sql import neardup_pairs_sql
+
+    return neardup_pairs_sql()
+
+
+ORACLE_SQL["q_neardup_pairs"] = _sql_neardup_pairs()

@@ -89,3 +89,56 @@ def test_sql_neighbors_reject_bad_level():
     for bad in (7, 0, 30):
         with pytest.raises(ValueError):
             s2_neighbors_sql(bad, "SELECT 1 AS doc_id, 0.0 AS lat, 0.0 AS lng")
+
+
+def test_sql_neardup_pairs_matches_pipeline(ray_session):
+    """The in-SQL MinHash-LSH + SimHash replay (oracle_sql.
+    neardup_pairs_sql) must match the Ray pair pipelines exactly on an
+    adversarial corpus: exact-dup clusters, one-word-swap near-dups,
+    short docs (0/1/2 tokens — the token-fallback + empty-sentinel
+    paths), and tab/newline/multi-space whitespace (the regex-vs-
+    utf8_split_whitespace parity claim)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from s2sphere_ray.functions.dedup import (
+        minhash_lsh_pairs,
+        simhash_neardup_pairs,
+    )
+    from s2sphere_ray.oracle_sql import neardup_pairs_sql
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(60)]
+    texts: list[str] = []
+    # 3 exact-dup clusters of 3 and near-dup (one-token-swap) variants.
+    for c in range(3):
+        base = " ".join(rng.choice(vocab, 30))
+        texts += [base, base, base]
+        toks = base.split()
+        toks[5] = "swapped"
+        texts.append(" ".join(toks))
+    # Unique long docs.
+    for _ in range(12):
+        texts.append(" ".join(rng.choice(vocab, 25)))
+    # Short and empty docs (fallback paths).
+    texts += ["", " ", "one", "two words", "\tone\n", "a b", "a  b"]
+    # Whitespace-variant duplicates of doc 0 (same token stream).
+    texts.append(texts[0].replace(" ", "\t", 3).replace(" ", "\n", 2))
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+
+    ds = rd.from_arrow(tbl)
+    mh = minhash_lsh_pairs(ds, jaccard_threshold=0.8).to_pandas()
+    sh = simhash_neardup_pairs(ds, max_hamming=3).to_pandas()
+    want = sorted(
+        [(int(a), int(b), "minhash_lsh") for a, b in zip(mh.id_a, mh.id_b)]
+        + [(int(a), int(b), "simhash") for a, b in zip(sh.id_a, sh.id_b)]
+    )
+    assert len(want) > 10  # the corpus genuinely exercises both legs
+
+    con = duckdb.connect()
+    con.register("docs_src", tbl)
+    got = con.execute(
+        neardup_pairs_sql("SELECT doc_id, text FROM docs_src")
+    ).fetchall()
+    assert sorted([(int(r[0]), int(r[1]), r[2]) for r in got]) == want
