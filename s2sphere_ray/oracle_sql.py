@@ -234,7 +234,7 @@ def s2_token_sql(level: int, points_sql: str, id_col: str = "doc_id") -> str:
 
 
 # ---------------------------------------------------------------------------
-# Near-duplicate sketch oracle: full MinHash-LSH + SimHash replay in SQL.
+# Near-duplicate sketch oracles: MinHash-LSH / SimHash replayed in SQL.
 # ---------------------------------------------------------------------------
 
 _M64 = "18446744073709551616"  # 2^64 (uint64 wraparound modulus)
@@ -259,40 +259,35 @@ def _minhash_perm_values(num_hashes: int, seed: int) -> str:
     return f"(VALUES {rows})"
 
 
-def neardup_pairs_sql(
-    docs_sql: str = "SELECT doc_id, text FROM documents",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
-    jaccard_threshold: float = 0.8,
-    max_hamming: int = 3,
-    seed: int = 42,
+def _sketch_ctes(
+    docs_sql: str, num_hashes: int, bands: int, shingle_n: int, seed: int
 ) -> str:
-    """SQL producing ``(id_a, id_b, method)`` — the union of the
-    MinHash-LSH (exact-Jaccard-verified) and SimHash pigeonhole
-    near-duplicate pair streams, replaying functions/dedup.py end to end:
+    """The shared CTE chain from raw ``(doc_id, text, …)`` rows to the
+    banded-LSH candidate-pair set ``cands(id_a, id_b)``, replaying
+    functions/dedup.py bit-for-bit:
 
     - FNV-1a token hashing byte-by-byte via a recursive CTE over a
       256-row hex LUT (``fnv_over_offsets``, dedup.py:60-125);
     - word-``shingle_n``-gram rolling uint64 combine with the short-doc
       token fallback and the empty-doc 0 sentinel (``_shingle_batch``,
       dedup.py:170-222);
-    - the 64 affine (a·h+b) mod 2^61−1 permutations with the EXACT
-      default_rng(42) constants (``MinHashStage``, dedup.py:307-341);
-    - banded LSH candidate generation + exact distinct-shingle Jaccard
-      verification (``minhash_lsh_pairs``, dedup.py:344-);
-    - per-token-hash bit voting with strict majority and the
-      all-pairs hamming filter (``simhash_neardup_pairs``).
+    - the affine (a·h+b) mod 2^61−1 permutations with the EXACT
+      default_rng(seed) constants (``MinHashStage``, dedup.py:307-341);
+    - the per-band FNV-prime signature fold and the distinct a<b
+      candidate emission (``explode_bands`` / ``bucket_pairs``,
+      dedup.py:400-493; the star-run fallback only fires past 10k-row
+      collision runs, far beyond oracle scale, and preserves the a<b
+      pair set shape it emits).
 
     Tokenization: ``\\s+`` regex split (ASCII whitespace) — matches
     ``utf8_split_whitespace`` on ASCII corpora (the testdata domain);
     Unicode-only whitespace (U+00A0 …) would diverge and is absent from
     the generated tables.
 
-    All-pairs caveat: the SimHash leg joins ``simdocs × simdocs`` and the
-    recursive FNV walks max(token bytes) iterations — an ORACLE for
-    sf≤0.01-scale correctness replays, not a scalable implementation (the
-    Ray side banding/pigeonhole IS the scale path).
+    Exposes (for extension by the callers): ``src`` (the raw docs rows),
+    ``seq`` (doc_id, pos, token hash), ``ntok``, ``alldocs``, ``shing``
+    (distinct shingle sets), ``sigs``, ``bh``, ``cands``.  Callers embed
+    this inside ``WITH RECURSIVE …`` and append their own CTEs.
     """
     if num_hashes % bands:
         raise ValueError("bands must divide num_hashes")
@@ -317,20 +312,7 @@ def neardup_pairs_sql(
             f"(({fold}) * {_FNV_P} + MAX(CASE WHEN j % {rpb} = {c} THEN mh END))"
             f" % {_M64}"
         )
-    # SimHash: 64 per-bit vote columns, strict-majority sign.
-    votes = ",".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS v{b}"
-        for b in range(64)
-    )
-    lo = " + ".join(
-        f"(CASE WHEN 2 * v{b} > nt THEN {1 << b} ELSE 0 END)" for b in range(32)
-    )
-    hi = " + ".join(
-        f"(CASE WHEN 2 * v{b} > nt THEN {1 << (b - 32)} ELSE 0 END)"
-        for b in range(32, 64)
-    )
     return f"""
-WITH RECURSIVE
 hx(hb, hv) AS MATERIALIZED {_hex_byte_values()},
 perms(j, pa, pb) AS MATERIALIZED {_minhash_perm_values(num_hashes, seed)},
 src AS MATERIALIZED ({docs_sql}),
@@ -373,8 +355,6 @@ shing AS MATERIALIZED (
   SELECT d.doc_id, CAST(0 AS UBIGINT) FROM alldocs d
     LEFT JOIN ntok USING (doc_id) WHERE ntok.doc_id IS NULL
 ),
-sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS ns FROM shing
-  GROUP BY doc_id),
 sigs AS MATERIALIZED (SELECT doc_id, j,
   MIN(CAST((CAST(sh AS HUGEINT) * pa + pb) % {_M64} % {_M61S} AS UBIGINT))
     AS mh
@@ -384,7 +364,49 @@ bh AS MATERIALIZED (SELECT doc_id, CAST(j // {rpb} AS INTEGER) AS band,
   FROM sigs GROUP BY doc_id, j // {rpb}),
 cands AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bh a JOIN bh b ON b.band = a.band AND b.bhash = a.bhash
-   AND a.doc_id < b.doc_id),
+   AND a.doc_id < b.doc_id)"""
+
+
+def neardup_pairs_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> str:
+    """SQL producing ``(id_a, id_b, method)`` — the union of the
+    MinHash-LSH (exact-Jaccard-verified) and SimHash pigeonhole
+    near-duplicate pair streams.  Sketch chain: :func:`_sketch_ctes`;
+    this wrapper adds the exact distinct-shingle Jaccard verification
+    (``minhash_lsh_pairs`` verify="exact", dedup.py:344-) and the
+    per-token-hash strict-majority bit voting + all-pairs hamming filter
+    (``simhash_neardup_pairs``).
+
+    All-pairs caveat: the SimHash leg joins ``simdocs × simdocs`` and the
+    recursive FNV walks max(token bytes) iterations — an ORACLE for
+    sf≤0.01-scale correctness replays, not a scalable implementation (the
+    Ray side banding/pigeonhole IS the scale path).
+    """
+    body = _sketch_ctes(docs_sql, num_hashes, bands, shingle_n, seed)
+    # SimHash: 64 per-bit vote columns, strict-majority sign.
+    votes = ",".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE 0 END) AS v{b}"
+        for b in range(64)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN 2 * v{b} > nt THEN {1 << b} ELSE 0 END)" for b in range(32)
+    )
+    hi = " + ".join(
+        f"(CASE WHEN 2 * v{b} > nt THEN {1 << (b - 32)} ELSE 0 END)"
+        for b in range(32, 64)
+    )
+    return f"""
+WITH RECURSIVE
+{body},
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS ns FROM shing
+  GROUP BY doc_id),
 inters AS (SELECT c.id_a, c.id_b, COUNT(*) AS ni
   FROM cands c JOIN shing sa ON sa.doc_id = c.id_a
                JOIN shing sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
@@ -406,4 +428,43 @@ sim_pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
         <= {max_hamming})
 SELECT id_a, id_b, 'minhash_lsh' AS method FROM mh_pairs
 UNION ALL SELECT id_a, id_b, 'simhash' AS method FROM sim_pairs
+"""
+
+
+def curation_export_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> str:
+    """SQL producing ``(lang, n_docs)`` — the full q_curation_export
+    pipeline replayed: quality gate (≥10 whitespace tokens, ≥30%%
+    ASCII-alpha) → exact dedup by text keeping the min-doc_id ROW (lang
+    travels with the survivor, matching exact_dedup's full-row filter,
+    dedup.py:283-) → drop the id_b side of every verify="none" banded-LSH
+    candidate pair over the deduped corpus (:func:`_sketch_ctes`'s
+    ``cands`` — verify="none" consumes candidates unfiltered,
+    dedup.py:489-) → per-language survivor counts.  The Ray side
+    additionally round-trips the survivors through a lang-partitioned
+    parquet write + manifest assert; the COUNTS are the query contract.
+    """
+    gate = (
+        "SELECT doc_id, text, lang FROM documents"
+        " WHERE CAST(len(string_split(text,' ')) AS BIGINT) >= 10"
+        " AND CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS"
+        " BIGINT) * 1000 // CAST(greatest(length(text), 1) AS BIGINT)"
+        " >= 300"
+    )
+    dedup = (
+        f"SELECT doc_id, text, lang FROM (SELECT q.*, ROW_NUMBER() OVER"
+        f" (PARTITION BY text ORDER BY doc_id) AS rn FROM ({gate}) q)"
+        f" WHERE rn = 1"
+    )
+    body = _sketch_ctes(dedup, num_hashes, bands, shingle_n, seed)
+    return f"""
+WITH RECURSIVE
+{body}
+SELECT lang, COUNT(*) AS n_docs FROM src
+WHERE doc_id NOT IN (SELECT id_b FROM cands)
+GROUP BY lang
 """

@@ -1270,9 +1270,11 @@ def q_curation_export(sf_dir: str):
     side of every banded-LSH candidate pair, verify="none" crawl mode) →
     language-partitioned resumable parquet write (per-partition manifests)
     → read-back per-language counts from the written output + manifest
-    row totals. Deterministic; rows-only (LSH not SQL-expressible). The
-    resume contract is asserted in-query (second write skips everything).
-    No stage materializes anything on the driver.
+    row totals. Deterministic; ORACLE-EXACT since round 4
+    (oracle_sql.curation_export_sql replays gate → min-id dedup → the
+    banded-LSH candidate set → anti-filter → counts entirely in DuckDB).
+    The resume contract is asserted in-query (second write skips
+    everything). No stage materializes anything on the driver.
     """
     import shutil
     import tempfile
@@ -3499,3 +3501,12 @@ def _sql_neardup_pairs() -> str:
 
 
 ORACLE_SQL["q_neardup_pairs"] = _sql_neardup_pairs()
+
+
+def _sql_curation_export() -> str:
+    from .oracle_sql import curation_export_sql
+
+    return curation_export_sql()
+
+
+ORACLE_SQL["q_curation_export"] = _sql_curation_export()
