@@ -468,3 +468,70 @@ SELECT lang, COUNT(*) AS n_docs FROM src
 WHERE doc_id NOT IN (SELECT id_b FROM cands)
 GROUP BY lang
 """
+
+
+def _mulmod64(x_expr: str, c: int) -> str:
+    """uint64 wraparound product ``x * c`` for an arbitrary uint64
+    constant ``c`` — split into 32-bit halves so no intermediate exceeds
+    HUGEINT (uint64 × uint64 overflows signed int128)."""
+    c_lo = c & 0xFFFFFFFF
+    two32 = 1 << 32
+    return (
+        f"(CAST(({x_expr}) % {two32} AS HUGEINT) * {c}"
+        f" + ((CAST(({x_expr}) >> 32 AS HUGEINT) * {c_lo}) % {two32})"
+        f" * {two32})"
+    )
+
+
+def hll_distinct_sql(
+    vals_sql: str = "SELECT user_id AS v FROM events", p: int = 12
+) -> str:
+    """SQL producing ``(n_distinct_est)`` — the HyperLogLog estimate
+    replayed exactly (functions/sketch.py): splitmix64 over the int64
+    value (``_hash_column``), top-``p`` bits → register, leading-zero
+    rank of the low ``64-p`` bits via exact bit length (``_rho``),
+    max-merge per register, then the Flajolet small/large-range-corrected
+    estimate.  INTEGER value columns only (string columns hash through
+    the polynomial buffer hash, which this oracle does not replay).
+
+    Float determinism: 2^-rho terms are exact powers of two; the sum
+    order differs from numpy's pairwise sum by ≤1 ulp on ≤2^p terms and
+    the estimate is rounded to an integer — a mismatch needs the true
+    estimate within ~1e-10 of a .5 boundary.
+    """
+    m = 1 << p
+    bits = 64 - p
+    mask = (1 << bits) - 1
+    c1 = 0x9E3779B97F4A7C15
+    c2 = 0xBF58476D1CE4E5B9
+    c3 = 0x94D049BB133111EB
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return f"""
+WITH vals AS (SELECT CAST((CAST(v AS HUGEINT) % {_M64} + {_M64}) % {_M64}
+                          AS UBIGINT) AS x FROM ({vals_sql})),
+z1 AS (SELECT CAST((CAST(x AS HUGEINT) + {c1}) % {_M64} AS UBIGINT) AS z
+       FROM vals),
+z2 AS (SELECT CAST(({_mulmod64("xor(z, z >> 30)", c2)}) % {_M64}
+                   AS UBIGINT) AS z FROM z1),
+z3 AS (SELECT CAST(({_mulmod64("xor(z, z >> 27)", c3)}) % {_M64}
+                   AS UBIGINT) AS z FROM z2),
+h AS (SELECT xor(z, z >> 31) AS h FROM z3),
+rw AS (SELECT CAST(h >> {bits} AS BIGINT) AS reg,
+              h & CAST({mask} AS UBIGINT) AS w FROM h),
+regs AS (SELECT reg, MAX(CASE WHEN w = 0 THEN {bits + 1}
+                              ELSE {bits} - length(bin(w)) + 1 END) AS rho
+         FROM rw GROUP BY reg),
+st AS (SELECT COUNT(*) AS present,
+              SUM(power(2.0, -rho)) AS s FROM regs),
+e0 AS (SELECT present,
+              CAST({alpha!r} AS DOUBLE) * {m} * {m}
+                / (s + ({m} - present)) AS est
+       FROM st),
+e1 AS (SELECT CASE
+         WHEN est <= 2.5 * {m} AND present < {m}
+           THEN {m} * ln(CAST({m} AS DOUBLE) / ({m} - present))
+         WHEN est > CAST({(1 << 32) / 30.0!r} AS DOUBLE)
+           THEN -{1 << 32} * ln(1.0 - est / {1 << 32})
+         ELSE est END AS est FROM e0)
+SELECT CAST(round(est) AS BIGINT) AS n_distinct_est FROM e1
+"""

@@ -1594,8 +1594,10 @@ def q_distinct_hll(sf_dir: str):
     """HyperLogLog approximate distinct user count over events — the
     at-scale replacement for exact COUNT(DISTINCT): per-block register
     partials, ≤ 2^p rows cross the exchange, never the keys. Deterministic
-    (hash-based, no RNG) but approximate → rows-only; the ±2% accuracy
-    bound vs exact is asserted in pytest."""
+    (hash-based, no RNG); ORACLE-EXACT since round 4 — the approximate
+    ESTIMATE itself is replayed in SQL (oracle_sql.hll_distinct_sql:
+    splitmix64, register max-merge, corrected Flajolet estimate) and the
+    ±2% accuracy bound vs exact is additionally asserted in pytest."""
     from .functions.sketch import hll_distinct
 
     ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
@@ -3510,3 +3512,12 @@ def _sql_curation_export() -> str:
 
 
 ORACLE_SQL["q_curation_export"] = _sql_curation_export()
+
+
+def _sql_distinct_hll() -> str:
+    from .oracle_sql import hll_distinct_sql
+
+    return hll_distinct_sql()
+
+
+ORACLE_SQL["q_distinct_hll"] = _sql_distinct_hll()

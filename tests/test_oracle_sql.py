@@ -142,3 +142,38 @@ def test_sql_neardup_pairs_matches_pipeline(ray_session):
         neardup_pairs_sql("SELECT doc_id, text FROM docs_src")
     ).fetchall()
     assert sorted([(int(r[0]), int(r[1]), r[2]) for r in got]) == want
+
+
+def test_sql_hll_matches_kernel():
+    """The in-SQL HyperLogLog replay must reproduce the numpy kernel's
+    rounded estimate on adversarial int64 distributions: dense smalls,
+    negatives (HUGEINT sign handling), 2^k boundaries, and heavy
+    duplication — at two precisions."""
+    import pyarrow as pa
+
+    from s2sphere_ray.functions.sketch import (
+        hll_estimate,
+        hll_register_partials,
+    )
+    from s2sphere_ray.oracle_sql import hll_distinct_sql
+
+    rng = np.random.default_rng(3)
+    cases = [
+        np.arange(1000, dtype=np.int64),
+        np.concatenate([np.arange(-500, 0), np.array([0, 1, -(2**62), 2**62, 2**31, -(2**31)])]).astype(np.int64),
+        np.repeat(rng.integers(-(2**60), 2**60, 200, dtype=np.int64), 37),
+        rng.integers(0, 50, 5000, dtype=np.int64),
+    ]
+    for p in (8, 12):
+        for vals in cases:
+            tbl = pa.table({"v": pa.array(vals, pa.int64())})
+            part = hll_register_partials(tbl, "v", p=p)
+            regs = np.zeros(1 << p, dtype=np.int64)
+            regs[part["reg"].to_numpy()] = part["rho"].to_numpy()
+            want = int(round(hll_estimate(regs, p)))
+            con = duckdb.connect()
+            con.register("vals_src", tbl)
+            got = con.execute(
+                hll_distinct_sql("SELECT v FROM vals_src", p=p)
+            ).fetchone()[0]
+            assert got == want, (p, len(vals), got, want)
