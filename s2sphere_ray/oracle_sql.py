@@ -158,27 +158,14 @@ def s2_neighbors_sql(level: int, points_sql: str, id_col: str = "doc_id") -> str
     )
 
 
-def s2_token_sql(level: int, points_sql: str, id_col: str = "doc_id") -> str:
-    """SQL producing ``({id_col}, cell_token)`` at an even ``level``.
-
-    ``points_sql`` must select ``{id_col}, lat, lng`` (degrees).
-    """
-    if level % 2 != 0:
-        raise ValueError("SQL token oracle requires an even level")
-    m = 2 * (30 - level)
-    width = 16 - m // 4
+def s2_leafpos_sql(points_sql: str, id_col: str = "doc_id") -> str:
+    """SQL producing ``({id_col}, n)`` — the 61-bit leaf position
+    ``face·2^60 | hilbert_pos`` (fits BIGINT; the full uint64 leaf id is
+    ``2n+1``).  ``points_sql`` must select ``{id_col}, lat, lng``
+    (degrees).  The shared encode core: lat/lng → xyz → cube face →
+    quadratic (u,v) → (s,t) → leaf (i,j) → 8 chained Hilbert lookup
+    joins, mirroring cells.py bit-for-bit."""
     max_size = ck.MAX_SIZE
-    if m == 0:
-        # Leaf level: id = 2n+1 may exceed int64 (faces 4-5). Build the hex
-        # from n piecewise: id >> 4 = n >> 3 (fits BIGINT) and the last
-        # nibble is 2·(n&7)+1 — always odd, so nothing strips.
-        token_expr = (
-            "format('{:015x}', n >> 3) || format('{:x}', (n & 7) * 2 + 1)"
-        )
-    else:
-        token_expr = f"rtrim(format('{{:0{width}x}}', (n >> {m - 1}) | 1), '0')"
-
-    # Hilbert chain: thread (n_acc, bits) through 8 lookup joins.
     chain = []
     prev = "s0"
     chain.append(
@@ -227,9 +214,31 @@ def s2_token_sql(level: int, points_sql: str, id_col: str = "doc_id") -> str:
         f" GREATEST(0, LEAST({max_size - 1},"
         f" CAST(floor({max_size} * t) AS BIGINT))) AS j FROM st),"
         f" {chain_sql}"
-        f" SELECT {id_col}, n,"
-        f" {token_expr}"
-        f" AS cell_token FROM {prev}"
+        f" SELECT {id_col}, n FROM {prev}"
+    )
+
+
+def s2_token_sql(level: int, points_sql: str, id_col: str = "doc_id") -> str:
+    """SQL producing ``({id_col}, n, cell_token)`` at an even ``level``.
+
+    ``points_sql`` must select ``{id_col}, lat, lng`` (degrees).
+    """
+    if level % 2 != 0:
+        raise ValueError("SQL token oracle requires an even level")
+    m = 2 * (30 - level)
+    width = 16 - m // 4
+    if m == 0:
+        # Leaf level: id = 2n+1 may exceed int64 (faces 4-5). Build the hex
+        # from n piecewise: id >> 4 = n >> 3 (fits BIGINT) and the last
+        # nibble is 2·(n&7)+1 — always odd, so nothing strips.
+        token_expr = (
+            "format('{:015x}', n >> 3) || format('{:x}', (n & 7) * 2 + 1)"
+        )
+    else:
+        token_expr = f"rtrim(format('{{:0{width}x}}', (n >> {m - 1}) | 1), '0')"
+    return (
+        f"SELECT {id_col}, n, {token_expr} AS cell_token"
+        f" FROM ({s2_leafpos_sql(points_sql, id_col)})"
     )
 
 
@@ -534,4 +543,181 @@ e1 AS (SELECT CASE
            THEN -{1 << 32} * ln(1.0 - est / {1 << 32})
          ELSE est END AS est FROM e0)
 SELECT CAST(round(est) AS BIGINT) AS n_distinct_est FROM e1
+"""
+
+
+# ---------------------------------------------------------------------------
+# CellUnion set-algebra oracle (G1-G4): normalize + pair algebra in SQL.
+# ---------------------------------------------------------------------------
+
+_MAXU = (1 << 64) - 1
+
+
+def _lsb_expr(col: str) -> str:
+    return f"({col} & (xor({col}, {_MAXU}) + 1))"
+
+
+def _contained_removal_cte(name: str, src: str, keys: list[str]) -> str:
+    """CellUnion._normalized's containment drop as one running-max window
+    sweep: nested-or-disjoint ranges ordered by (range_min asc, range_max
+    desc) put every container before its containees, so a cell is
+    contained iff its range_max ≤ the max range_max of earlier rows."""
+    kc = ", ".join(keys)
+    return (
+        f"{name} AS MATERIALIZED (SELECT {kc}, cell FROM ("
+        f" SELECT {kc}, cell, rmax, MAX(rmax) OVER (PARTITION BY {kc}"
+        f" ORDER BY rmin ASC, rmax DESC"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax"
+        f" FROM (SELECT {kc}, cell, cell - (l - 1) AS rmin,"
+        f" cell + (l - 1) AS rmax"
+        f" FROM (SELECT {kc}, cell, {_lsb_expr('cell')} AS l FROM {src})))"
+        f" WHERE prevmax IS NULL OR rmax > prevmax)"
+    )
+
+
+def _collapse_round_ctes(
+    prefix: str, src: str, keys: list[str], rounds: int
+) -> tuple[list[str], str]:
+    """CellUnion._normalized's complete-4-sibling collapse as ``rounds``
+    unrolled fixpoint iterations (each lifts complete quads one level;
+    cascades to the face level in ≤ max-input-level rounds — faces never
+    collapse, matching ``not cid.is_face()``)."""
+    kc = ", ".join(keys)
+    ctes: list[str] = []
+    prev = src
+    for r in range(1, rounds + 1):
+        p, gname, c = f"{prefix}p{r}", f"{prefix}g{r}", f"{prefix}c{r}"
+        ctes.append(
+            f"{p} AS (SELECT {kc}, cell, CASE WHEN l < {1 << 60} THEN"
+            f" (cell & xor(4 * l - 1, {_MAXU})) | (4 * l) END AS par"
+            f" FROM (SELECT {kc}, cell, {_lsb_expr('cell')} AS l"
+            f" FROM {prev}))"
+        )
+        ctes.append(
+            f"{gname} AS (SELECT {kc}, par FROM {p} WHERE par IS NOT NULL"
+            f" GROUP BY {kc}, par HAVING COUNT(*) = 4)"
+        )
+        on = " AND ".join(f"g.{k} = p.{k}" for k in keys)
+        pkeys = ", ".join(f"p.{k}" for k in keys)
+        ctes.append(
+            f"{c} AS MATERIALIZED ("
+            f"SELECT {kc}, par AS cell FROM {gname}"
+            f" UNION ALL SELECT {pkeys}, p.cell"
+            f" FROM {p} p LEFT JOIN {gname} g ON {on} AND g.par = p.par"
+            f" WHERE g.par IS NULL)"
+        )
+        prev = c
+    return ctes, prev
+
+
+def cellset_ops_sql(
+    points_sql: str,
+    level_even: int = 6,
+    level_odd: int = 8,
+    rounds: int = 9,
+) -> str:
+    """SQL producing ``(lang_a, lang_b, n_a, n_b, n_inter, n_union,
+    n_diff_ab, n_diff_ba)`` — the q_cellset_ops derivation replayed
+    independently end to end:
+
+    - per-doc S2 cell via the in-SQL Hilbert encode
+      (:func:`s2_leafpos_sql`) at ``level_even``/``level_odd`` by doc-id
+      parity (full uint64 id = ``(n >> m) << (m+1) | 2^m``);
+    - per-language CellUnion normalize (``CellUnion._normalized``,
+      geometry.py:119-144): containment removal as a running-max window
+      sweep + ``rounds`` unrolled quad-collapse iterations;
+    - pair intersection per ``get_intersection`` (the deeper cell of
+      every nested pair, both directions, deduped);
+    - pair union = normalize of the concatenation (same machinery keyed
+      by the pair);
+    - pair differences per ``get_difference``: a recursive CTE
+      subdividing partially-overlapping cells into 4 children until
+      disjoint (kept) or contained (dropped) — depth bounded by the
+      other union's deepest level.
+
+    ``points_sql`` must select ``doc_id, lat, lng``; ``lang`` is joined
+    from ``documents``.
+    """
+    m_e = 2 * (30 - level_even)
+    m_o = 2 * (30 - level_odd)
+    # id = (n >> m)·2^(m+1) + 2^m — via HUGEINT multiply (DuckDB's <<
+    # overflow-checks against int64 even on UBIGINT operands).
+    cell_e = (
+        f"CAST(CAST(b.n >> {m_e} AS HUGEINT) * {1 << (m_e + 1)}"
+        f" + {1 << m_e} AS UBIGINT)"
+    )
+    cell_o = (
+        f"CAST(CAST(b.n >> {m_o} AS HUGEINT) * {1 << (m_o + 1)}"
+        f" + {1 << m_o} AS UBIGINT)"
+    )
+    lang_ctes = [_contained_removal_cte("lnr0", "cells0", ["lang"])]
+    cr, lang_final = _collapse_round_ctes("l", "lnr0", ["lang"], rounds)
+    lang_ctes += cr
+    pair_ctes = [_contained_removal_cte("pnr0", "pu0", ["la", "lb"])]
+    cr, pair_final = _collapse_round_ctes("u", "pnr0", ["la", "lb"], rounds)
+    pair_ctes += cr
+    lsb_w = _lsb_expr("w.cell")
+    other = "CASE WHEN w.dirn = 'ab' THEN w.lb ELSE w.la END"
+    overlaps = (
+        f"EXISTS (SELECT 1 FROM unir y WHERE y.lang = {other}"
+        f" AND y.rmin <= w.cell + ({lsb_w} - 1)"
+        f" AND y.rmax >= w.cell - ({lsb_w} - 1))"
+    )
+    contained = (
+        f"EXISTS (SELECT 1 FROM unir y WHERE y.lang = {other}"
+        f" AND y.rmin <= w.cell - ({lsb_w} - 1)"
+        f" AND w.cell + ({lsb_w} - 1) <= y.rmax)"
+    )
+    return f"""
+WITH RECURSIVE
+base AS MATERIALIZED (SELECT doc_id, n FROM ({s2_leafpos_sql(points_sql)})),
+cells0 AS MATERIALIZED (
+  SELECT DISTINCT d.lang,
+    CASE WHEN d.doc_id % 2 = 0 THEN {cell_e} ELSE {cell_o} END AS cell
+  FROM base b JOIN documents d ON d.doc_id = b.doc_id),
+{",".join(lang_ctes)},
+uni AS MATERIALIZED (SELECT lang, cell FROM {lang_final}),
+unir AS MATERIALIZED (SELECT lang, cell, cell - (l - 1) AS rmin,
+  cell + (l - 1) AS rmax
+  FROM (SELECT lang, cell, {_lsb_expr('cell')} AS l FROM uni)),
+sizes AS (SELECT lang, COUNT(*) AS n_cells FROM uni GROUP BY lang),
+pairs AS MATERIALIZED (SELECT a.lang AS la, b.lang AS lb FROM sizes a
+  JOIN sizes b ON a.lang < b.lang),
+inter AS (SELECT la, lb, COUNT(*) AS n_inter FROM (
+  SELECT p.la, p.lb, x.cell FROM pairs p JOIN unir x ON x.lang = p.la
+   WHERE EXISTS (SELECT 1 FROM unir y WHERE y.lang = p.lb
+     AND y.rmin <= x.rmin AND x.rmax <= y.rmax)
+  UNION
+  SELECT p.la, p.lb, x.cell FROM pairs p JOIN unir x ON x.lang = p.lb
+   WHERE EXISTS (SELECT 1 FROM unir y WHERE y.lang = p.la
+     AND y.rmin <= x.rmin AND x.rmax <= y.rmax)) GROUP BY la, lb),
+pu0 AS MATERIALIZED (SELECT DISTINCT p.la, p.lb, x.cell FROM pairs p
+  JOIN uni x ON x.lang = p.la OR x.lang = p.lb),
+{",".join(pair_ctes)},
+usize AS (SELECT la, lb, COUNT(*) AS n_union FROM {pair_final}
+  GROUP BY la, lb),
+walk(la, lb, dirn, cell) AS (
+  SELECT p.la, p.lb, d.dirn, x.cell FROM pairs p
+    CROSS JOIN (VALUES ('ab'), ('ba')) d(dirn)
+    JOIN uni x ON x.lang = CASE WHEN d.dirn = 'ab' THEN p.la ELSE p.lb END
+  UNION ALL
+  SELECT w.la, w.lb, w.dirn,
+    w.cell - 3 * ({lsb_w} >> 2) + 2 * k.i * ({lsb_w} >> 2)
+  FROM walk w CROSS JOIN (VALUES (CAST(0 AS UBIGINT)), (CAST(1 AS UBIGINT)),
+    (CAST(2 AS UBIGINT)), (CAST(3 AS UBIGINT))) k(i)
+  WHERE {overlaps} AND NOT {contained}
+),
+kept AS (SELECT la, lb, dirn, COUNT(*) AS n FROM walk w
+  WHERE NOT {overlaps} GROUP BY la, lb, dirn)
+SELECT p.la AS lang_a, p.lb AS lang_b,
+  sa.n_cells AS n_a, sb.n_cells AS n_b,
+  COALESCE(i.n_inter, 0) AS n_inter, u.n_union AS n_union,
+  COALESCE(dab.n, 0) AS n_diff_ab, COALESCE(dba.n, 0) AS n_diff_ba
+FROM pairs p
+JOIN sizes sa ON sa.lang = p.la
+JOIN sizes sb ON sb.lang = p.lb
+LEFT JOIN inter i ON i.la = p.la AND i.lb = p.lb
+JOIN usize u ON u.la = p.la AND u.lb = p.lb
+LEFT JOIN kept dab ON dab.la = p.la AND dab.lb = p.lb AND dab.dirn = 'ab'
+LEFT JOIN kept dba ON dba.la = p.la AND dba.lb = p.lb AND dba.dirn = 'ba'
 """

@@ -1229,37 +1229,104 @@ def q_embed_neardup(sf_dir: str):
 
 
 def q_cellset_ops(sf_dir: str):
-    """CellUnion set algebra (G4): for every (rect, cap) region pair with
-    intersecting covers, the intersection/union/difference cell counts."""
-    from . import geometry as g
-    from .stages.cover import cover_table
+    """CellUnion set algebra (G1-G4) over POINT-DERIVED unions, fully
+    distributed and ORACLE-EXACT since round 4: each language's corpus
+    becomes a normalized CellUnion of its documents' S2 cells (level 6
+    for even doc ids, level 8 for odd — mixed levels force the
+    containment-removal AND quad-collapse branches of normalize), then
+    every unordered language pair reports intersection / union /
+    both-direction difference cell counts.
 
-    rects = regions_from_sf_dir(sf_dir, kinds=("rect",))
-    caps = regions_from_sf_dir(sf_dir, kinds=("cap",))
-    rc = cover_table(rects, max_cells=8)
-    cc = cover_table(caps, max_cells=8)
+    Scale design: per-batch (lang, cell) dedup partials shrink the
+    exchange to distinct cells; groupby(lang).map_groups normalizes per
+    group with the VECTORIZED kernels (functions/cellsets.py — numpy
+    fixpoint, no Python per cell); the driver gathers only normalized
+    unions, bounded by the level-8 cell space (6·4^8 ≈ 393 k ids ≈
+    3 MB/group), never the corpus.  Pair algebra is vectorized
+    searchsorted containment + frontier subdivision.  The coverer-based
+    union construction this row used before round 4 remains pinned by
+    q_cover_regions_golden; the object↔vector algebra equivalence is
+    property-tested (tests/test_cellsets.py).  The SQL oracle derives
+    the same counts independently: in-SQL Hilbert encode → fixpoint
+    normalize (unrolled collapse rounds) → interval set algebra with a
+    recursive subdivision CTE (oracle_sql.cellset_ops_sql)."""
+    from .functions import cellsets as cs
+    from .pages import geocode_from_doc_id
+
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        doc_id = batch["doc_id"].combine_chunks().to_numpy()
+        lat, lng = geocode_from_doc_id(doc_id)
+        leaf = ck.cell_id_from_latlng(lat, lng)
+        lv = np.where(doc_id % 2 == 0, 6, 8)
+        cell = ck.parent(leaf, lv)
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "cell": pa.array(cell.astype(np.uint64)),
+            }
+        )
+        return t.group_by(["lang", "cell"]).aggregate([])  # batch-local dedup
+
+    def normalize_group(group: pa.Table) -> pa.Table:
+        ids = cs.normalize_ids(group["cell"].to_numpy())
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()] * len(ids)),
+                "cell": pa.array(ids),
+            }
+        )
+
+    norm = (
+        ds.map_batches(to_cells, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(normalize_group, batch_format="pyarrow")
+    )
+    batches = list(norm.iter_batches(batch_format="pyarrow"))
+    unions_tbl = (
+        pa.concat_tables(batches, promote_options="default")
+        if batches
+        else pa.table(
+            {"lang": pa.array([], pa.string()), "cell": pa.array([], pa.uint64())}
+        )
+    )
+    langs = sorted(set(unions_tbl["lang"].to_pylist()))
+    unions = {
+        lang: np.sort(
+            unions_tbl.filter(pc.equal(unions_tbl["lang"], lang))["cell"]
+            .combine_chunks()
+            .to_numpy()
+        )
+        for lang in langs
+    }
     rows = []
-    for ri, rcover in zip(rc["region_id"].to_pylist(), rc["cover"].to_pylist()):
-        ru = g.CellUnion([int(x) for x in rcover])
-        for ci, ccover in zip(
-            cc["region_id"].to_pylist(), cc["cover"].to_pylist()
-        ):
-            cu = g.CellUnion([int(x) for x in ccover])
-            inter = g.CellUnion.get_intersection(ru, cu)
-            if not inter.num_cells():
-                continue
-            union = g.CellUnion.get_union(ru, cu)
-            diff = g.CellUnion.get_difference(ru, cu)
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            a, b = unions[la], unions[lb]
             rows.append(
-                (ri, ci, inter.num_cells(), union.num_cells(), diff.num_cells())
+                (
+                    la,
+                    lb,
+                    len(a),
+                    len(b),
+                    len(cs.intersection_ids(a, b)),
+                    len(cs.union_ids(a, b)),
+                    len(cs.difference_ids(a, b)),
+                    len(cs.difference_ids(b, a)),
+                )
             )
+    cols = list(zip(*rows)) if rows else [[]] * 8
     return pa.table(
         {
-            "rect_id": pa.array([r[0] for r in rows], pa.int64()),
-            "cap_id": pa.array([r[1] for r in rows], pa.int64()),
-            "n_inter": pa.array([r[2] for r in rows], pa.int64()),
-            "n_union": pa.array([r[3] for r in rows], pa.int64()),
-            "n_diff": pa.array([r[4] for r in rows], pa.int64()),
+            "lang_a": pa.array(cols[0], pa.string()),
+            "lang_b": pa.array(cols[1], pa.string()),
+            "n_a": pa.array(cols[2], pa.int64()),
+            "n_b": pa.array(cols[3], pa.int64()),
+            "n_inter": pa.array(cols[4], pa.int64()),
+            "n_union": pa.array(cols[5], pa.int64()),
+            "n_diff_ab": pa.array(cols[6], pa.int64()),
+            "n_diff_ba": pa.array(cols[7], pa.int64()),
         }
     )
 
@@ -3521,3 +3588,12 @@ def _sql_distinct_hll() -> str:
 
 
 ORACLE_SQL["q_distinct_hll"] = _sql_distinct_hll()
+
+
+def _sql_cellset_ops() -> str:
+    from .oracle_sql import cellset_ops_sql
+
+    return cellset_ops_sql(SQL_GEOCODE)
+
+
+ORACLE_SQL["q_cellset_ops"] = _sql_cellset_ops()
