@@ -38,9 +38,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every SQL-expressible query; geometry /
-    sketch ops (cell ids, covers, minhash, simhash, hilbert order, media)
-    are rows-only by design."""
+    """DuckDB-equivalent SQL for 49 of the 50 registered queries —
+    including the generated in-SQL replays of the Hilbert encode,
+    edge neighbors, MinHash-LSH/SimHash pair streams, the curation
+    export, the HyperLogLog estimate, and CellUnion set algebra.  The
+    single rows-only entry is q_media (binary image decode)."""
     from s2sphere_ray.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)
