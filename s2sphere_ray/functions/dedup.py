@@ -835,6 +835,7 @@ def ngram_jaccard_pairs(
     max_candidates: int = 1_000_000,
     max_gram_run: int = 2_000,
     local_rows: int = 2_000_000,
+    verify_broadcast_rows: int = 20_000_000,
 ):
     """EXACT word-n-gram Jaccard similarity join via distributed prefix
     filtering (AllPairs/PPJoin family) — the guaranteed-complete companion
@@ -864,17 +865,28 @@ def ngram_jaccard_pairs(
     4. candidates: groupby(prefix gram) emits in-group pairs
        (vectorized run expansion); the bounded gather below dedupes them
        driver-side (np.unique) instead of paying a distinct exchange.
-    5. exact verify, ONE exchange: the capped candidate set (≤
-       ``max_candidates`` pairs, 16 B each) is gathered and a
-       doc → pair-slot index broadcast via ``ray.put``; a stateless map
-       expands each candidate doc's gram rows to bare (pair, gram)
-       rows — 16 B each; no side flag or set size is carried, because
-       per-doc grams are distinct so a (pair, gram) run of length 2 IS
-       an intersection element and a pair's total rows are |A|+|B| —
-       non-candidate docs never leave their block — and a single
-       pk-bucketed groupby counts each pair's true intersection
-       vectorized (lexsort + run scan); integer-exact threshold test
-       ``1000·inter ≥ 1000·t·union`` (no float boundary).
+    5. exact verify, two modes picked by estimated state size:
+
+       * **broadcast-CSR (default under ``verify_broadcast_rows``)**:
+         the candidate docs' DISTINCT gram rows (replication-free,
+         bounded by the gram table) are gathered once, a CSR
+         doc→sorted-grams index is ``ray.put``, and candidate-pair
+         batches verify IN-TASK — each pair's full gram sets come from
+         the broadcast, so groups are complete by construction and no
+         exchange runs at all.  This removed the dominant cost at the
+         sf0.1 bench: the exchange mode's (pair, gram) expansion was
+         60M rows / ~45 s of sort; broadcast verify is ~1 s.
+       * **exchange (above the budget — crawl-scale candidate sets)**:
+         a doc → pair-slot index is broadcast; a stateless map expands
+         each candidate doc's gram rows to bare (pair, gram) rows —
+         16 B each, no side flag or set size, because per-doc grams are
+         distinct so a (pair, gram) run of length 2 IS an intersection
+         element and a pair's total rows are |A|+|B| — and a single
+         pk-bucketed groupby counts intersections vectorized.
+
+       Both modes share the count math and the integer-exact threshold
+       test ``1000·inter ≥ 1000·t·union`` (no float boundary); equality
+       is pinned in tests/test_stages.py across all 8 path combinations.
 
     Returns (id_a, id_b, inter_n, union_n, jac_x1000), id_a < id_b.
 
@@ -1203,6 +1215,122 @@ def ngram_jaccard_pairs(
     did_sorted = all_did[order_ix]
     uniq_docs, first_ix = np.unique(did_sorted, return_index=True)
     slot_offs = np.append(first_ix, len(did_sorted)).astype(np.int64)
+
+    # --- broadcast-index verify (round-4, the preferred path): the
+    # exchange verify below replicates every candidate doc's gram rows
+    # once PER PAIR SLOT (≈ 2·n_cand·avg_set rows — 60M at the sf0.1
+    # bench, and its sort dominated the operator at ~45 of 52 s).  When
+    # the candidate docs' DISTINCT gram rows (≤ |cand docs|·avg_set —
+    # replication-free, bounded by the gram table itself) fit a plasma
+    # broadcast, gather just those rows, ``ray.put`` one CSR doc→grams
+    # index, and verify candidate-pair batches in-task: each pair's full
+    # gram sets come from the broadcast, so groups are complete by
+    # construction (the hazard that forbids fusing the EXCHANGE count —
+    # Ray splitting oversized map outputs — cannot arise) and the count
+    # kernel is the same lexsort/run-of-2 math.  Above the budget (e.g.
+    # crawl-scale: 1M pairs × 200-gram docs ⇒ 400M rows) the exchange
+    # path below runs unchanged.
+    avg_set_b = g_rows / max(1, num_rows) if num_rows else 64.0
+    est_cand_gram_rows = int(len(uniq_docs) * max(1.0, avg_set_b))
+    if est_cand_gram_rows <= verify_broadcast_rows:
+        docs_ref = _ray.put(uniq_docs)
+
+        def pick_rows(batch: pa.Table) -> pa.Table:
+            uniq = _ray.get(docs_ref)
+            did = batch["did"].to_numpy()
+            pos = np.searchsorted(uniq, did).clip(0, max(len(uniq) - 1, 0))
+            valid = uniq[pos] == did
+            return pa.table(
+                {
+                    "did": pa.array(did[valid]),
+                    "gram": pa.array(batch["gram"].to_numpy()[valid]),
+                }
+            )
+
+        picked = [
+            b
+            for b in grams_raw.map_batches(
+                pick_rows, batch_format="pyarrow", batch_size=None
+            ).iter_batches(batch_format="pyarrow")
+            if b.num_rows
+        ]
+        if picked:
+            gt = pa.concat_tables(picked)
+            did_all = gt["did"].to_numpy()
+            gram_all = gt["gram"].to_numpy()
+            gorder = np.lexsort((gram_all, did_all))
+            did_all, gram_all = did_all[gorder], gram_all[gorder]
+        else:
+            did_all = np.zeros(0, np.int64)
+            gram_all = np.zeros(0, np.int64)
+        csr_offs = np.append(
+            np.searchsorted(did_all, uniq_docs), len(did_all)
+        ).astype(np.int64)
+        csr_ref = _ray.put((uniq_docs, csr_offs, gram_all))
+
+        import ray.data as _rd
+
+        pairs_ds = _rd.from_arrow(cand_tbl)
+        blocks = max(1, min(256, math.ceil(n_cand / 50_000)))
+        if blocks > 1:
+            pairs_ds = pairs_ds.repartition(blocks)
+
+        def verify_batch(batch: pa.Table) -> pa.Table:
+            docs, offs, grams_v = _ray.get(csr_ref)
+            aa = batch["id_a"].to_numpy()
+            bb = batch["id_b"].to_numpy()
+            ia = np.searchsorted(docs, aa).clip(0, max(len(docs) - 1, 0))
+            ib = np.searchsorted(docs, bb).clip(0, max(len(docs) - 1, 0))
+            ca = offs[ia + 1] - offs[ia]
+            cb = offs[ib + 1] - offs[ib]
+            npair = len(aa)
+
+            def gather(starts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+                total = int(cnt.sum())
+                if not total:
+                    return np.zeros(0, grams_v.dtype)
+                base = np.repeat(starts, cnt)
+                run0 = np.repeat(np.cumsum(cnt) - cnt, cnt)
+                return grams_v[base + (np.arange(total) - run0)]
+
+            pidx = np.concatenate(
+                [np.repeat(np.arange(npair), ca), np.repeat(np.arange(npair), cb)]
+            )
+            gvals = np.concatenate(
+                [gather(offs[ia], ca), gather(offs[ib], cb)]
+            )
+            sort_ix = np.lexsort((gvals, pidx))
+            p_s, g_s = pidx[sort_ix], gvals[sort_ix]
+            new_run = np.ones(len(p_s), dtype=bool)
+            new_run[1:] = (p_s[1:] != p_s[:-1]) | (g_s[1:] != g_s[:-1])
+            run_id = np.cumsum(new_run) - 1
+            run_len = (
+                np.bincount(run_id) if len(run_id) else np.zeros(0, np.int64)
+            )
+            first_p = p_s[new_run] if len(p_s) else np.zeros(0, np.int64)
+            inter = np.bincount(
+                first_p[run_len == 2], minlength=npair
+            ).astype(np.int64)
+            total = (ca + cb).astype(np.int64)
+            union = total - inter
+            keep = inter * 1000 >= t_x1000 * union
+            jac = np.zeros(npair, dtype=np.int64)
+            nz = union > 0
+            jac[nz] = (1000 * inter[nz]) // union[nz]
+            return pa.table(
+                {
+                    "id_a": pa.array(aa[keep].astype(np.int64)),
+                    "id_b": pa.array(bb[keep].astype(np.int64)),
+                    "inter_n": pa.array(inter[keep]),
+                    "union_n": pa.array(union[keep]),
+                    "jac_x1000": pa.array(jac[keep]),
+                }
+            )
+
+        return pairs_ds.map_batches(
+            verify_batch, batch_format="pyarrow", batch_size=8192
+        )
+
     index_ref = _ray.put((uniq_docs, slot_offs, all_pk[order_ix]))
 
     # The expansion carries ONLY (pk, gram) — 16 B/row.  Neither a side

@@ -1036,20 +1036,25 @@ def test_ngram_jaccard_pairs_vs_bruteforce(ray_session):
     # round-4 local path once tried to skip the verify exchange too;
     # Ray's mid-stream block splitting broke pair-group co-location and
     # silently undercounted intersections — keep both paths pinned.)
+    # verify_broadcast_rows=0 forces the (pair, gram) exchange verify;
+    # the default takes the broadcast-CSR in-task verify — both must
+    # equal brute force in every candidate-path combination.
     for order in ("freq", "hash"):
         for local_rows in (0, 2_000_000):
-            got = {
-                (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
-                for r in ngram_jaccard_pairs(
-                    ds,
-                    n=2,
-                    threshold=t,
-                    order=order,
-                    num_rows=len(texts),
-                    local_rows=local_rows,
-                ).take_all()
-            }
-            assert got == want, (order, local_rows, got ^ want)
+            for vbr in (0, 20_000_000):
+                got = {
+                    (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+                    for r in ngram_jaccard_pairs(
+                        ds,
+                        n=2,
+                        threshold=t,
+                        order=order,
+                        num_rows=len(texts),
+                        local_rows=local_rows,
+                        verify_broadcast_rows=vbr,
+                    ).take_all()
+                }
+                assert got == want, (order, local_rows, vbr, got ^ want)
     assert want, "test corpus produced no pairs — not a real check"
 
 
