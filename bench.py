@@ -186,6 +186,8 @@ def run_bench() -> dict:
           .map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
           .map_batches(cell_encode, batch_format="pyarrow", batch_size=None).count())
     def shuffle_join():
+        import pyarrow as pa
+
         pages = read_pages_bench(columns=["doc_id"]).limit(BENCH_ROWS // 4)
         pages = pages.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
         return spatial_join(
@@ -195,6 +197,7 @@ def run_bench() -> dict:
             point_cols=("doc_id",),
             hot_threshold=max(10_000, BENCH_ROWS // 100),
             split_delta=3,
+            point_types={"doc_id": pa.int64()},
         ).count()
 
     timed("shuffle_join_quarter", shuffle_join)

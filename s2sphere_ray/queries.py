@@ -239,7 +239,11 @@ def q_join_rect(sf_dir: str):
     (previously pytest-only) into the driver's correctness window."""
     regions = _rect_regions(sf_dir)
     shuffle = spatial_join(
-        _points(sf_dir), regions, strategy="shuffle", point_cols=("doc_id",)
+        _points(sf_dir),
+        regions,
+        strategy="shuffle",
+        point_cols=("doc_id",),
+        point_types={"doc_id": pa.int64()},
     )
     skew = spatial_join(
         _points(sf_dir),
@@ -248,6 +252,7 @@ def q_join_rect(sf_dir: str):
         point_cols=("doc_id",),
         hot_threshold=500,
         split_delta=3,
+        point_types={"doc_id": pa.int64()},
     )
     hashj = spatial_join(
         _points(sf_dir), regions, strategy="hash", point_cols=("doc_id",)

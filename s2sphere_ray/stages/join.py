@@ -527,9 +527,17 @@ def spatial_join_shuffle(
     max_split_rounds: int = 3,
     num_rows: int | None = None,
     bloom_threshold: int = 4_000_000,
+    point_types: dict | None = None,
 ):
     """E9 groupby-shuffle spatial join. Returns Dataset of
-    (``point_cols``…, region_id)."""
+    (``point_cols``…, region_id).
+
+    ``point_types`` (optional, {col: pa.DataType}): the point columns'
+    Arrow types, needed to build the region side's typed null columns.
+    When omitted they are read from ``points_ds.schema()``, which
+    EXECUTES the upstream plan for one row (~1 s of fixed cost per call
+    when the upstream is a map chain) — callers that know their types
+    should pass them."""
     import ray
 
     covered = covers_for_regions(regions, max_cells=max_cells)
@@ -586,11 +594,22 @@ def spatial_join_shuffle(
         "lng": pa.nulls(key_table.num_rows, pa.float64()),
         "region_idx": key_table["region_idx"],
     }
-    # Need point-col types; read schema lazily from the points dataset.
-    pschema = points_ds.schema()
+    # Need point-col types: from the caller when provided, else a
+    # schema() probe (executes one upstream row).
+    if point_types is not None:
+        ptypes = {c: point_types[c] for c in point_cols}
+    else:
+        pschema = points_ds.schema()
+        ptypes = {
+            c: (
+                pschema.base_schema.field(c).type
+                if hasattr(pschema, "base_schema")
+                else pschema.field(c).type
+            )
+            for c in point_cols
+        }
     for c in point_cols:
-        t = pschema.base_schema.field(c).type if hasattr(pschema, "base_schema") else pschema.field(c).type
-        r_cols[c] = pa.nulls(key_table.num_rows, t)
+        r_cols[c] = pa.nulls(key_table.num_rows, ptypes[c])
     r_table = pa.table(r_cols)
 
     # --- optional skew split (count-adaptive, single pass) -----------------
@@ -631,7 +650,7 @@ def spatial_join_shuffle(
                 batch_format="pyarrow",
             )
             r_table = _split_region_keys_targeted(
-                r_table, hot_sorted, tgt_sorted, covers, point_cols, pschema
+                r_table, hot_sorted, tgt_sorted, covers, point_cols, ptypes
             )
 
     import ray.data as rd
@@ -776,7 +795,7 @@ def _split_region_keys_targeted(
     tgt_sorted: np.ndarray,
     covers,
     point_cols,
-    pschema,
+    ptypes: dict,
 ) -> pa.Table:
     """Replace hot region keys with their children at the key's target
     level that intersect the region's cover (per-key depth from the count
@@ -809,8 +828,7 @@ def _split_region_keys_targeted(
         "region_idx": pa.array(np.array(new_ridx, dtype=np.int32), pa.int32()),
     }
     for c in point_cols:
-        t = pschema.base_schema.field(c).type if hasattr(pschema, "base_schema") else pschema.field(c).type
-        cols[c] = pa.nulls(n, t)
+        cols[c] = pa.nulls(n, ptypes[c])
     return pa.concat_tables([keep, pa.table(cols)])
 
 
