@@ -38,11 +38,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for 49 of the 50 registered queries —
-    including the generated in-SQL replays of the Hilbert encode,
-    edge neighbors, MinHash-LSH/SimHash pair streams, the curation
-    export, the HyperLogLog estimate, and CellUnion set algebra.  The
-    single rows-only entry is q_media (binary image decode)."""
+    """DuckDB oracle SQL for ALL 50 registered queries — 48 are
+    independent derivations (including generated in-SQL replays of the
+    Hilbert encode, edge neighbors, MinHash-LSH/SimHash pair streams,
+    the curation export, the HyperLogLog estimate, and CellUnion set
+    algebra); the two actor pipelines SQL cannot derive
+    (q_cover_regions_golden, q_media) read frozen self-goldens."""
     from s2sphere_ray.queries import ORACLE_SQL
 
     return dict(ORACLE_SQL)

@@ -923,8 +923,13 @@ def q_media(sf_dir: str):
     val=n_bytes); 'features' rows are per-media decode→feature-extract
     sums (idx=0, val=feat_sum_x1000). mode="fake" throughout — synthetic
     payloads are random bytes, not decodable media; real codecs (when
-    installed) must not be pointed at them. Rows-only; deterministic.
-    Consolidates the former q_media_frames / q_media_features rows."""
+    installed) must not be pointed at them. Deterministic and
+    sf-INDEPENDENT (fixed 200-item seeded table), so since round 4 it is
+    HASH-EXACT against the frozen self-golden
+    tests/fixtures/media_golden.parquet (regenerate via
+    tools/make_media_golden.py only on intentional semantic change —
+    the cover_golden pattern). Consolidates the former q_media_frames /
+    q_media_features rows."""
     from .functions.multimodal import ResizeStage, sample_frames
     from .functions._buckets import derive_concurrency
 
@@ -952,6 +957,9 @@ def q_media(sf_dir: str):
         )
 
     feats = extract_features(_rd().from_arrow(media), dim=16, mode="fake")
+    # Oracle: the frozen self-golden parquet (tools/make_media_golden.py)
+    # — valid because the media table is sf-independent and seeded; a
+    # regression anchor like cover_golden, not an independent derivation.
 
     def feature_rows(batch: pa.Table) -> pa.Table:
         f = (
@@ -3602,3 +3610,14 @@ def _sql_cellset_ops() -> str:
 
 
 ORACLE_SQL["q_cellset_ops"] = _sql_cellset_ops()
+
+_MEDIA_GOLDEN_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "fixtures",
+    "media_golden.parquet",
+)
+ORACLE_SQL["q_media"] = (
+    "SELECT media_id, idx, val, variant"
+    f" FROM read_parquet('{_MEDIA_GOLDEN_PATH}')"
+)
