@@ -97,8 +97,32 @@ def tile_counts(
             cols[f"sum_{c}"] = pa.array(sums)
         return pa.table(cols)
 
+    shift = np.uint64(2 * (30 - level) + 1)
+    card = 6 * (4 ** level)
+
     def combine(batch: pa.Table) -> pa.Table:
         t = batch["tile_id"].to_numpy()
+        if not sum_cols:
+            # Count-only merge on the DENSE level-L index (level-L ids are
+            # odd multiples of lsb, so id >> (2(30-L)+1) is a bijection
+            # onto [0, 6·4^L)): one bincount replaces the multi-million-row
+            # argsort the coalesced single task otherwise pays (~0.4 s at
+            # the 4M-row bench). Counts are integers — bit-exact either way.
+            idx = (t.view(np.uint64) >> shift).astype(np.int64)
+            counts = np.bincount(
+                idx, weights=_np(batch["n_rows"]).astype(np.float64),
+                minlength=card,
+            )
+            nz = np.nonzero(counts)[0]
+            ids = ((2 * nz.astype(np.uint64) + np.uint64(1)) << (shift - np.uint64(1)))
+            return pa.table(
+                {
+                    "tile_id": pa.array(ids.view(np.int64), pa.int64()),
+                    "n_rows": pa.array(counts[nz].astype(np.int64)),
+                }
+            )
+        # Float sum columns: keep the sorted-segment reduceat so the
+        # summation order (and hence the low bits) is unchanged.
         order = np.argsort(t, kind="stable")
         t = t[order]
         uniq, starts = np.unique(t, return_index=True)
@@ -109,7 +133,6 @@ def tile_counts(
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    card = 6 * (4 ** level)
     if num_rows is not None:
         # Conservative rows-per-block guess (upstream stages commonly emit
         # ~50-100k-row blocks, far below the 128 MiB target): OVERestimate
