@@ -1230,9 +1230,10 @@ def ngram_jaccard_pairs(
     # kernel is the same lexsort/run-of-2 math.  Above the budget (e.g.
     # crawl-scale: 1M pairs × 200-gram docs ⇒ 400M rows) the exchange
     # path below runs unchanged.
-    avg_set_b = g_rows / max(1, num_rows) if num_rows else 64.0
-    est_cand_gram_rows = int(len(uniq_docs) * max(1.0, avg_set_b))
-    if est_cand_gram_rows <= verify_broadcast_rows:
+    avg_set = g_rows / max(1, num_rows) if num_rows else 64.0
+    est_cand_gram_rows = int(len(uniq_docs) * max(1.0, avg_set))
+    use_broadcast = est_cand_gram_rows <= verify_broadcast_rows
+    if use_broadcast:
         docs_ref = _ray.put(uniq_docs)
 
         def pick_rows(batch: pa.Table) -> pa.Table:
@@ -1247,13 +1248,27 @@ def ngram_jaccard_pairs(
                 }
             )
 
-        picked = [
-            b
-            for b in grams_raw.map_batches(
-                pick_rows, batch_format="pyarrow", batch_size=None
-            ).iter_batches(batch_format="pyarrow")
-            if b.num_rows
-        ]
+        # The gate above is an ESTIMATE from the corpus-wide average set
+        # size; candidate docs can be arbitrarily longer than average
+        # (review finding: short-doc corpus, boilerplate candidates).
+        # Stream the gather with a hard row cap and abort to the
+        # exchange path the moment it is exceeded — never materialize an
+        # unbounded table on the driver.
+        cap = 2 * verify_broadcast_rows
+        picked: list[pa.Table] = []
+        picked_rows = 0
+        for b in grams_raw.map_batches(
+            pick_rows, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            picked.append(b)
+            picked_rows += b.num_rows
+            if picked_rows > cap:
+                use_broadcast = False
+                picked = []
+                break
+    if use_broadcast:
         if picked:
             gt = pa.concat_tables(picked)
             did_all = gt["did"].to_numpy()
@@ -1276,6 +1291,11 @@ def ngram_jaccard_pairs(
             pairs_ds = pairs_ds.repartition(blocks)
 
         def verify_batch(batch: pa.Table) -> pa.Table:
+            # Same run-of-2 intersection math as the exchange path's
+            # count_pairs below (per-doc grams are DISTINCT, so a
+            # (pair, gram) run of length 2 IS one intersection element);
+            # any change to that assumption must land in BOTH kernels —
+            # the 8-combo brute-force pin test enforces agreement.
             docs, offs, grams_v = _ray.get(csr_ref)
             aa = batch["id_a"].to_numpy()
             bb = batch["id_b"].to_numpy()
@@ -1413,8 +1433,7 @@ def ngram_jaccard_pairs(
     # single input block: Ray splits oversized map outputs into multiple
     # blocks mid-stream, so a fused whole-batch count would see partial
     # pair groups and undercount intersections (observed: 25 → 12 rows).
-    avg_set = g_rows / max(1, num_rows) if num_rows else 64.0
-    exp_rows = int(2 * n_cand * max(1.0, avg_set))
+    exp_rows = int(2 * n_cand * max(1.0, avg_set))  # avg_set from the fork above
     verify_blk = max(1, min(1024, math.ceil(exp_rows / 500_000)))
     verify_src = grams_raw
     nb = grams_raw.num_blocks()

@@ -38,12 +38,21 @@ def _hash_column(col) -> np.ndarray:
 
 def _rho(w: np.ndarray, bits: int) -> np.ndarray:
     """Position of the leftmost 1-bit of ``w`` within ``bits`` bits (1-based;
-    bits+1 when w == 0) — vectorized via a float-exponent trick."""
+    bits+1 when w == 0) — EXACT vectorized bit length.
+
+    A bare float64 frexp is wrong for w ≥ 2^53: any w within half an ulp
+    below 2^k rounds UP to 2^k and reports bit length k+1 (found by the
+    round-4 code review; only p ≤ 10 registers were exposed).  Split into
+    32-bit halves so every frexp input is < 2^32 and therefore exact."""
+    w = np.asarray(w, dtype=np.uint64)
     out = np.full(len(w), bits + 1, dtype=np.int64)
     nz = w != 0
     if nz.any():
-        # floor(log2(w)) via the IEEE-754 exponent; safe for w < 2^63.
-        top = np.frexp(w[nz].astype(np.float64))[1]  # bit length
+        hi = (w[nz] >> np.uint64(32)).astype(np.float64)
+        lo = (w[nz] & np.uint64(0xFFFFFFFF)).astype(np.float64)
+        bl_hi = np.frexp(hi)[1]  # exact: hi < 2^32 < 2^53
+        bl_lo = np.frexp(lo)[1]
+        top = np.where(hi > 0, 32 + bl_hi, bl_lo)  # exact bit length
         out[nz] = bits - top + 1
     return out
 

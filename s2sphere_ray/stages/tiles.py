@@ -114,11 +114,18 @@ def tile_counts(
                 minlength=card,
             )
             nz = np.nonzero(counts)[0]
-            ids = ((2 * nz.astype(np.uint64) + np.uint64(1)) << (shift - np.uint64(1)))
+            ids = (
+                (2 * nz.astype(np.uint64) + np.uint64(1))
+                << (shift - np.uint64(1))
+            ).view(np.int64)
+            # Keep the argsort branch's int64-ascending row order (faces
+            # 4-5 sort negative-first) so output order is identical across
+            # both branches and prior versions.
+            order = np.argsort(ids, kind="stable")
             return pa.table(
                 {
-                    "tile_id": pa.array(ids.view(np.int64), pa.int64()),
-                    "n_rows": pa.array(counts[nz].astype(np.int64)),
+                    "tile_id": pa.array(ids[order], pa.int64()),
+                    "n_rows": pa.array(counts[nz][order].astype(np.int64)),
                 }
             )
         # Float sum columns: keep the sorted-segment reduceat so the

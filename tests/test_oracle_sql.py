@@ -177,3 +177,21 @@ def test_sql_hll_matches_kernel():
                 hll_distinct_sql("SELECT v FROM vals_src", p=p)
             ).fetchone()[0]
             assert got == want, (p, len(vals), got, want)
+
+
+def test_rho_exact_bit_length():
+    """_rho must use EXACT bit length: a bare float64 frexp rounds w
+    within half-ulp below 2^k up to 2^k for k >= 54 (round-4 review
+    finding) — pin boundary values at every width."""
+    from s2sphere_ray.functions.sketch import _rho
+
+    vals = [0, 1, 2, 3]
+    for k in range(30, 63):
+        vals += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    w = np.array(vals, dtype=np.uint64)
+    bits = 63
+    want = np.array(
+        [bits + 1 if v == 0 else bits - int(v).bit_length() + 1 for v in vals],
+        dtype=np.int64,
+    )
+    assert np.array_equal(_rho(w, bits), want)

@@ -1055,6 +1055,23 @@ def test_ngram_jaccard_pairs_vs_bruteforce(ray_session):
                     ).take_all()
                 }
                 assert got == want, (order, local_rows, vbr, got ^ want)
+    # Post-gather abort: a misleading num_rows hint makes the broadcast
+    # ESTIMATE pass (avg_set ~ 0 ⇒ est ≈ |cand docs|) while the real
+    # candidate gram rows blow the 2× cap — the gather must abort and
+    # fall back to the exchange verify with identical results (round-4
+    # review finding: the gate alone could admit an unbounded driver
+    # materialization).
+    got = {
+        (r["id_a"], r["id_b"], r["inter_n"], r["union_n"])
+        for r in ngram_jaccard_pairs(
+            ds,
+            n=2,
+            threshold=t,
+            num_rows=10_000_000,  # wrong on purpose
+            verify_broadcast_rows=40,
+        ).take_all()
+    }
+    assert got == want, ("post-gather-abort", got ^ want)
     assert want, "test corpus produced no pairs — not a real check"
 
 
