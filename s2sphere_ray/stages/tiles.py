@@ -264,16 +264,19 @@ def write_tiles(
     import ray
 
     @ray.remote(num_cpus=0.25)
-    def _partition_manifest(part_dir: str) -> tuple[int, list[str]]:
+    def _partition_manifest(part_dir: str) -> tuple[int, int, list[str]]:
         import pyarrow.parquet as pq
 
         rows = 0
+        bytes_ = 0
         frags = []
         for f in os.listdir(part_dir):
             if f.endswith(".parquet"):
-                rows += pq.read_metadata(os.path.join(part_dir, f)).num_rows
+                p = os.path.join(part_dir, f)
+                rows += pq.read_metadata(p).num_rows
+                bytes_ += os.path.getsize(p)
                 frags.append(f)
-        return rows, sorted(frags)
+        return rows, bytes_, sorted(frags)
 
     todo = []
     for entry in sorted(os.listdir(out_dir)):
@@ -284,10 +287,11 @@ def write_tiles(
             continue
         todo.append((prefix, os.path.join(out_dir, entry)))
     results = ray.get([_partition_manifest.remote(d) for _, d in todo])
-    for (prefix, _), (rows, frags) in zip(todo, results):
+    for (prefix, _), (rows, bytes_, frags) in zip(todo, results):
         manifest = {
             "partition": prefix,
             "rows": rows,
+            "bytes": bytes_,
             "fragments": frags,
             "inputs": input_files,
             "op_fingerprint": fingerprint,
