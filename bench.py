@@ -363,8 +363,18 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = SCALE_LO, SCALE_HI
-    r_lo = one(lo)
-    r_hi = one(hi)
+    # Best-of-N legs, interleaved lo/hi/lo/hi: this box's co-tenant noise
+    # swings single runs 3-4x (observed: the 4-CPU leg at 220 s in a noisy
+    # window vs 78.7 s quiet), and one slow leg fabricates an efficiency
+    # verdict in either direction. Interleaving + min-of-legs keeps the
+    # ratio a property of the engine, not of which leg drew the noise.
+    runs = max(1, int(os.environ.get("GRAFT_SCALING_RUNS", "2")))
+    legs_lo, legs_hi = [], []
+    for _ in range(runs):
+        legs_lo.append(one(lo))
+        legs_hi.append(one(hi))
+    r_lo = min(legs_lo, key=lambda r: r["value"])
+    r_hi = min(legs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
@@ -378,6 +388,12 @@ def run_scaling() -> dict:
         f"rows_per_sec_{lo}": r_lo["rows_per_sec"],
         f"rows_per_sec_{hi}": r_hi["rows_per_sec"],
         "bench_rows": r_lo["bench_rows"],
+        "runs_per_leg": runs,
+        f"all_sec_{lo}": [r["value"] for r in legs_lo],
+        f"all_sec_{hi}": [r["value"] for r in legs_hi],
+        "calibration_sec": min(
+            r.get("calibration_sec", 0.0) for r in legs_lo + legs_hi
+        ),
         "sf": SF_DIR,
     }
 
