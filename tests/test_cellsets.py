@@ -78,3 +78,49 @@ def test_empty_and_degenerate():
     assert np.array_equal(cs.union_ids(e, one), one)
     assert np.array_equal(cs.difference_ids(one, e), one)
     assert len(cs.difference_ids(one, one)) == 0
+
+
+def test_cellset_ops_sql_matches_ray(ray_session, tmp_path):
+    """The full in-SQL cellset derivation (encode → normalize → pair
+    algebra with a recursive subdivision CTE) must match the Ray
+    pipeline on a DENSER corpus than the driver testdata — 3000
+    sequential docs across 4 groups make collapse cascades and
+    subdivision depth do real work."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from s2sphere_ray.oracle_sql import cellset_ops_sql
+    from s2sphere_ray.queries import SQL_GEOCODE, q_cellset_ops
+
+    n = 3000
+    doc_id = np.arange(n, dtype=np.int64)
+    lang = np.array(["aa", "bb", "cc", "dd"])[doc_id % 4]
+    tbl = pa.table({"doc_id": pa.array(doc_id), "lang": pa.array(lang)})
+    sf_dir = str(tmp_path)
+    pq.write_table(tbl, f"{sf_dir}/documents.parquet")
+
+    want = (
+        q_cellset_ops(sf_dir)
+        .to_pandas()
+        .sort_values(["lang_a", "lang_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet')"
+    )
+    got = (
+        con.execute(cellset_ops_sql(SQL_GEOCODE))
+        .df()
+        .sort_values(["lang_a", "lang_b"])
+        .reset_index(drop=True)
+    )
+    got = got[want.columns.tolist()].astype(want.dtypes.to_dict())
+    assert want.equals(got), (want, got)
+    # The corpus genuinely exercises the algebra: some difference must
+    # have subdivided (n_diff > n_a happens only via subdivision).
+    assert (want.n_diff_ab > want.n_a).any() or (
+        want.n_diff_ba > want.n_b
+    ).any()
