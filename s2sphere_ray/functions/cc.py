@@ -203,7 +203,6 @@ def connected_components(
     *,
     left: str = "id_a",
     right: str = "id_b",
-    num_rows: int | None = None,
     max_rounds: int = 64,
     local_threshold: int = LOCAL_FINISH_THRESHOLD,
 ):
@@ -213,8 +212,9 @@ def connected_components(
     union in (standard edge-list CC semantics).
 
     ``edges`` is an undirected pair Dataset; self-loops are dropped,
-    duplicate/reversed edges are fine.  ``num_rows`` is an optional edge
-    count hint for the first round's bucket sizing.
+    duplicate/reversed edges are fine.  Bucket sizing always uses the
+    exact edge count the convergence signature computes anyway (a
+    ``num_rows`` hint parameter was dead weight and was removed).
 
     Once the (always-shrinking) edge state fits one comfortable block
     (``local_threshold`` rows) the tail is finished by a SINGLE
@@ -277,6 +277,12 @@ def connected_components(
     # then one bucket-dedup exchange (roots repeat once per child).
     from ._buckets import hash_buckets
 
+    # Hoisted: derive_buckets reads live cluster resources, so deriving
+    # it inside the map UDF could yield DIFFERENT bucket counts across
+    # batches (autoscaling mid-job), splitting a node's duplicate rows
+    # across groups and defeating the uniq dedup (round-4 review).
+    nb_emit = derive_buckets(2 * n)
+
     def emit(batch: pa.Table) -> pa.Table:
         u = batch["u"].to_numpy(zero_copy_only=False)
         v = batch["v"].to_numpy(zero_copy_only=False)
@@ -289,7 +295,7 @@ def connected_components(
             }
         )
         return t.append_column(
-            "_hb", pa.array(hash_buckets(node, derive_buckets(2 * n)))
+            "_hb", pa.array(hash_buckets(node, nb_emit))
         )
 
     def uniq(group: pa.Table) -> pa.Table:

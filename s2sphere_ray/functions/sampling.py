@@ -22,7 +22,10 @@ SAMPLE_MOD = 1000000007
 def stratified_sample(ds, key_col: str, id_col: str, k: int, num_rows=None):
     """Quota sampling: keep at most ``k`` rows per ``key_col`` value
     (domain, language, source …), chosen deterministically as the rows
-    with the smallest ``(id * SAMPLE_MULT) % SAMPLE_MOD`` (ties broken by
+    with the smallest ``((id %% SAMPLE_MOD) * SAMPLE_MULT) %% SAMPLE_MOD``
+    (reduce-first: the product stays < 2^63 for any nonnegative int64
+    id, where the bare multiply wraps in numpy and errors in DuckDB;
+    identical values for ids < SAMPLE_MOD) (ties broken by
     id) — i.e. ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY hash, id)
     <= k`` — so the quota is a uniform-ish, rerun-stable draw rather than
     "whatever k rows arrived first".
@@ -102,9 +105,6 @@ def temperature_sample(
 
     from ._buckets import derive_buckets, hash_buckets
 
-    if num_rows is None:
-        num_rows = ds.count()
-
     def kcounts(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch[key_col])
         return pa.table(
@@ -127,6 +127,10 @@ def temperature_sample(
     quota = (
         {k: (budget * v) // tot for k, v in w.items()} if tot else {}
     )
+    if num_rows is None:
+        # The per-key counts just computed sum to the row count — never
+        # re-execute the upstream pipeline for it (round-4 review).
+        num_rows = sum(int(r["n"]) for r in rows)
     n_buckets = derive_buckets(num_rows)
 
     def _code_quota(key: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -144,7 +148,7 @@ def temperature_sample(
             key = key.combine_chunks()
         codes, per_code = _code_quota(key)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = (ids * SAMPLE_MULT) % SAMPLE_MOD
+        h = ((ids % SAMPLE_MOD) * SAMPLE_MULT) % SAMPLE_MOD
         order = np.lexsort((ids, h, codes))
         return _rank_leq_k(codes, order, per_code[codes])
 
@@ -178,7 +182,7 @@ def _rank_arrays(batch: pa.Table, key_col: str, id_col: str):
         key = key.combine_chunks()
     codes = key.dictionary_encode().indices.to_numpy(zero_copy_only=False)
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-    h = (ids * SAMPLE_MULT) % SAMPLE_MOD
+    h = ((ids % SAMPLE_MOD) * SAMPLE_MULT) % SAMPLE_MOD
     order = np.lexsort((ids, h, codes))
     return codes.astype(np.int64), ids, order
 

@@ -11,6 +11,16 @@ parity: every kernel is an RE2/arithmetic transformation expressible
 identically in SQL, so the whole module is oracle-checked end to end
 (queries.q_url_dedup / q_webtext_quality).
 
+Tokenizer-parity scope: the Arrow kernels split on ANY whitespace
+(``utf8_split_whitespace``), the SQL oracles on single spaces
+(``string_split(text, ' ')``) — identical exactly on single-spaced
+text, which the driver's synthetic corpus is by construction; a canary
+test (tests/test_oracle_sql.py::test_testdata_is_single_spaced) fails
+loudly if that assumption ever stops holding, at which point the
+oracles must switch to ``regexp_split_to_array(text, '\\s+')`` with
+empty-token filtering (the pattern oracle_sql.neardup_pairs_sql already
+uses).
+
 Scale notes:
 
 - URL canonicalization is map-only (Arrow RE2 kernels, zero Python per
@@ -179,6 +189,21 @@ def html_text_batch(html: pa.ChunkedArray | pa.Array) -> pa.Array:
     return out
 
 
+def _floor_log2(ratio: np.ndarray) -> np.ndarray:
+    """Exact vectorized floor(log2(k)) for k >= 1 — integer shift loop
+    (bit_length - 1); a float-exponent path would round k within
+    half-ulp below 2^j up.  ONE definition shared by the unigram and
+    bigram Shannon-code kernels so the SQL parity cannot drift
+    (round-4 review)."""
+    code_len = np.zeros(len(ratio), dtype=np.int64)
+    r = np.asarray(ratio).copy()
+    while np.any(r > 1):
+        big = r > 1
+        r[big] >>= 1
+        code_len[big] += 1
+    return code_len
+
+
 def unigram_code_lengths(ds, text_col: str = "text"):
     """Corpus-derived unigram "language model" for quality scoring:
     returns ``(vocab_hashes_sorted, code_len, total_tokens)`` where
@@ -221,15 +246,7 @@ def unigram_code_lengths(ds, text_col: str = "text"):
     vocab, freq = vocab[order], freq[order]
     total = int(freq.sum())
     ratio = total // freq  # >= 1
-    # floor(log2(k)) == bit_length(k) - 1, vectorized via float exponent
-    # extraction would round; use exact frexp-free integer path:
-    code_len = np.zeros(len(ratio), dtype=np.int64)
-    r = ratio.copy()
-    while np.any(r > 1):
-        big = r > 1
-        r[big] >>= 1
-        code_len[big] += 1
-    return vocab, code_len, total
+    return vocab, _floor_log2(ratio), total
 
 
 def surprisal_batch(
@@ -345,13 +362,7 @@ def bigram_code_lengths(ds, text_col: str = "text"):
     cf = np.zeros(len(cu), dtype=np.int64)
     np.add.at(cf, cinv, f)
     ratio = cf[cinv] // f  # >= 1 by construction
-    code_len = np.zeros(len(ratio), dtype=np.int64)
-    r = ratio.copy()
-    while np.any(r > 1):
-        big = r > 1
-        r[big] >>= 1
-        code_len[big] += 1
-    return bg, code_len
+    return bg, _floor_log2(ratio)
 
 
 def bigram_surprisal_batch(
@@ -671,21 +682,33 @@ def chunk_documents(
         starts = offsets[:-1][doc_of] + cix * stride
         ends = np.minimum(starts + chunk_chars, offsets[1:][doc_of])
         clen = ends - starts
-        new_off = np.concatenate([[0], np.cumsum(clen)]).astype(np.int32)
+        new_off64 = np.concatenate([[0], np.cumsum(clen)])
         # gather chunk bytes in one fancy-index pass
         total = int(clen.sum())
         if total:
             within = np.arange(total, dtype=np.int64) - np.repeat(
-                new_off[:-1].astype(np.int64), clen
+                new_off64[:-1], clen
             )
             flat = data[np.repeat(starts, clen) + within]
         else:
             flat = np.zeros(0, dtype=np.uint8)
-        chunk_arr = pa.StringArray.from_buffers(
-            len(clen),
-            pa.py_buffer(new_off.tobytes()),
-            pa.py_buffer(flat.tobytes()),
-        )
+        # Overlap EXPANDS the data (×chunk_chars/stride), so total chunk
+        # bytes can legally exceed int32 offsets even when the input
+        # batch fits them — emit large_string in that case instead of
+        # letting the int32 cast wrap to corrupt offsets (round-4
+        # review).
+        if total > np.iinfo(np.int32).max:
+            chunk_arr = pa.LargeStringArray.from_buffers(
+                len(clen),
+                pa.py_buffer(new_off64.astype(np.int64).tobytes()),
+                pa.py_buffer(flat.tobytes()),
+            )
+        else:
+            chunk_arr = pa.StringArray.from_buffers(
+                len(clen),
+                pa.py_buffer(new_off64.astype(np.int32).tobytes()),
+                pa.py_buffer(flat.tobytes()),
+            )
         ids = batch[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()

@@ -1534,7 +1534,12 @@ def q_sample_hash(sf_dir: str):
 
     def keep(batch: pa.Table) -> pa.Table:
         d = batch["doc_id"].to_numpy()
-        out = batch.filter(pa.array((d * 2654435761) % 10 == 0))
+        # Reduce-first so (id % MOD) * MULT stays < 2^63 for ANY
+        # nonnegative int64 id (bare id*MULT wraps in numpy above
+        # ~3.5e9 and ERRORS in DuckDB; and mod 10 of the bare product
+        # degenerates to doc_id % 10 since MULT ≡ 1 mod 10).
+        h = ((d % 1000000007) * 2654435761) % 1000000007
+        out = batch.filter(pa.array(h % 10 == 0))
         return out.append_column(
             "variant", pa.array(np.repeat("hash10", out.num_rows))
         )
@@ -1570,18 +1575,18 @@ def q_sample_hash(sf_dir: str):
 
 SQL_SAMPLE_HASH = (
     "SELECT 'hash10' AS variant, doc_id, lang FROM documents"
-    " WHERE (doc_id * 2654435761) % 10 = 0"
+    " WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 10 = 0"
     " UNION ALL"
     " SELECT 'quota' AS variant, doc_id, lang FROM ("
     "  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang"
-    "   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn"
+    "   ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rn"
     "  FROM documents)"
     " WHERE rn <= 20"
     " UNION ALL"
     " SELECT 'temp' AS variant, doc_id, lang FROM ("
     "  SELECT doc_id, lang, source, ROW_NUMBER() OVER"
     "   (PARTITION BY source"
-    "   ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS rn"
+    "   ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007, doc_id) AS rn"
     "  FROM documents) r"
     " JOIN ("
     "  SELECT source, 200 * CAST(floor(sqrt(CAST(n AS DOUBLE)))"

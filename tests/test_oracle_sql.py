@@ -195,3 +195,22 @@ def test_rho_exact_bit_length():
         dtype=np.int64,
     )
     assert np.array_equal(_rho(w, bits), want)
+
+
+def test_testdata_is_single_spaced():
+    """Several SQL oracles tokenize with string_split(text, ' ') while
+    the Arrow kernels split on any whitespace — identical ONLY on
+    single-spaced text. This canary pins that property of the driver
+    corpus; if it ever fails, switch those oracles to the
+    regexp_split_to_array('\\s+') pattern neardup_pairs_sql uses."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    for sf in ("sf0.001", "sf0.01"):
+        t = pq.read_table(
+            f"/root/testdata/{sf}/documents.parquet", columns=["text"]
+        )
+        bad = pc.sum(
+            pc.match_substring_regex(t["text"], r"[\t\n\r\v\f]|  |^ | $")
+        ).as_py()
+        assert not bad, f"{sf}: {bad} docs break the single-space assumption"
