@@ -236,10 +236,15 @@ def run_bench() -> dict:
         from s2sphere_ray.stages.cover import cover_regions
 
         ds = rd.from_arrow(regions).repartition(16)
-        # Pre-start 8 actors: lazy 1->N autoscale ramp dominated the wall
-        # time for this short stage (measured 1.9-2.2s -> 1.3s).
+        # Pre-start actors: lazy 1->N autoscale ramp dominated the wall
+        # time for this short stage (measured 1.9-2.2s -> 1.3s). Cap the
+        # pre-start at HALF the cluster: pinning min actors == all CPU
+        # slots livelocks the pool against the upstream repartition tasks
+        # (reproduced at num_cpus=8 — cover_1k hung indefinitely).
         return cover_regions(
-            ds, concurrency=(min(8, NUM_CPUS), NUM_CPUS), batch_size=64
+            ds,
+            concurrency=(min(8, max(1, NUM_CPUS // 2)), NUM_CPUS),
+            batch_size=64,
         ).count()
 
     timed("cover_1k_regions", cover_1k)
@@ -300,6 +305,19 @@ def run_bench() -> dict:
 
     timed("jaccard", jaccard)
     timed("webtext_quality", lambda: q_webtext_quality(SF_DIR).count())
+
+    def classifier():
+        import ray.data as rd
+
+        from s2sphere_ray.functions.classifier import perceptron_milli
+
+        ds = rd.read_parquet(
+            f"{SF_DIR}/embeddings.parquet",
+            columns=["vec_id", "label", "embedding"],
+        )
+        return perceptron_milli(ds, target_label=0, iters=3).count()
+
+    timed("classifier", classifier)
     from s2sphere_ray.queries import q_line_dedup
 
     timed("line_dedup", lambda: q_line_dedup(SF_DIR).count())

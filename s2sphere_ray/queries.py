@@ -2846,8 +2846,8 @@ SQL_LATEST_EVENT = (
 
 
 def q_distinct_counts(sf_dir: str):
-    """Exact distinct ops, two variants in one long-format entry
-    (variant, dkey, n):
+    """Exact distributed aggregates, three variants in one long-format
+    entry (variant, dkey, n):
 
     - 'users_by_type': exact COUNT(DISTINCT user_id) per event_type,
       two-level — per-block distinct (event_type, user_id) pairs
@@ -2858,9 +2858,13 @@ def q_distinct_counts(sf_dir: str):
     - 'sources': distinct document sources (E14-adjacent unique op;
       Dataset.unique returns a plain list, so the distinct is expressed
       as a groupby), n pinned to 1.
+    - 'moments': per-returnflag Σqty, Σprice_cents and Σ(qty·cents) —
+      the sufficient statistics for mean/variance/covariance — as
+      per-block int64 partials (bit-exact, no float folding order),
+      melted to (flag ':' stat, value) rows.
 
     Consolidates the former q_distinct_users_by_type /
-    q_distinct_sources registry rows."""
+    q_distinct_sources / q_moment_stats registry rows."""
     from ray.data.aggregate import Count
 
     ds = _rd().read_parquet(
@@ -2950,17 +2954,67 @@ def q_distinct_counts(sf_dir: str):
             }
         )
 
-    return _tag_ds(
-        users.map_batches(users_rows, batch_format="pyarrow"),
-        "variant",
-        "users_by_type",
-    ).union(
-        _tag_ds(
-            sources.map_batches(source_rows, batch_format="pyarrow"),
-            "variant",
-            "sources",
+    def melt_moments(batch: pa.Table) -> pa.Table:
+        # ≤ |distinct returnflags| rows reach this melt — the bounded
+        # Python loop is over the four stat NAMES, not data rows.
+        flags = pc.cast(batch["l_returnflag"], pa.string())
+        if isinstance(flags, pa.ChunkedArray):
+            flags = flags.combine_chunks()
+        keys, vals = [], []
+        for stat in ("n_rows", "sum_qty", "sum_cents", "sum_qty_cents"):
+            keys.append(
+                pc.binary_join_element_wise(
+                    flags, pa.array([stat] * len(flags)), ":"
+                )
+            )
+            vals.append(pc.cast(batch[stat], pa.int64()))
+        return pa.table(
+            {
+                "dkey": pa.concat_arrays(
+                    [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in keys]
+                ),
+                "n": pa.concat_arrays(
+                    [v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals]
+                ),
+            }
         )
+
+    moments = _moment_stats_ds(sf_dir).map_batches(
+        melt_moments, batch_format="pyarrow", batch_size=None
     )
+
+    return (
+        _tag_ds(
+            users.map_batches(users_rows, batch_format="pyarrow"),
+            "variant",
+            "users_by_type",
+        )
+        .union(
+            _tag_ds(
+                sources.map_batches(source_rows, batch_format="pyarrow"),
+                "variant",
+                "sources",
+            )
+        )
+        .union(_tag_ds(moments, "variant", "moments"))
+    )
+
+
+_SQL_MOMENTS_LEG = (
+    " UNION ALL SELECT 'moments' AS variant,"
+    " l_returnflag || ':n_rows' AS dkey,"
+    " CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY l_returnflag"
+    " UNION ALL SELECT 'moments', l_returnflag || ':sum_qty',"
+    " CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS BIGINT)"
+    " FROM lineitem GROUP BY l_returnflag"
+    " UNION ALL SELECT 'moments', l_returnflag || ':sum_cents',"
+    " CAST(CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))"
+    " AS HUGEINT) AS BIGINT) FROM lineitem GROUP BY l_returnflag"
+    " UNION ALL SELECT 'moments', l_returnflag || ':sum_qty_cents',"
+    " CAST(CAST(SUM(CAST(l_quantity AS BIGINT) *"
+    " CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS HUGEINT)"
+    " AS BIGINT) FROM lineitem GROUP BY l_returnflag"
+)
 
 
 SQL_DISTINCT_COUNTS = (
@@ -2969,15 +3023,17 @@ SQL_DISTINCT_COUNTS = (
     " FROM events GROUP BY event_type"
     " UNION ALL SELECT 'sources', source, CAST(1 AS BIGINT)"
     " FROM (SELECT DISTINCT source FROM documents)"
+    + _SQL_MOMENTS_LEG
 )
 
 
-def q_moment_stats(sf_dir: str):
+def _moment_stats_ds(sf_dir: str):
     """Multi-moment aggregate with integer-exact compare: per returnflag
     Σqty, Σprice_cents and Σ(qty·price_cents) — the sufficient statistics
     for mean/variance/covariance — as per-block partials. All sums are
     int64, so engine and oracle match bit-for-bit (no float folding
-    order issues)."""
+    order issues). Registered as the 'moments' variant of
+    q_distinct_counts (round-4 registry consolidation)."""
     from ray.data.aggregate import Sum
 
     ds = _rd().read_parquet(
@@ -3028,17 +3084,6 @@ def q_moment_stats(sf_dir: str):
     )
 
 
-SQL_MOMENT_STATS = (
-    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,"
-    " CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS BIGINT)"
-    " AS sum_qty,"
-    " CAST(CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT))"
-    " AS HUGEINT) AS BIGINT) AS sum_cents,"
-    " CAST(CAST(SUM(CAST(l_quantity AS BIGINT) *"
-    " CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS HUGEINT)"
-    " AS BIGINT) AS sum_qty_cents"
-    " FROM lineitem GROUP BY l_returnflag"
-)
 
 
 def q_events_pivot(sf_dir: str):
@@ -3372,6 +3417,81 @@ SQL_LABEL_CENTROIDS = (
 )
 
 
+def q_classifier(sf_dir: str):
+    """Model-in-the-loop curation: train a one-vs-rest batch-perceptron
+    quality/topic probe on the labeled embeddings (target label 0,
+    3 full passes), then score every vector with the trained weights —
+    the distributed classifier-training primitive of LLM data curation
+    (fastText-style quality filters).  Exact int64 milli-unit
+    arithmetic end to end (functions/classifier.perceptron_milli), so
+    the weights/scores/predictions are bit-reproducible across block
+    layouts and the oracle replays the identical passes as unrolled
+    CTEs.  Each pass streams the compact quantized working set once
+    with the weight vector broadcast via ray.put and exchanges only
+    (dim, partial-update) rows."""
+    from .functions.classifier import perceptron_milli
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "label", "embedding"],
+    )
+    return perceptron_milli(ds, target_label=0, iters=3)
+
+
+def _sql_perceptron(
+    target: int = 0,
+    iters: int = 3,
+    scale: int = 1000,
+    src: str = "embeddings",
+) -> str:
+    """Expanded-CTE replay of classifier.perceptron_milli (no recursion
+    — the pass count is a fixed hyperparameter on both sides): quantize
+    → iters × (score join, misclassified-update aggregate, weight
+    update) → final scoring pass."""
+    parts = [
+        "pe AS (SELECT CAST(vec_id AS BIGINT) AS vid,"
+        " CAST(label AS BIGINT) AS label,"
+        f" CAST(CASE WHEN label = {target} THEN 1 ELSE -1 END AS BIGINT)"
+        " AS y,"
+        " CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,"
+        f" CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {scale})"
+        f" AS BIGINT) AS m FROM {src})",
+        "pw0 AS (SELECT DISTINCT dim, CAST(0 AS BIGINT) AS w FROM pe)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ps{i} AS (SELECT pe.vid, MIN(pe.y) AS y,"
+            f" CAST(SUM(pe.m * w.w) AS BIGINT) AS s"
+            f" FROM pe JOIN pw{i - 1} w USING (dim) GROUP BY pe.vid)"
+        )
+        parts.append(
+            f"pu{i} AS (SELECT pe.dim,"
+            f" CAST(SUM(pe.y * pe.m) AS BIGINT) AS u"
+            f" FROM pe JOIN ps{i} s ON pe.vid = s.vid AND s.y * s.s <= 0"
+            f" GROUP BY pe.dim)"
+        )
+        parts.append(
+            f"pw{i} AS (SELECT w.dim,"
+            f" CAST(w.w + COALESCE(u.u, 0) AS BIGINT) AS w"
+            f" FROM pw{i - 1} w LEFT JOIN pu{i} u USING (dim))"
+        )
+    parts.append(
+        f"psf AS (SELECT pe.vid, MIN(pe.label) AS label, MIN(pe.y) AS y,"
+        f" CAST(SUM(pe.m * w.w) AS BIGINT) AS s"
+        f" FROM pe JOIN pw{iters} w USING (dim) GROUP BY pe.vid)"
+    )
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + " SELECT vid AS vec_id, label, y, s AS score,"
+        " CAST(CASE WHEN s > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred"
+        " FROM psf"
+    )
+
+
+SQL_CLASSIFIER = _sql_perceptron(0, 3)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3437,9 +3557,9 @@ QUERIES = {
     "q_outer_join_counts": q_outer_join_counts,
     "q_latest_event_per_user": q_latest_event_per_user,
     "q_distinct_counts": q_distinct_counts,
-    "q_moment_stats": q_moment_stats,
     "q_median_filter": q_median_filter,
     "q_label_centroids": q_label_centroids,
+    "q_classifier": q_classifier,
 }
 
 from .functions.asof import (  # noqa: E402
@@ -3507,9 +3627,9 @@ ORACLE_SQL = {
     "q_outer_join_counts": SQL_OUTER_JOIN_COUNTS,
     "q_latest_event_per_user": SQL_LATEST_EVENT,
     "q_distinct_counts": SQL_DISTINCT_COUNTS,
-    "q_moment_stats": SQL_MOMENT_STATS,
     "q_median_filter": SQL_MEDIAN_FILTER,
     "q_label_centroids": SQL_LABEL_CENTROIDS,
+    "q_classifier": SQL_CLASSIFIER,
     # Frozen self-golden: pins the coverer's exact exterior AND interior
     # output (content+order); not an independent derivation — see
     # q_cover_regions_golden docstring.

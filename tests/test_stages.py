@@ -1442,3 +1442,68 @@ def test_semdedup_matches_naive(ray_session):
             expect.add((vid[i], min(keepers)))
     assert expect, "test corpus must contain at least one planted drop"
     assert got == expect
+
+
+def test_perceptron_milli_matches_naive_reference(ray_session):
+    """The distributed batch perceptron must be bit-identical to a
+    single-process naive implementation regardless of block layout —
+    the update is an exact int64 sum, so 13-way partitioning cannot
+    change the trained weights, scores or predictions."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.classifier import perceptron_milli
+
+    rng = np.random.default_rng(7)
+    n, d = 600, 12
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    t = pa.table(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "label": labels,
+            "embedding": pa.array(
+                [row.tolist() for row in x], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = (
+        perceptron_milli(
+            rd.from_arrow(t).repartition(13), target_label=0, iters=3
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    m = np.floor(x.astype(np.float64) * 1000).astype(np.int64)
+    y = np.where(labels == 0, 1, -1).astype(np.int64)
+    w = np.zeros(d, dtype=np.int64)
+    for _ in range(3):
+        s = m @ w
+        mis = (y * s) <= 0
+        w = w + (m[mis] * y[mis, None]).sum(axis=0, dtype=np.int64)
+    s = m @ w
+    assert np.array_equal(out["score"].to_numpy(), s)
+    assert np.array_equal(out["pred"].to_numpy(), np.where(s > 0, 1, -1))
+    assert np.array_equal(out["y"].to_numpy(), y)
+    # the probe must actually learn something beyond the zero model
+    assert (np.abs(w) > 0).any()
+
+
+def test_perceptron_milli_overflow_guard():
+    """The int64 dot-product bound must refuse rather than wrap."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.classifier import perceptron_milli
+
+    t = pa.table(
+        {
+            "vec_id": np.arange(4, dtype=np.int64),
+            "label": pa.array([0, 0, 0, 1], pa.int32()),
+            "embedding": pa.array(
+                [[1.0e15, -1.0e15]] * 4, pa.list_(pa.float32())
+            ),
+        }
+    )
+    with pytest.raises(OverflowError):
+        perceptron_milli(rd.from_arrow(t), target_label=0, iters=2)
