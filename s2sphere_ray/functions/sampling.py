@@ -17,6 +17,46 @@ import pyarrow as pa
 # bit-equal between the engine and the oracle.
 SAMPLE_MULT = 2654435761
 SAMPLE_MOD = 1000000007
+# Independent multiplier for train/valid/test assignment, so the split
+# is uncorrelated with the sampling hash (a row's split must not predict
+# whether hash-rate sampling keeps it).  (SAMPLE_MOD % SPLIT_MULT and
+# SAMPLE_MOD * SPLIT_MULT both fit int64: 1e9 · 2.25e9 < 2^63.)
+SPLIT_MULT = 2246822519
+
+
+def split_assign(
+    ds,
+    id_col: str = "doc_id",
+    valid_pct: int = 5,
+    test_pct: int = 5,
+):
+    """Deterministic train/valid/test assignment — the hold-out split
+    every training-data pipeline needs before packing shards.
+
+    Map-only (zero exchanges, resumable by construction): each row gets
+    ``split`` ∈ {train, valid, test} from
+    ``((id % SAMPLE_MOD) * SPLIT_MULT) % SAMPLE_MOD % 100`` — buckets
+    ``< 100-valid-test`` train, the next ``valid_pct`` valid, the rest
+    test.  The reduce-first product stays < 2^63 for any nonnegative
+    int64 id, and the bucket is bit-equal in numpy and DuckDB
+    (``CASE WHEN b < .. THEN 'train' ..``), so the oracle checks the
+    assignment exactly.  A different multiplier than the rate/quota
+    samplers keeps membership independent of sampling decisions; reruns,
+    repartitions and cluster sizes all see the same split.
+    """
+    train_hi = 100 - valid_pct - test_pct
+    valid_hi = 100 - test_pct
+    if not (0 < train_hi <= 100):
+        raise ValueError("valid_pct + test_pct must be < 100")
+    labels = np.array(["train", "valid", "test"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((ids % SAMPLE_MOD) * SPLIT_MULT) % SAMPLE_MOD % 100
+        code = (b >= train_hi).astype(np.int64) + (b >= valid_hi)
+        return batch.append_column("split", pa.array(labels[code]))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
 
 
 def stratified_sample(ds, key_col: str, id_col: str, k: int, num_rows=None):

@@ -1527,8 +1527,16 @@ def q_sample_hash(sf_dir: str):
     - 'temp': temperature-tilted source resampling (quota per source ∝
       floor(sqrt(count)) of a 200-row budget — the α=½ data-mixing rule;
       sampling.temperature_sample: one tiny count exchange, then the
-      same rank machinery with a per-key quota)."""
-    from .functions.sampling import stratified_sample, temperature_sample
+      same rank machinery with a per-key quota).
+    - 'split_train'/'split_valid'/'split_test': deterministic 90/5/5
+      hold-out assignment (sampling.split_assign: map-only, independent
+      SPLIT_MULT hash so membership is uncorrelated with the rate
+      sample)."""
+    from .functions.sampling import (
+        split_assign,
+        stratified_sample,
+        temperature_sample,
+    )
 
     ds = _docs(sf_dir, ["doc_id", "lang"])
 
@@ -1566,9 +1574,20 @@ def q_sample_hash(sf_dir: str):
         batch_format="pyarrow",
         batch_size=None,
     )
+    split = split_assign(ds, id_col="doc_id").map_batches(
+        lambda b: b.append_column(
+            "variant",
+            pc.binary_join_element_wise(
+                pa.array(np.repeat("split", b.num_rows)), b["split"], "_"
+            ),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
     return (
         hash10.union(quota)
         .union(temp)
+        .union(split)
         .select_columns(["variant", "doc_id", "lang"])
     )
 
@@ -1597,6 +1616,13 @@ SQL_SAMPLE_HASH = (
     "   GROUP BY source)"
     " ) q USING (source)"
     " WHERE r.rn <= q.t"
+    " UNION ALL"
+    " SELECT CASE WHEN b < 90 THEN 'split_train'"
+    "  WHEN b < 95 THEN 'split_valid'"
+    "  ELSE 'split_test' END AS variant, doc_id, lang FROM ("
+    "  SELECT doc_id, lang,"
+    "   ((doc_id % 1000000007) * 2246822519) % 1000000007 % 100 AS b"
+    "  FROM documents)"
 )
 
 

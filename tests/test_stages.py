@@ -1507,3 +1507,61 @@ def test_perceptron_milli_overflow_guard():
     )
     with pytest.raises(OverflowError):
         perceptron_milli(rd.from_arrow(t), target_label=0, iters=2)
+
+
+def test_split_assign_deterministic_and_exact(ray_session):
+    """90/5/5 hold-out split: matches the naive per-id reference, is
+    layout-independent, covers every row exactly once, and is
+    uncorrelated with the hash10 rate sample's hash."""
+    import collections
+
+    import ray.data as rd
+
+    from s2sphere_ray.functions.sampling import (
+        SAMPLE_MOD,
+        SPLIT_MULT,
+        split_assign,
+    )
+
+    ids = np.arange(1000, dtype=np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids)})
+    expect = {}
+    for i in ids:
+        b = ((int(i) % SAMPLE_MOD) * SPLIT_MULT) % SAMPLE_MOD % 100
+        expect[int(i)] = (
+            "train" if b < 90 else ("valid" if b < 95 else "test")
+        )
+    for parts in (1, 9):
+        got = {
+            r["doc_id"]: r["split"]
+            for r in split_assign(
+                rd.from_arrow(tbl).repartition(parts)
+            ).take_all()
+        }
+        assert got == expect, f"parts={parts}"
+    n = collections.Counter(expect.values())
+    assert n["train"] + n["valid"] + n["test"] == 1000
+    # split fractions land near 90/5/5 and all three splits are non-empty
+    assert 850 <= n["train"] <= 950 and n["valid"] > 0 and n["test"] > 0
+
+
+def test_split_assign_custom_fractions_and_overflow_ids(ray_session):
+    import ray.data as rd
+
+    from s2sphere_ray.functions.sampling import split_assign
+
+    # ids near int64 max: reduce-first hashing must not wrap
+    big = np.array([2**62, 2**63 - 1, 0, 1], dtype=np.int64)
+    out = split_assign(
+        rd.from_arrow(pa.table({"doc_id": pa.array(big)})),
+        valid_pct=0,
+        test_pct=50,
+    ).take_all()
+    assert {r["split"] for r in out} <= {"train", "test"}
+    assert len(out) == 4
+    with pytest.raises(ValueError):
+        split_assign(
+            rd.from_arrow(pa.table({"doc_id": pa.array(big)})),
+            valid_pct=50,
+            test_pct=50,
+        ).take_all()
