@@ -2888,6 +2888,13 @@ def q_distinct_counts(sf_dir: str):
       the sufficient statistics for mean/variance/covariance — as
       per-block int64 partials (bit-exact, no float folding order),
       melted to (flag ':' stat, value) rows.
+    - 'pagerank': exact-integer PageRank (functions/cc.pagerank, 4
+      power iterations, int64 milli-free arithmetic — bit-equal to the
+      oracle's unrolled CTEs) over a deterministic domain link graph:
+      every document links its source to the source of the document
+      whose id equals its sampling hash mod COUNT(*) — a self-join the
+      SQL replays verbatim, giving realistic skew without external
+      data.
 
     Consolidates the former q_distinct_users_by_type /
     q_distinct_sources / q_moment_stats registry rows."""
@@ -3009,6 +3016,51 @@ def q_distinct_counts(sf_dir: str):
         melt_moments, batch_format="pyarrow", batch_size=None
     )
 
+    # 'pagerank' leg: deterministic domain link graph (doc → the doc at
+    # its sampling-hash index, projected to sources) via a native
+    # self-join, then the exact-integer power iteration.
+    from .functions.cc import pagerank
+    from .functions._schema import stabilize_schema
+    from .functions._buckets import _cluster_cpus
+    import math
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+    n_docs = docs.count()
+
+    def link_left(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.int64)
+        tgt = ((d % 1000000007) * 2654435761) % 1000000007 % n_docs
+        return pa.table({"src": batch["source"], "tgt": pa.array(tgt)})
+
+    def link_right(batch: pa.Table) -> pa.Table:
+        return pa.table({"tdoc": batch["doc_id"], "dst": batch["source"]})
+
+    lhs = stabilize_schema(
+        docs.map_batches(link_left, batch_format="pyarrow", batch_size=None),
+        pa.schema([("src", pa.string()), ("tgt", pa.int64())]),
+    )
+    rhs = stabilize_schema(
+        docs.map_batches(link_right, batch_format="pyarrow", batch_size=None),
+        pa.schema([("tdoc", pa.int64()), ("dst", pa.string())]),
+    )
+    parts = max(2, min(_cluster_cpus() // 2, math.ceil(n_docs / 250_000)))
+    edges = lhs.join(
+        rhs,
+        join_type="inner",
+        num_partitions=parts,
+        on=("tgt",),
+        right_on=("tdoc",),
+    ).select_columns(["src", "dst"])
+    pr = pagerank(edges, num_iters=4)
+    pr_rows = _rd().from_arrow(
+        pa.table(
+            {
+                "dkey": pr["node"],
+                "n": pr["rank"],
+            }
+        )
+    )
+
     return (
         _tag_ds(
             users.map_batches(users_rows, batch_format="pyarrow"),
@@ -3023,6 +3075,7 @@ def q_distinct_counts(sf_dir: str):
             )
         )
         .union(_tag_ds(moments, "variant", "moments"))
+        .union(_tag_ds(pr_rows, "variant", "pagerank"))
     )
 
 
@@ -3043,6 +3096,38 @@ _SQL_MOMENTS_LEG = (
 )
 
 
+def _sql_pagerank_leg(iters: int = 4) -> str:
+    """Unrolled power-iteration CTEs replaying functions/cc.pagerank
+    bit-for-bit: nonnegative BIGINT ``//`` floor-division matches numpy,
+    and SUM order cannot matter because int64 addition commutes exactly
+    (the engine asserts the no-overflow bound)."""
+    ctes = [
+        "pr_edges AS (SELECT a.source AS src, b.source AS dst"
+        " FROM documents a JOIN documents b"
+        " ON ((a.doc_id % 1000000007) * 2654435761) % 1000000007"
+        " % (SELECT COUNT(*) FROM documents) = b.doc_id)",
+        "pr_nodes AS (SELECT src AS node FROM pr_edges"
+        " UNION SELECT dst FROM pr_edges)",
+        "pr_deg AS (SELECT src, COUNT(*) AS d FROM pr_edges GROUP BY src)",
+        "pr_r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r"
+        " FROM pr_nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"pr_r{k} AS (SELECT n.node,"
+            " CAST(150000000 + 85 * COALESCE(c.s, 0) // 100 AS BIGINT)"
+            " AS r FROM pr_nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, CAST(SUM(p.r // o.d) AS BIGINT) AS s"
+            f" FROM pr_edges e JOIN pr_r{k - 1} p ON p.node = e.src"
+            " JOIN pr_deg o ON o.src = e.src GROUP BY e.dst) c"
+            " ON c.node = n.node)"
+        )
+    return (
+        " UNION ALL SELECT 'pagerank' AS variant, node AS dkey, r AS n"
+        " FROM (WITH " + ", ".join(ctes) + f" SELECT node, r FROM pr_r{iters})"
+    )
+
+
 SQL_DISTINCT_COUNTS = (
     "SELECT 'users_by_type' AS variant, event_type AS dkey,"
     " CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n"
@@ -3050,6 +3135,7 @@ SQL_DISTINCT_COUNTS = (
     " UNION ALL SELECT 'sources', source, CAST(1 AS BIGINT)"
     " FROM (SELECT DISTINCT source FROM documents)"
     + _SQL_MOMENTS_LEG
+    + _sql_pagerank_leg()
 )
 
 

@@ -147,3 +147,72 @@ def test_cc_output_schema_and_invariants(ray_session):
         members.setdefault(comp, []).append(node)
     for comp, ms in members.items():
         assert comp == min(ms)
+
+
+def _naive_pagerank(src, dst, iters=4, scale=10**9):
+    nodes = sorted(set(src) | set(dst))
+    pos = {v: i for i, v in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes), np.int64)
+    for s in src:
+        outdeg[pos[s]] += 1
+    r = np.full(len(nodes), scale, np.int64)
+    base = 15 * scale // 100
+    for _ in range(iters):
+        acc = np.zeros(len(nodes), np.int64)
+        per = r // np.maximum(outdeg, 1)
+        for a, b in zip(src, dst):
+            acc[pos[b]] += per[pos[a]]
+        r = base + 85 * acc // 100
+    return dict(zip(nodes, r.tolist()))
+
+
+def test_pagerank_matches_naive_and_layout_independent(ray_session):
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import pagerank
+
+    rng = np.random.default_rng(11)
+    doms = [f"d{i}" for i in range(15)]
+    si = rng.integers(0, 15, 600)
+    di = rng.integers(0, 15, 600)
+    src = [doms[i] for i in si]
+    dst = [doms[i] for i in di]
+    exp = _naive_pagerank(src, dst)
+    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for parts in (1, 11):
+        out = pagerank(rd.from_arrow(tbl).repartition(parts))
+        got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+        assert got == exp, f"parts={parts}"
+
+
+def test_pagerank_sink_and_dangling(ray_session):
+    """A pure sink (never a src) collects mass; a source-only node
+    keeps the teleport floor after its mass drains to ranks below."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import pagerank
+
+    # a -> sink, b -> sink, sink has no out-edges (dangling)
+    tbl = pa.table(
+        {"src": pa.array(["a", "b", "a"]), "dst": pa.array(["sink", "sink", "b"])}
+    )
+    exp = _naive_pagerank(["a", "b", "a"], ["sink", "sink", "b"])
+    out = pagerank(rd.from_arrow(tbl))
+    got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    assert got == exp
+    assert got["sink"] > got["a"]  # sink accumulates, source decays
+
+
+def test_pagerank_empty_and_overflow_guard(ray_session):
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import pagerank
+
+    empty = pa.table(
+        {"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())}
+    )
+    out = pagerank(rd.from_arrow(empty))
+    assert out.num_rows == 0
+    tbl = pa.table({"src": pa.array(["a"]), "dst": pa.array(["b"])})
+    with pytest.raises(OverflowError):
+        pagerank(rd.from_arrow(tbl), scale=1 << 61)
