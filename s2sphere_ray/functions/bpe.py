@@ -203,8 +203,10 @@ def bpe_train(
     """Learn ``num_merges`` BPE merges from a (word, freq) histogram
     Dataset.  Returns ``(merges, vocab)``: ``merges`` is a list of
     ``(a, b, new_id, count)`` tuples (the model — small by definition),
-    ``vocab`` a pa.Table (word, freq, n_tokens) with each histogram
-    word's trained token count.
+    ``vocab`` a pa.Table (word, freq, n_tokens, syms) with each
+    histogram word's trained token count and token-id sequence
+    (``syms``: list<int32> — what ``bpe_encode`` broadcasts to tokenize
+    the corpus).
 
     Histograms at or under ``local_threshold`` rows train in one
     single-process pass with the same kernels; above it, each merge
@@ -227,13 +229,12 @@ def _gather_table(ds, cols) -> pa.Table:
         if t.num_rows
     ]
     if not tables:
+        types = {
+            "word": pa.string(),
+            "syms": pa.list_(pa.int32()),
+        }
         return pa.table(
-            {
-                c: pa.array(
-                    [], pa.string() if c == "word" else pa.int64()
-                )
-                for c in cols
-            }
+            {c: pa.array([], types.get(c, pa.int64())) for c in cols}
         )
     return pa.concat_tables(tables).combine_chunks()
 
@@ -262,6 +263,10 @@ def _train_local(words, freq, num_merges: int):
             "word": words,
             "freq": pa.array(fr),
             "n_tokens": pa.array(np.diff(offsets).astype(np.int64)),
+            "syms": pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32)),
+                pa.array(flat.astype(np.int32)),
+            ),
         }
     )
     return merges, vocab
@@ -374,6 +379,7 @@ def _train_distributed(hist, num_merges: int):
                 "word": batch["word"],
                 "freq": batch["freq"],
                 "n_tokens": pa.array(np.diff(offsets).astype(np.int64)),
+                "syms": batch["syms"],
             }
         )
 
@@ -381,7 +387,7 @@ def _train_distributed(hist, num_merges: int):
         work.map_batches(
             token_counts, batch_format="pyarrow", batch_size=None
         ),
-        ("word", "freq", "n_tokens"),
+        ("word", "freq", "n_tokens", "syms"),
     )
     return merges, vocab
 
@@ -455,3 +461,95 @@ def bpe_token_counts(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def bpe_encode(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 32,
+    local_threshold: int = 2_000_000,
+):
+    """Tokenize the corpus with its own trained BPE model →
+    (id, n_tokens, tokens:list<int32>) — the actual tokenize-and-pack
+    input of a training-data pipeline (feed ``tokens`` straight into
+    ``web.pack_sequences`` token budgets).
+
+    Movement mirrors ``bpe_token_counts``: the trained word → token-id
+    SEQUENCE map broadcasts once via ``ray.put`` as three flat arrays
+    (vocab words, int32 symbol buffer, offsets), and the corpus pass is
+    map-only — ``pc.index_in`` per batch, then one vectorized range
+    gather builds every document's token list with zero per-row Python.
+    A document's tokens are the concatenation of its space-split words'
+    sequences (the word boundary itself is not a token)."""
+    import ray as _ray
+
+    from .dedup import _get_broadcast
+
+    hist = word_histogram(ds, text_col)
+    _, vocab = bpe_train(
+        hist, num_merges=num_merges, local_threshold=local_threshold
+    )
+    vflat, voff = _list_i32(vocab["syms"])
+    vocab_ref = _ray.put(
+        (
+            vocab["word"].combine_chunks(),
+            vflat.astype(np.int32),
+            voff,  # int64 offsets into vflat
+        )
+    )
+
+    def encode(batch: pa.Table, _ref=vocab_ref) -> pa.Table:
+        vw, vflat, voff = _get_broadcast(_ref)
+        wlen = np.diff(voff)
+        lists = pc.split_pattern(batch[text_col], " ")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat_words = lists.flatten()
+        words_per_doc = (
+            pc.list_value_length(lists)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n = len(words_per_doc)
+        if len(flat_words) == 0 or len(vw) == 0:
+            tok_flat = np.zeros(0, np.int32)
+            toks_per_word = np.zeros(len(flat_words), np.int64)
+        else:
+            idx = pc.index_in(flat_words, value_set=vw)
+            if idx.null_count:
+                raise ValueError(
+                    "bpe_encode: word not in the training vocabulary "
+                    "(scored a different table than the training one?)"
+                )
+            pos = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+            toks_per_word = wlen[pos]
+            total = int(toks_per_word.sum())
+            # range gather: word w contributes vflat[voff[pos]:voff[pos]+len]
+            starts = np.repeat(voff[pos], toks_per_word)
+            excl = np.concatenate(
+                ([0], np.cumsum(toks_per_word)[:-1])
+            ) if len(toks_per_word) else np.zeros(0, np.int64)
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                excl, toks_per_word
+            )
+            tok_flat = vflat[starts + intra]
+        # per-doc token counts = segment-sum of per-word counts
+        doc_of_word = np.repeat(
+            np.arange(n, dtype=np.int64), words_per_doc
+        )
+        per_doc = np.zeros(n, np.int64)
+        np.add.at(per_doc, doc_of_word, toks_per_word)
+        doc_off = np.concatenate(([0], np.cumsum(per_doc)))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(per_doc),
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(doc_off.astype(np.int32)),
+                    pa.array(tok_flat.astype(np.int32)),
+                ),
+            }
+        )
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)

@@ -151,3 +151,79 @@ def test_apply_merge_never_crosses_words():
     out, off = _apply_merge(flat, offsets, a, b, 300)
     assert out.tolist() == [a, b, a, b]  # the only (x,y) pairs straddle
     assert off.tolist() == [0, 1, 3, 4]
+
+
+def _naive_encode(word_seqs: dict, doc: str) -> list:
+    out = []
+    for w in doc.split(" "):
+        out.extend(word_seqs[w])
+    return out
+
+
+def test_bpe_encode_matches_naive(ray_session):
+    """Per-document token-id lists: concatenation of each space-split
+    word's trained sequence, identical to the naive reference and to
+    bpe_token_counts' counts, at both trainer paths."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.bpe import bpe_encode
+
+    freq = {}
+    for doc in CORPUS:
+        for w in doc.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    # naive trainer, but keep the full sequences this time
+    seqs = {w: tuple(w.encode("utf-8")) for w in freq}
+    merges, _ = _naive_bpe(freq, 12)
+    for a, b, nid, _cnt in merges:
+        for w, s in list(seqs.items()):
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(nid)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = tuple(out)
+
+    for thr in (2_000_000, 0):  # local and forced-distributed trainer
+        got = (
+            bpe_encode(
+                rd.from_arrow(_docs_table()).repartition(4),
+                num_merges=12,
+                local_threshold=thr,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        for i, doc in enumerate(CORPUS):
+            exp = _naive_encode(seqs, doc)
+            assert got["tokens"][i].tolist() == exp, (thr, i)
+            assert got["n_tokens"][i] == len(exp)
+
+
+def test_bpe_encode_empty_text_and_feeds_packing(ray_session):
+    """Empty documents tokenize to empty lists, and the list<int32>
+    output is directly consumable as a token-budget column."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.bpe import bpe_encode
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["", "ab ab", "ab"]),
+        }
+    )
+    out = (
+        bpe_encode(rd.from_arrow(tbl), num_merges=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "" splits to one empty word -> zero tokens; "ab" merges to 1 token
+    assert out["tokens"][0].tolist() == []
+    assert out["n_tokens"].tolist() == [0, 2, 1]
+    assert out["tokens"][1].tolist() == out["tokens"][2].tolist() * 2
