@@ -361,16 +361,23 @@ def pagerank(
 
     - setup: ONE node-keyed exchange over per-block distinct
       (node, outdeg-partial) rows → node-sized (node, outdeg) gather;
-    - per iteration: ranks+degrees broadcast once via ``ray.put``
-      (node-sized), the edge pass is map-only with per-block
-      ``bincount`` pre-aggregation by dst code, then one ≤
-      distinct-dst-per-block-row exchange and a node-sized gather;
-    - the edge Dataset is materialized once and re-streamed per pass,
-      never mutated; driver state is O(nodes) (shard the node table by
-      hash range past broadcast size, as for unigram vocab).
+      then the string edges are recoded ONCE into the weighted
+      adjacency list — distinct packed (src_code, dst_code) pairs with
+      int64 multiplicities (per-block ``np.unique`` partials + one
+      pair-keyed exchange) — and the string edge set is never touched
+      again;
+    - per iteration: rank//outdeg broadcast via ``ray.put``
+      (node-sized), a map-only pass over the COMPACT adjacency (two
+      int64 columns, no string lookups) with exact segment-sum
+      pre-aggregation by dst code, then one ≤ distinct-dst-per-block
+      exchange and a node-sized gather;
+    - driver state is O(nodes) (shard the node table by hash range past
+      broadcast size, as for unigram vocab).
 
     The int64 bound ``damping_num · nodes · scale < 2^62`` (any dst's
-    contribution sum is at most the total mass) is asserted up front.
+    contribution sum is at most the total mass; per-pair
+    ``multiplicity · rank//deg ≤ rank`` is bounded by the same mass)
+    is asserted up front, along with the 2^31 node-code pack domain.
     """
     import ray as _ray
     from ray.data.aggregate import Sum
@@ -417,51 +424,76 @@ def pagerank(
             {"node": pa.array([], pa.string()),
              "rank": pa.array([], pa.int64())}
         )
-    if damping_num * n_nodes * scale >= (1 << 62):
+    if damping_num * n_nodes * scale >= (1 << 62) or n_nodes >= (1 << 31):
         raise OverflowError(
             f"pagerank: {n_nodes} nodes at scale {scale} can overflow "
-            "int64 contribution sums — lower `scale`"
+            "int64 contribution sums or the pair pack domain — lower "
+            "`scale`"
         )
     base = (damping_den - damping_num) * scale // damping_den
     rank = np.full(n_nodes, scale, dtype=np.int64)
     safe_deg = np.maximum(outdeg, 1)  # sinks never appear as src
 
+    # Recode ONCE to the weighted adjacency list: distinct packed
+    # (src_code, dst_code) pairs with multiplicities. Every iteration
+    # then streams two int64 columns — no strings, no hash lookups.
+    nodes_ref = _ray.put(nodes)
+
+    def adj_partial(batch: pa.Table, _ref=nodes_ref) -> pa.Table:
+        bn = _get_broadcast(_ref)
+        sc = pc.index_in(batch[src], value_set=bn).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        dc = pc.index_in(batch[dst], value_set=bn).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        u, m = np.unique(sc * (np.int64(1) << 32) + dc, return_counts=True)
+        return pa.table(
+            {"p": pa.array(u), "m": pa.array(m.astype(np.int64))}
+        )
+
+    adj = (
+        edges.map_batches(
+            adj_partial, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("p")
+        .aggregate(Sum("m", alias_name="m"))
+        .materialize()
+    )
+
     for _ in range(num_iters):
-        ref = _ray.put((nodes, (rank // safe_deg).astype(np.int64)))
+        ref = _ray.put((rank // safe_deg).astype(np.int64))
 
         def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
-            bn, per_edge = _get_broadcast(_ref)
-            sc = pc.index_in(batch[src], value_set=bn).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            dc = pc.index_in(batch[dst], value_set=bn).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
+            # the adjacency groupby can emit schema-less empty blocks at
+            # high partition counts (round-3 hazard) — normalize first
+            if batch.num_rows == 0 or "p" not in batch.column_names:
+                return pa.table(
+                    {
+                        "c": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.int64()),
+                    }
+                )
+            per_src = _get_broadcast(_ref)
+            p = batch["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = batch["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sc = p >> 32
+            dc = p & ((np.int64(1) << 32) - 1)
+            # m·(rank//deg) ≤ rank ≤ total mass — inside the asserted
+            # bound, so the products and sums stay exact int64
+            w = m * per_src[sc]
             # int64-exact per-dst partial: bincount floats would round
             # above 2^53, so segment-sum on the sorted dst codes instead
             order = np.argsort(dc, kind="stable")
             dcs = dc[order]
-            w = per_edge[sc[order]]
-            starts = np.flatnonzero(
-                np.r_[True, dcs[1:] != dcs[:-1]]
-            ) if len(dcs) else np.zeros(0, np.int64)
-            sums = (
-                np.add.reduceat(w, starts).astype(np.int64)
-                if len(dcs)
-                else np.zeros(0, np.int64)
-            )
+            starts = np.flatnonzero(np.r_[True, dcs[1:] != dcs[:-1]])
+            sums = np.add.reduceat(w[order], starts).astype(np.int64)
             return pa.table(
-                {
-                    "c": pa.array(
-                        dcs[starts] if len(dcs) else
-                        np.zeros(0, np.int64)
-                    ),
-                    "s": pa.array(sums),
-                }
+                {"c": pa.array(dcs[starts]), "s": pa.array(sums)}
             )
 
         got = (
-            edges.map_batches(
+            adj.map_batches(
                 contrib, batch_format="pyarrow", batch_size=None
             )
             .groupby("c")
