@@ -216,3 +216,20 @@ def test_pagerank_empty_and_overflow_guard(ray_session):
     tbl = pa.table({"src": pa.array(["a"]), "dst": pa.array(["b"])})
     with pytest.raises(OverflowError):
         pagerank(rd.from_arrow(tbl), scale=1 << 61)
+
+
+def test_pagerank_high_partition_counts(ray_session):
+    """The adjacency groupby emits schema-less empty blocks when
+    partitions outnumber distinct pairs (round-3 hazard class): the
+    iteration consumer must normalize them and stay exact."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import pagerank
+
+    src = ["a", "b", "c", "a"]
+    dst = ["b", "c", "a", "c"]
+    exp = _naive_pagerank(src, dst)
+    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    out = pagerank(rd.from_arrow(tbl).repartition(32))
+    got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    assert got == exp
