@@ -324,38 +324,17 @@ def run_bench() -> dict:
 
     def pagerank_bench():
         # domain link graph: one edge per document (corpus-scale join),
-        # then 4 exact-int64 power iterations over the domain node set
-        import pyarrow as pa
-
+        # then 4 exact-int64 power iterations over the domain node set —
+        # the SAME construction the oracle checks (shared helper)
         import ray.data as rd
 
         from s2sphere_ray.functions.cc import pagerank
+        from s2sphere_ray.queries import build_domain_link_graph
 
         docs = rd.read_parquet(
             f"{SF_DIR}/documents.parquet", columns=["doc_id", "source"]
         )
-        n_docs = docs.count()
-
-        def left(b: pa.Table) -> pa.Table:
-            import numpy as np
-
-            d = b["doc_id"].to_numpy().astype(np.int64)
-            tgt = ((d % 1000000007) * 2654435761) % 1000000007 % n_docs
-            return pa.table({"src": b["source"], "tgt": pa.array(tgt)})
-
-        lhs = docs.map_batches(left, batch_format="pyarrow", batch_size=None)
-        rhs = docs.map_batches(
-            lambda b: pa.table({"tdoc": b["doc_id"], "dst": b["source"]}),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-        edges = lhs.join(
-            rhs,
-            join_type="inner",
-            num_partitions=max(2, NUM_CPUS // 2),
-            on=("tgt",),
-            right_on=("tdoc",),
-        ).select_columns(["src", "dst"])
+        edges = build_domain_link_graph(docs, docs.count())
         return pagerank(edges, num_iters=4).num_rows
 
     timed("pagerank", pagerank_bench)

@@ -44,6 +44,8 @@ def split_assign(
     samplers keeps membership independent of sampling decisions; reruns,
     repartitions and cluster sizes all see the same split.
     """
+    if valid_pct < 0 or test_pct < 0:
+        raise ValueError("valid_pct and test_pct must be nonnegative")
     train_hi = 100 - valid_pct - test_pct
     valid_hi = 100 - test_pct
     if not (0 < train_hi <= 100):

@@ -2871,6 +2871,49 @@ SQL_LATEST_EVENT = (
 )
 
 
+def build_domain_link_graph(docs, n_docs: int, num_partitions: int | None = None):
+    """Deterministic domain link graph → (src, dst) edge Dataset: every
+    document links its source to the source of the document whose id is
+    its sampling hash mod ``n_docs`` — a self-join the SQL oracle
+    replays verbatim (see ``_sql_pagerank_leg``). Shared by
+    q_distinct_counts' pagerank leg and the bench so the measured graph
+    and the oracle-checked graph cannot drift. Both join inputs are
+    schema-healed: the native hash join never sees a schema-less first
+    block (the round-3 failure class)."""
+    import math
+
+    from .functions._buckets import _cluster_cpus
+    from .functions._schema import stabilize_schema
+
+    def link_left(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"].to_numpy().astype(np.int64)
+        tgt = ((d % 1000000007) * 2654435761) % 1000000007 % n_docs
+        return pa.table({"src": batch["source"], "tgt": pa.array(tgt)})
+
+    def link_right(batch: pa.Table) -> pa.Table:
+        return pa.table({"tdoc": batch["doc_id"], "dst": batch["source"]})
+
+    lhs = stabilize_schema(
+        docs.map_batches(link_left, batch_format="pyarrow", batch_size=None),
+        pa.schema([("src", pa.string()), ("tgt", pa.int64())]),
+    )
+    rhs = stabilize_schema(
+        docs.map_batches(link_right, batch_format="pyarrow", batch_size=None),
+        pa.schema([("tdoc", pa.int64()), ("dst", pa.string())]),
+    )
+    if num_partitions is None:
+        num_partitions = max(
+            2, min(_cluster_cpus() // 2, math.ceil(n_docs / 250_000))
+        )
+    return lhs.join(
+        rhs,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("tgt",),
+        right_on=("tdoc",),
+    ).select_columns(["src", "dst"])
+
+
 def q_distinct_counts(sf_dir: str):
     """Exact distributed aggregates, three variants in one long-format
     entry (variant, dkey, n):
@@ -3020,37 +3063,9 @@ def q_distinct_counts(sf_dir: str):
     # its sampling-hash index, projected to sources) via a native
     # self-join, then the exact-integer power iteration.
     from .functions.cc import pagerank
-    from .functions._schema import stabilize_schema
-    from .functions._buckets import _cluster_cpus
-    import math
 
     docs = _docs(sf_dir, ["doc_id", "source"])
-    n_docs = docs.count()
-
-    def link_left(batch: pa.Table) -> pa.Table:
-        d = batch["doc_id"].to_numpy().astype(np.int64)
-        tgt = ((d % 1000000007) * 2654435761) % 1000000007 % n_docs
-        return pa.table({"src": batch["source"], "tgt": pa.array(tgt)})
-
-    def link_right(batch: pa.Table) -> pa.Table:
-        return pa.table({"tdoc": batch["doc_id"], "dst": batch["source"]})
-
-    lhs = stabilize_schema(
-        docs.map_batches(link_left, batch_format="pyarrow", batch_size=None),
-        pa.schema([("src", pa.string()), ("tgt", pa.int64())]),
-    )
-    rhs = stabilize_schema(
-        docs.map_batches(link_right, batch_format="pyarrow", batch_size=None),
-        pa.schema([("tdoc", pa.int64()), ("dst", pa.string())]),
-    )
-    parts = max(2, min(_cluster_cpus() // 2, math.ceil(n_docs / 250_000)))
-    edges = lhs.join(
-        rhs,
-        join_type="inner",
-        num_partitions=parts,
-        on=("tgt",),
-        right_on=("tdoc",),
-    ).select_columns(["src", "dst"])
+    edges = build_domain_link_graph(docs, docs.count())
     pr = pagerank(edges, num_iters=4)
     pr_rows = _rd().from_arrow(
         pa.table(

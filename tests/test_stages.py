@@ -1565,3 +1565,9 @@ def test_split_assign_custom_fractions_and_overflow_ids(ray_session):
             valid_pct=50,
             test_pct=50,
         ).take_all()
+    with pytest.raises(ValueError):
+        split_assign(
+            rd.from_arrow(pa.table({"doc_id": pa.array(big)})),
+            valid_pct=-5,
+            test_pct=5,
+        ).take_all()
