@@ -1567,10 +1567,12 @@ def decontaminate(
 def _get_broadcast(ref):
     """Per-process cache for ray.put broadcasts (fetch once per worker).
 
-    LRU-bounded: iterative operators (pagerank, classifier) put a fresh
+    FIFO-bounded: iterative operators (pagerank, classifier) put a fresh
     node-sized array per pass, and an unbounded cache would retain every
-    pass's array in every worker for the process lifetime. Eviction is
-    safe — a miss just re-fetches from the object store."""
+    pass's array in every worker for the process lifetime. Hits stay a
+    single dict get (no recency bookkeeping on the per-batch hot path);
+    insertion-order eviction matches the sequential-refs access pattern,
+    and an evicted ref just re-fetches from the object store."""
     key = ref.hex() if hasattr(ref, "hex") else id(ref)
     hit = _BROADCAST_CACHE.get(key)
     if hit is None:
@@ -1580,10 +1582,6 @@ def _get_broadcast(ref):
         _BROADCAST_CACHE[key] = hit
         while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
             _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
-    else:
-        # refresh recency (dict preserves insertion order)
-        _BROADCAST_CACHE.pop(key)
-        _BROADCAST_CACHE[key] = hit
     return hit
 
 
