@@ -15,7 +15,12 @@ sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(_
 import __ray_entry__ as e
 
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+# every arg after the sf dir is a query name (comma- or space-separated)
+only = (
+    [q for a in sys.argv[2:] for q in a.split(",") if q]
+    if len(sys.argv) > 2
+    else None
+)
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -26,6 +31,10 @@ n = r.count() if hasattr(r, "count") else len(r)
 print(f"entry(): {type(r).__name__} rows={n}")
 
 qs, oq = e.queries(), e.oracle_sql()
+if only:
+    unknown = [q for q in only if q not in qs]
+    if unknown:
+        print(f"WARN unknown query name(s), skipped: {unknown}")
 fails = []
 for name, fn in qs.items():
     if only and name not in only:
