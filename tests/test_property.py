@@ -186,3 +186,46 @@ def test_chunk_documents_matches_naive_property(texts, chunk, overlap, ray_sessi
         for ix in range(n):
             assert got[(d, ix)] == t[ix * stride : ix * stride + chunk]
         assert (d, n) not in got
+
+
+# --- BPE merge kernel fuzz (functions/bpe.py) ------------------------------
+
+
+def _py_apply_merge(words, a, b, nid):
+    out_words = []
+    for s in words:
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                out.append(nid)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        out_words.append(tuple(out))
+    return out_words
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    words=st.lists(
+        st.lists(st.integers(0, 3), max_size=8).map(tuple), max_size=8
+    ),
+    a=st.integers(0, 3),
+    b=st.integers(0, 3),
+)
+def test_bpe_apply_merge_matches_greedy_reference(words, a, b):
+    """_apply_merge == the left-to-right greedy scan for ANY symbol
+    sequence, including same-symbol runs and cross-word boundaries."""
+    import numpy as np
+
+    from s2sphere_ray.functions.bpe import _apply_merge
+
+    flat = np.array([x for w in words for x in w], dtype=np.int64)
+    offsets = np.cumsum([0] + [len(w) for w in words]).astype(np.int64)
+    got_flat, got_off = _apply_merge(flat, offsets, a, b, 99)
+    exp = _py_apply_merge(words, a, b, 99)
+    exp_flat = [x for w in exp for x in w]
+    exp_off = list(np.cumsum([0] + [len(w) for w in exp]))
+    assert got_flat.tolist() == exp_flat
+    assert got_off.tolist() == exp_off
