@@ -229,3 +229,48 @@ def test_bpe_apply_merge_matches_greedy_reference(words, a, b):
     exp_off = list(np.cumsum([0] + [len(w) for w in exp]))
     assert got_flat.tolist() == exp_flat
     assert got_off.tolist() == exp_off
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 5)), max_size=24
+    ),
+)
+def test_pagerank_random_graphs_match_naive(ray_session, edges):
+    """Exact-int64 PageRank equals the per-edge Python reference on
+    arbitrary small multigraphs (self-loops, parallel edges, sinks)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import pagerank
+
+    if not edges:
+        return
+    names = [f"n{i}" for i in range(6)]
+    src = [names[a] for a, _ in edges]
+    dst = [names[b] for _, b in edges]
+
+    nodes = sorted(set(src) | set(dst))
+    pos = {v: i for i, v in enumerate(nodes)}
+    outdeg = np.zeros(len(nodes), np.int64)
+    for s in src:
+        outdeg[pos[s]] += 1
+    scale = 10**9
+    r = np.full(len(nodes), scale, np.int64)
+    for _ in range(4):
+        acc = np.zeros(len(nodes), np.int64)
+        per = r // np.maximum(outdeg, 1)
+        for a, b in zip(src, dst):
+            acc[pos[b]] += per[pos[a]]
+        r = 15 * scale // 100 + 85 * acc // 100
+    exp = dict(zip(nodes, r.tolist()))
+
+    out = pagerank(
+        rd.from_arrow(
+            pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+        ).repartition(3)
+    )
+    got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    assert got == exp
