@@ -109,11 +109,23 @@ def _word_bytes(words) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _list_i32(col) -> tuple[np.ndarray, np.ndarray]:
-    """list<int32> column → (flat int64 values, int64 offsets)."""
+    """(large_)list<int32> column → (flat int64 values, int64 offsets)."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
     offsets = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
     return flat, offsets - offsets[0]
+
+
+def _syms_array(offsets: np.ndarray, flat: np.ndarray) -> pa.LargeListArray:
+    """Token-id sequence column.  Always large_list<int32>: token
+    expansion makes output larger than input, so a single large block
+    can legally exceed int32 offsets even when its input fits them —
+    and choosing per batch would mix list/large_list block schemas
+    (round-4 review, the chunk_documents overflow class)."""
+    return pa.LargeListArray.from_arrays(
+        pa.array(offsets.astype(np.int64), pa.int64()),
+        pa.array(flat.astype(np.int32), pa.int32()),
+    )
 
 
 def _pair_counts(
@@ -231,7 +243,7 @@ def _gather_table(ds, cols) -> pa.Table:
     if not tables:
         types = {
             "word": pa.string(),
-            "syms": pa.list_(pa.int32()),
+            "syms": pa.large_list(pa.int32()),
         }
         return pa.table(
             {c: pa.array([], types.get(c, pa.int64())) for c in cols}
@@ -263,10 +275,7 @@ def _train_local(words, freq, num_merges: int):
             "word": words,
             "freq": pa.array(fr),
             "n_tokens": pa.array(np.diff(offsets).astype(np.int64)),
-            "syms": pa.ListArray.from_arrays(
-                pa.array(offsets.astype(np.int32)),
-                pa.array(flat.astype(np.int32)),
-            ),
+            "syms": _syms_array(offsets, flat),
         }
     )
     return merges, vocab
@@ -277,10 +286,7 @@ def _train_distributed(hist, num_merges: int):
 
     def to_syms(batch: pa.Table) -> pa.Table:
         flat, offsets = _word_bytes(batch["word"])
-        syms = pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32)),
-            pa.array(flat.astype(np.int32)),
-        )
+        syms = _syms_array(offsets, flat)
         return pa.table(
             {
                 "word": batch["word"],
@@ -354,10 +360,7 @@ def _train_distributed(hist, num_merges: int):
         def apply(batch: pa.Table, _a=a, _b=b, _nid=nid) -> pa.Table:
             flat, offsets = _list_i32(batch["syms"])
             flat, offsets = _apply_merge(flat, offsets, _a, _b, _nid)
-            syms = pa.ListArray.from_arrays(
-                pa.array(offsets.astype(np.int32)),
-                pa.array(flat.astype(np.int32)),
-            )
+            syms = _syms_array(offsets, flat)
             return pa.table(
                 {
                     "word": batch["word"],
@@ -545,10 +548,7 @@ def bpe_encode(
             {
                 id_col: batch[id_col],
                 "n_tokens": pa.array(per_doc),
-                "tokens": pa.ListArray.from_arrays(
-                    pa.array(doc_off.astype(np.int32)),
-                    pa.array(tok_flat.astype(np.int32)),
-                ),
+                "tokens": _syms_array(doc_off, tok_flat),
             }
         )
 

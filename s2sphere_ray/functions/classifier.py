@@ -62,10 +62,26 @@ def perceptron_milli(
 
     from .sim import _emb_matrix
 
-    def quantize(batch: pa.Table) -> pa.Table:
+    # Probe the embedding dimension ONCE (1-row limited read) so every
+    # quantize block — including empty ones at high partition counts —
+    # emits the same fixed_size_list[D] type; deriving D per batch gave
+    # empty blocks fixed_size_list[0], a block-schema mismatch
+    # (round-4 review).
+    probe0 = ds.take(1)
+    if not probe0:
+        return _rd_empty()
+    dim = len(probe0[0][col])
+
+    def quantize(batch: pa.Table, _dim=dim) -> pa.Table:
         mat = _emb_matrix(batch, col).astype(np.float64)
         milli = np.floor(mat * float(scale)).astype(np.int64)
-        dim = milli.shape[1] if milli.size else 0
+        if milli.size == 0:
+            milli = milli.reshape(0, _dim)
+        elif milli.shape[1] != _dim:
+            raise ValueError(
+                f"perceptron_milli: ragged embedding dim "
+                f"{milli.shape[1]} != {_dim}"
+            )
         labels = batch[label_col].to_numpy().astype(np.int64)
         y = np.where(labels == target_label, 1, -1).astype(np.int64)
         return pa.table(
@@ -74,7 +90,7 @@ def perceptron_milli(
                 "label": pa.array(labels),
                 "y": pa.array(y),
                 "m": pa.FixedSizeListArray.from_arrays(
-                    pa.array(milli.reshape(-1), pa.int64()), dim
+                    pa.array(milli.reshape(-1), pa.int64()), _dim
                 ),
             }
         )
@@ -87,10 +103,6 @@ def perceptron_milli(
         quantize, batch_format="pyarrow", batch_size=None
     ).materialize()
 
-    probe = q.take(1)  # 1-row driver fetch: dimension discovery only
-    if not probe:
-        return _rd_empty()
-    dim = len(probe[0]["m"])
     w = np.zeros(dim, dtype=np.int64)
 
     # True global max|m| (one row per block) so the int64 dot-product

@@ -551,7 +551,15 @@ def minhash_lsh_pairs(
 
     def shingle_candidates(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
-        wanted = np.isin(ids, ray.get(ids_ref))
+        # need_ids is sorted-unique: searchsorted membership is
+        # O(n log m) with no per-batch hash build (np.isin) and the
+        # broadcast deserializes once per worker process, not per batch.
+        need = _get_broadcast(ids_ref)
+        if len(need):
+            pos = np.searchsorted(need, ids).clip(0, len(need) - 1)
+            wanted = need[pos] == ids
+        else:
+            wanted = np.zeros(len(ids), dtype=bool)
         if not wanted.any():
             return pa.table(
                 {
@@ -1237,7 +1245,7 @@ def ngram_jaccard_pairs(
         docs_ref = _ray.put(uniq_docs)
 
         def pick_rows(batch: pa.Table) -> pa.Table:
-            uniq = _ray.get(docs_ref)
+            uniq = _get_broadcast(docs_ref)
             did = batch["did"].to_numpy()
             pos = np.searchsorted(uniq, did).clip(0, max(len(uniq) - 1, 0))
             valid = uniq[pos] == did
@@ -1296,7 +1304,7 @@ def ngram_jaccard_pairs(
             # (pair, gram) run of length 2 IS one intersection element);
             # any change to that assumption must land in BOTH kernels —
             # the 8-combo brute-force pin test enforces agreement.
-            docs, offs, grams_v = _ray.get(csr_ref)
+            docs, offs, grams_v = _get_broadcast(csr_ref)
             aa = batch["id_a"].to_numpy()
             bb = batch["id_b"].to_numpy()
             ia = np.searchsorted(docs, aa).clip(0, max(len(docs) - 1, 0))

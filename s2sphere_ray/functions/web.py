@@ -694,21 +694,14 @@ def chunk_documents(
             flat = np.zeros(0, dtype=np.uint8)
         # Overlap EXPANDS the data (×chunk_chars/stride), so total chunk
         # bytes can legally exceed int32 offsets even when the input
-        # batch fits them — emit large_string in that case instead of
-        # letting the int32 cast wrap to corrupt offsets (round-4
-        # review).
-        if total > np.iinfo(np.int32).max:
-            chunk_arr = pa.LargeStringArray.from_buffers(
-                len(clen),
-                pa.py_buffer(new_off64.astype(np.int64).tobytes()),
-                pa.py_buffer(flat.tobytes()),
-            )
-        else:
-            chunk_arr = pa.StringArray.from_buffers(
-                len(clen),
-                pa.py_buffer(new_off64.astype(np.int32).tobytes()),
-                pa.py_buffer(flat.tobytes()),
-            )
+        # batch fits them.  Always emit large_string — choosing per
+        # batch would mix string/large_string block schemas within one
+        # call and break downstream unification (round-4 review ×2).
+        chunk_arr = pa.LargeStringArray.from_buffers(
+            len(clen),
+            pa.py_buffer(new_off64.astype(np.int64).tobytes()),
+            pa.py_buffer(flat.tobytes()),
+        )
         ids = batch[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()

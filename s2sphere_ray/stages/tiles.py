@@ -105,14 +105,14 @@ def tile_counts(
         if not sum_cols:
             # Count-only merge on the DENSE level-L index (level-L ids are
             # odd multiples of lsb, so id >> (2(30-L)+1) is a bijection
-            # onto [0, 6·4^L)): one bincount replaces the multi-million-row
-            # argsort the coalesced single task otherwise pays (~0.4 s at
-            # the 4M-row bench). Counts are integers — bit-exact either way.
+            # onto [0, 6·4^L)): one scatter-add replaces the multi-million-
+            # row argsort the coalesced single task otherwise pays (~0.4 s
+            # at the 4M-row bench). Accumulate in int64, not bincount's
+            # float64 weights — per-tile counts above 2^53 would round
+            # (round-4 review).
             idx = (t.view(np.uint64) >> shift).astype(np.int64)
-            counts = np.bincount(
-                idx, weights=_np(batch["n_rows"]).astype(np.float64),
-                minlength=card,
-            )
+            counts = np.zeros(card, np.int64)
+            np.add.at(counts, idx, _np(batch["n_rows"]).astype(np.int64))
             nz = np.nonzero(counts)[0]
             ids = (
                 (2 * nz.astype(np.uint64) + np.uint64(1))
