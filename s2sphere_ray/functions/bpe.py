@@ -406,20 +406,24 @@ def bpe_token_counts(
     id_col: str = "doc_id",
     num_merges: int = 32,
     local_threshold: int = 2_000_000,
+    model: tuple | None = None,
 ):
-    """Train on ``ds``'s own histogram, then score every document:
-    (id, n_words, n_bpe_tokens).  The trained word → token-count map
-    broadcasts once via ``ray.put`` (vocab-sized — the
+    """Train on ``ds``'s own histogram (or score with a precomputed
+    ``model = (merges, vocab)`` from ``bpe_train``), then score every
+    document: (id, n_words, n_bpe_tokens).  The trained word →
+    token-count map broadcasts once via ``ray.put`` (vocab-sized — the
     unigram_code_lengths trade) and the lookup is one vectorized
     ``pc.index_in`` per batch."""
     import ray as _ray
 
     from .dedup import _get_broadcast
 
-    hist = word_histogram(ds, text_col)
-    _, vocab = bpe_train(
-        hist, num_merges=num_merges, local_threshold=local_threshold
-    )
+    if model is None:
+        hist = word_histogram(ds, text_col)
+        model = bpe_train(
+            hist, num_merges=num_merges, local_threshold=local_threshold
+        )
+    _, vocab = model
     vocab_ref = _ray.put(
         (
             vocab["word"].combine_chunks(),
@@ -472,6 +476,7 @@ def bpe_encode(
     id_col: str = "doc_id",
     num_merges: int = 32,
     local_threshold: int = 2_000_000,
+    model: tuple | None = None,
 ):
     """Tokenize the corpus with its own trained BPE model →
     (id, n_tokens, tokens:list<int32>) — the actual tokenize-and-pack
@@ -489,10 +494,12 @@ def bpe_encode(
 
     from .dedup import _get_broadcast
 
-    hist = word_histogram(ds, text_col)
-    _, vocab = bpe_train(
-        hist, num_merges=num_merges, local_threshold=local_threshold
-    )
+    if model is None:
+        hist = word_histogram(ds, text_col)
+        model = bpe_train(
+            hist, num_merges=num_merges, local_threshold=local_threshold
+        )
+    _, vocab = model
     vflat, voff = _list_i32(vocab["syms"])
     vocab_ref = _ray.put(
         (

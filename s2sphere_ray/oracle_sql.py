@@ -721,3 +721,97 @@ JOIN usize u ON u.la = p.la AND u.lb = p.lb
 LEFT JOIN kept dab ON dab.la = p.la AND dab.lb = p.lb AND dab.dirn = 'ab'
 LEFT JOIN kept dba ON dba.la = p.la AND dba.lb = p.lb AND dba.dirn = 'ba'
 """
+
+
+def bpe_leg_sql(num_merges: int = 8) -> str:
+    """Unrolled BPE merge-round CTEs replaying functions/bpe.py
+    bit-for-bit over the corpus word histogram (the classifier/pagerank
+    unrolled-iteration idiom):
+
+    - word histogram = single-space fields of ``documents.text``
+      (``string_split``, matching ``pc.split_pattern(text, ' ')``);
+    - initial symbols = UTF-8 BYTES of each word via the 256-row hex
+      LUT (``_word_bytes``, bpe.py:90-108 — byte-level, so multibyte
+      code points match numpy exactly);
+    - per round k: freq-weighted adjacent-pair counts over the live
+      symbol sequences (adjacency = next row in pos order —
+      ``_pair_counts``), argmax with the (count DESC, packed ASC)
+      tie-break (``_best_pair``), then greedy left-to-right
+      non-overlapping replacement with new id 255+k — runs of
+      consecutive matches keep every other one, the gaps-and-islands
+      window replay of ``_apply_merge``'s parity rule;
+    - outputs, long format (lang, n_docs): 'merge:kk' = packed (a<<32|b)
+      per learned merge, 'mcnt:kk' = its count, 'ntok:<doc_id>' = each
+      document's total BPE token count under the trained vocab
+      (``bpe_token_counts``), 'tsum:<doc_id>' = the sum of its token
+      IDS (pins ``bpe_encode``'s emitted id sequences, order-free).
+
+    Rounds where no adjacent pair remains emit no merge/mcnt row and
+    leave the state unchanged — the same early-stop the engine takes.
+    """
+    ctes = [
+        "bpehx AS MATERIALIZED (SELECT h2, sym FROM "
+        + _hex_byte_values()
+        + " t(h2, sym))",
+        "bpehist AS MATERIALIZED (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq"
+        " FROM (SELECT unnest(string_split(text, ' ')) AS w"
+        " FROM documents) GROUP BY w)",
+        "bpes0a AS MATERIALIZED (SELECT word, freq, hex(encode(word)) AS h,"
+        " unnest(range(octet_length(encode(word)))) AS pos FROM bpehist)",
+        "bpes0 AS MATERIALIZED (SELECT a.word, a.freq, a.pos,"
+        " CAST(m.sym AS BIGINT) AS sym FROM bpes0a a"
+        " JOIN bpehx m ON substr(a.h, CAST(2 * a.pos + 1 AS BIGINT), 2)"
+        " = m.h2)",
+    ]
+    for k in range(1, num_merges + 1):
+        p, nid = k - 1, 255 + k
+        ctes += [
+            f"bpea{k} AS MATERIALIZED (SELECT word, freq, pos, sym,"
+            " ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS i,"
+            " LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt"
+            f" FROM bpes{p})",
+            f"bpeb{k} AS MATERIALIZED (SELECT sym * 4294967296 + nxt AS packed,"
+            f" SUM(freq) AS cnt FROM bpea{k} WHERE nxt IS NOT NULL"
+            " GROUP BY 1)",
+            f"bpebest{k} AS MATERIALIZED (SELECT packed, CAST(cnt AS BIGINT) AS cnt"
+            f" FROM bpeb{k} ORDER BY cnt DESC, packed ASC LIMIT 1)",
+            f"bpem{k} AS MATERIALIZED (SELECT a.word, a.i FROM bpea{k} a, bpebest{k} t"
+            " WHERE a.sym = t.packed // 4294967296"
+            " AND a.nxt = t.packed % 4294967296)",
+            f"bpek{k} AS MATERIALIZED (SELECT word, i FROM (SELECT word, i,"
+            " ROW_NUMBER() OVER (PARTITION BY word, i - rn ORDER BY i)"
+            " AS rk FROM (SELECT word, i,"
+            " ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) AS rn"
+            f" FROM bpem{k})) WHERE rk % 2 = 1)",
+            f"bpes{k} AS MATERIALIZED (SELECT a.word, a.freq, a.i AS pos,"
+            f" CASE WHEN x.i IS NOT NULL THEN {nid} ELSE a.sym END AS sym"
+            f" FROM bpea{k} a"
+            f" LEFT JOIN bpek{k} x ON x.word = a.word AND x.i = a.i"
+            f" LEFT JOIN bpek{k} y ON y.word = a.word AND y.i = a.i - 1"
+            " WHERE y.i IS NULL)",
+        ]
+    last = f"bpes{num_merges}"
+    ctes += [
+        f"bpevocab AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS nt,"
+        f" CAST(SUM(sym) AS BIGINT) AS ts FROM {last} GROUP BY word)",
+        "bpedt AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS w"
+        " FROM documents)",
+        "bpedoc AS MATERIALIZED (SELECT d.doc_id,"
+        " CAST(COALESCE(SUM(v.nt), 0) AS BIGINT) AS nt,"
+        " CAST(COALESCE(SUM(v.ts), 0) AS BIGINT) AS ts FROM bpedt d"
+        " LEFT JOIN bpevocab v ON v.word = d.w GROUP BY d.doc_id)",
+    ]
+    legs = []
+    for k in range(1, num_merges + 1):
+        legs.append(
+            f"SELECT 'merge:{k - 1:02d}' AS lang, packed AS n_docs"
+            f" FROM bpebest{k}"
+        )
+        legs.append(f"SELECT 'mcnt:{k - 1:02d}', cnt FROM bpebest{k}")
+    legs.append(
+        "SELECT 'ntok:' || CAST(doc_id AS VARCHAR), nt FROM bpedoc"
+    )
+    legs.append(
+        "SELECT 'tsum:' || CAST(doc_id AS VARCHAR), ts FROM bpedoc"
+    )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(legs)

@@ -684,14 +684,23 @@ SQL_TEXT_STATS = (
 
 
 def q_corpus_histograms(sf_dir: str):
-    """Corpus histograms from THREE sources in one long-format entry
+    """Corpus histograms from FOUR sources in one long-format entry
     (variant, lang, n_docs): the declared ``lang`` column, the
-    marker-heuristic language-ID actor pool (E22), and the URL-host
+    marker-heuristic language-ID actor pool (E22), the URL-host
     histogram (variant 'domain' — one RE2 extract_regex pass in Arrow
     C++ over the derived pages URLs, key reuses the ``lang`` column
-    name).  Consolidates the former q_lang_counts / q_langid_counts /
-    q_domain_counts registry rows; every leg pre-aggregates per block
-    before its tiny groupby."""
+    name), and the BPE tokenizer suite (variant 'bpe', E30): 8 merge
+    rounds trained on the corpus's own word histogram
+    (``functions/bpe.bpe_train``), emitting per round the learned
+    packed pair (``merge:kk``) and its freq-weighted count
+    (``mcnt:kk``), plus per document its trained BPE token count
+    (``ntok:<doc_id>`` — ``bpe_token_counts``) and the sum of its
+    emitted token IDS (``tsum:<doc_id>`` — an order-free pin of
+    ``bpe_encode``'s actual id sequences).  The oracle replays the
+    merge loop bit-for-bit with unrolled CTEs
+    (``oracle_sql.bpe_leg_sql``).  Consolidates the former
+    q_lang_counts / q_langid_counts / q_domain_counts registry rows;
+    every leg pre-aggregates per block before its tiny groupby."""
     from ray.data.aggregate import Sum
 
     from .functions.text import LangIdStage
@@ -748,10 +757,85 @@ def q_corpus_histograms(sf_dir: str):
         .aggregate(Sum("n_docs", alias_name="n_docs"))
     )
 
+    # -- variant 'bpe' (E30).  Train ONCE (the model tuple threads into
+    # both scoring passes); the merge table itself is driver-side tiny
+    # (8 rows), the two corpus passes are map-only broadcast scorers.
+    from .functions.bpe import (
+        bpe_encode,
+        bpe_token_counts,
+        bpe_train,
+        word_histogram,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    model = bpe_train(word_histogram(docs, "text"), num_merges=8)
+    merges, _ = model
+    mlang: list[str] = []
+    mval: list[int] = []
+    for k, (a, b, _nid, cnt) in enumerate(merges):
+        mlang += [f"merge:{k:02d}", f"mcnt:{k:02d}"]
+        mval += [(a << 32) | b, cnt]
+    merge_ds = _rd().from_arrow(
+        pa.table(
+            {
+                "lang": pa.array(mlang, pa.string()),
+                "n_docs": pa.array(mval, pa.int64()),
+            }
+        )
+    )
+
+    def ntok_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "lang": pc.binary_join_element_wise(
+                    "ntok:", ids.cast(pa.string()), ""
+                ),
+                "n_docs": batch["n_bpe_tokens"],
+            }
+        )
+
+    ntok = bpe_token_counts(docs, model=model).map_batches(
+        ntok_rows, batch_format="pyarrow", batch_size=None
+    )
+
+    def tsum_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks = batch["tokens"]
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = (
+            pc.list_value_length(toks)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cs = np.concatenate(([np.int64(0)], np.cumsum(flat)))
+        off = np.concatenate(([np.int64(0)], np.cumsum(lens)))
+        sums = cs[off[1:]] - cs[off[:-1]]
+        return pa.table(
+            {
+                "lang": pc.binary_join_element_wise(
+                    "tsum:", ids.cast(pa.string()), ""
+                ),
+                "n_docs": pa.array(sums),
+            }
+        )
+
+    tsum = bpe_encode(docs, model=model).map_batches(
+        tsum_rows, batch_format="pyarrow", batch_size=None
+    )
+    bpe = merge_ds.union(ntok).union(tsum)
+
     return (
         _tag_ds(declared, "variant", "declared")
         .union(_tag_ds(guessed, "variant", "guessed"))
         .union(_tag_ds(domains, "variant", "domain"))
+        .union(_tag_ds(bpe, "variant", "bpe"))
     )
 
 
@@ -3822,11 +3906,18 @@ _SQL_LANG_GUESSED = (
         " SELECT lang_guess, COUNT(*) AS n_docs FROM final GROUP BY lang_guess"
 )
 
+def _sql_bpe_leg() -> str:
+    from .oracle_sql import bpe_leg_sql
+
+    return bpe_leg_sql(num_merges=8)
+
+
 SQL_CORPUS_HISTOGRAMS = (
     f"SELECT lang, n_docs, 'declared' AS variant FROM ({_SQL_LANG_DECLARED})"
     " UNION ALL SELECT lang_guess, n_docs, 'guessed'"
     f" FROM ({_SQL_LANG_GUESSED})"
     f" UNION ALL SELECT lang, n_docs, 'domain' FROM ({SQL_DOMAIN_COUNTS})"
+    f" UNION ALL SELECT lang, n_docs, 'bpe' FROM ({_sql_bpe_leg()})"
 )
 ORACLE_SQL["q_corpus_histograms"] = SQL_CORPUS_HISTOGRAMS
 
