@@ -330,6 +330,52 @@ def connected_components(
 
 PAGERANK_SCALE = 10**9
 
+# Above this many distinct nodes the rank/outdeg state no longer
+# broadcasts (and the driver must not gather it): pagerank() switches to
+# the hash-sharded exchange path.  ~4M nodes ≈ 100 MB of (string, int64,
+# int64) state — comfortably under a worker heap, well past the domain
+# graphs this engine scores.
+PAGERANK_NODE_BUDGET = 4_000_000
+
+# Wire schema shared by the sharded path's two per-iteration exchanges:
+# kind 0 rows are adjacency (node=src, other=dst, v1=multiplicity) or
+# dst-partials (node=dst, v1=partial sum); kind 1 rows are node state
+# (node, v1=rank, v2=outdeg).  One schema so the co-partitioning
+# union(adj, state).groupby("_sh") stays schema-stable.
+_PR_WIRE = pa.schema(
+    [
+        ("_sh", pa.int32()),
+        ("kind", pa.int8()),
+        ("node", pa.string()),
+        ("other", pa.string()),
+        ("v1", pa.int64()),
+        ("v2", pa.int64()),
+    ]
+)
+
+_PR_DEG_SCHEMA = pa.schema([("node", pa.string()), ("d", pa.int64())])
+_PR_CS_SCHEMA = pa.schema([("c", pa.int64()), ("s", pa.int64())])
+
+
+def _flat_arr(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def _concat_blocks(ds, schema: pa.Schema) -> pa.Table:
+    """Gather a COMPACT Dataset to one Arrow table (column-typed block
+    concat — never per-row python).  Schema-less 0-row shuffle blocks
+    are dropped; a fully empty input yields ``schema``'s empty table."""
+    import ray as _ray
+
+    tabs = [
+        t.select(schema.names)
+        for t in _ray.get(ds.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tabs:
+        return schema.empty_table()
+    return pa.concat_tables(tabs).combine_chunks()
+
 
 def pagerank(
     edges,
@@ -340,6 +386,7 @@ def pagerank(
     scale: int = PAGERANK_SCALE,
     damping_num: int = 85,
     damping_den: int = 100,
+    node_budget: int | None = None,
 ):
     """Exact-integer PageRank over a directed edge Dataset → pa.Table
     (node:string, rank:int64) — the link-graph authority signal of a
@@ -357,68 +404,69 @@ def pagerank(
     dropped, the standard "remove dangling" variant; total mass is NOT
     conserved and ranks are comparable within a run.
 
-    Scale shape (the classifier/unigram trade):
+    Scale shape (the classifier/unigram trade), gated on the distinct
+    node count vs ``node_budget`` (default :data:`PAGERANK_NODE_BUDGET`):
 
-    - setup: ONE node-keyed exchange over per-block distinct
-      (node, outdeg-partial) rows → node-sized (node, outdeg) gather;
-      then the string edges are recoded ONCE into the weighted
-      adjacency list — distinct packed (src_code, dst_code) pairs with
-      int64 multiplicities (per-block ``np.unique`` partials + one
-      pair-keyed exchange) — and the string edge set is never touched
-      again;
-    - per iteration: rank//outdeg broadcast via ``ray.put``
-      (node-sized), a map-only pass over the COMPACT adjacency (two
-      int64 columns, no string lookups) with exact segment-sum
-      pre-aggregation by dst code, then one ≤ distinct-dst-per-block
-      exchange and a node-sized gather;
-    - driver state is O(nodes) (shard the node table by hash range past
-      broadcast size, as for unigram vocab).
+    - setup (both paths): ONE node-keyed exchange over per-block
+      distinct (node, outdeg-partial) rows → the distributed
+      (node, outdeg) Dataset;
+    - **broadcast path** (nodes ≤ budget): the node table gathers ONCE
+      as Arrow blocks (column concat, no row loops) and the string
+      edges recode ONCE into the weighted adjacency list — distinct
+      packed (src_code, dst_code) pairs with int64 multiplicities.
+      Per iteration: rank//outdeg broadcast via ``ray.put``
+      (node-sized), a map-only pass over the COMPACT adjacency with
+      exact segment-sum pre-aggregation by dst code, then one
+      ≤ distinct-dst-per-block exchange and a node-sized Arrow gather;
+    - **sharded path** (nodes > budget — :func:`_pagerank_sharded`):
+      rank state NEVER touches the driver.  Nodes and edges co-shard
+      by a polynomial node hash; each iteration is two hash-bucketed
+      ``union(...).groupby("_sh").map_groups`` exchanges — (1) each
+      src shard joins its state to its adjacency and emits
+      per-dst-pre-aggregated partials, (2) each dst shard folds the
+      partials into its node state.  Per-shard memory is
+      O(nodes/shards + edges/shards); the only driver-side object is
+      the final (node, rank) result table.
 
     The int64 bound ``damping_num · nodes · scale < 2^62`` (any dst's
     contribution sum is at most the total mass; per-pair
     ``multiplicity · rank//deg ≤ rank`` is bounded by the same mass)
     is asserted up front, along with the 2^31 node-code pack domain.
+    Both paths compute the identical integer recurrence, so results are
+    bit-for-bit equal (pinned by tests/test_cc.py's forced-shard test).
     """
-    import ray as _ray
     from ray.data.aggregate import Sum
 
-    from .dedup import _get_broadcast
-
+    if node_budget is None:
+        node_budget = PAGERANK_NODE_BUDGET
     edges = edges.materialize()
-
-    def _flat(a):
-        return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         svc = pc.value_counts(batch[src])
-        dd = _flat(pc.unique(batch[dst]))
+        dd = _flat_arr(pc.unique(batch[dst]))
         return pa.table(
             {
                 "node": pa.concat_arrays(
-                    [_flat(svc.field("values")), dd]
+                    [_flat_arr(svc.field("values")), dd]
                 ),
                 "d": pa.concat_arrays(
                     [
-                        _flat(pc.cast(svc.field("counts"), pa.int64())),
+                        _flat_arr(pc.cast(svc.field("counts"), pa.int64())),
                         pa.array(np.zeros(len(dd), np.int64)),
                     ]
                 ),
             }
         )
 
-    deg_rows = (
+    deg = (
         edges.map_batches(
             deg_partial, batch_format="pyarrow", batch_size=None
         )
         .groupby("node")
         .aggregate(Sum("d", alias_name="d"))
-        .take_all()
+        .materialize()
     )
-    # sorted node table: positions are the codes used on the wire
-    deg_rows.sort(key=lambda r: r["node"])
-    nodes = pa.array([r["node"] for r in deg_rows], pa.string())
-    outdeg = np.array([int(r["d"]) for r in deg_rows], dtype=np.int64)
-    n_nodes = len(nodes)
+    n_nodes = deg.count()
     if n_nodes == 0:
         return pa.table(
             {"node": pa.array([], pa.string()),
@@ -431,6 +479,19 @@ def pagerank(
             "`scale`"
         )
     base = (damping_den - damping_num) * scale // damping_den
+    if n_nodes > node_budget:
+        return _pagerank_sharded(
+            edges, deg, src, dst, num_iters, scale,
+            damping_num, damping_den, base,
+        )
+
+    tbl = _concat_blocks(deg, _PR_DEG_SCHEMA).sort_by("node")
+    nodes = _flat_arr(tbl["node"])
+    outdeg = tbl["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    import ray as _ray
+
+    from .dedup import _get_broadcast
+
     rank = np.full(n_nodes, scale, dtype=np.int64)
     safe_deg = np.maximum(outdeg, 1)  # sinks never appear as src
 
@@ -492,18 +553,202 @@ def pagerank(
                 {"c": pa.array(dcs[starts]), "s": pa.array(sums)}
             )
 
-        got = (
+        got = _concat_blocks(
             adj.map_batches(
                 contrib, batch_format="pyarrow", batch_size=None
             )
             .groupby("c")
-            .aggregate(Sum("s", alias_name="s"))
-            .take_all()
+            .aggregate(Sum("s", alias_name="s")),
+            _PR_CS_SCHEMA,
         )
         sums = np.zeros(n_nodes, dtype=np.int64)
-        for r in got:
-            if r.get("c") is not None:
-                sums[int(r["c"])] = int(r["s"])
+        sums[got["c"].to_numpy(zero_copy_only=False).astype(np.int64)] = (
+            got["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
         rank = base + damping_num * sums // damping_den
 
     return pa.table({"node": nodes, "rank": pa.array(rank)})
+
+
+def _pagerank_sharded(
+    edges,
+    deg,
+    src: str,
+    dst: str,
+    num_iters: int,
+    scale: int,
+    damping_num: int,
+    damping_den: int,
+    base: int,
+):
+    """PageRank with hash-sharded node state — the past-broadcast-budget
+    path.  The (node, rank, outdeg) state lives in a Dataset sharded by
+    a polynomial node hash; the adjacency co-shards by src ONCE.  Each
+    iteration: (1) ``union(adj, state).groupby(shard)`` so every src
+    shard scores its own out-edges with its own rank state and emits
+    per-dst pre-aggregated int64 partials, (2)
+    ``union(partials, state).groupby(shard)`` so every dst shard folds
+    its incoming partials into new ranks.  No driver-side node table at
+    any point; all arithmetic is the same exact-int64 recurrence as the
+    broadcast path, so results are bit-for-bit identical."""
+    from ._buckets import derive_buckets, hash_buckets
+    from ._schema import stabilize_schema
+    from .dedup import poly_hash_strings
+
+    n_shards = derive_buckets(deg.count())
+
+    def shard_of(col) -> pa.Array:
+        return pa.array(hash_buckets(poly_hash_strings(col), n_shards))
+
+    def adj_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or src not in batch.column_names:
+            return _PR_WIRE.empty_table()
+        sa = _flat_arr(batch[src]).to_numpy(zero_copy_only=False)
+        da = _flat_arr(batch[dst]).to_numpy(zero_copy_only=False)
+        # per-block multiplicity compression (the block-local analogue
+        # of the broadcast path's packed-pair exchange)
+        order = np.lexsort((da, sa))
+        sa, da = sa[order], da[order]
+        new = np.r_[True, (sa[1:] != sa[:-1]) | (da[1:] != da[:-1])]
+        starts = np.flatnonzero(new)
+        m = np.diff(np.r_[starts, len(sa)]).astype(np.int64)
+        su = pa.array(sa[starts], pa.string())
+        n = len(starts)
+        return pa.Table.from_arrays(
+            [
+                shard_of(su),
+                pa.array(np.zeros(n, np.int8)),
+                su,
+                pa.array(da[starts], pa.string()),
+                pa.array(m),
+                pa.array(np.zeros(n, np.int64)),
+            ],
+            schema=_PR_WIRE,
+        )
+
+    adj = stabilize_schema(
+        edges.map_batches(adj_rows, batch_format="pyarrow", batch_size=None),
+        _PR_WIRE,
+    )
+
+    def state_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return _PR_WIRE.empty_table()
+        nd = _flat_arr(batch["node"])
+        n = len(nd)
+        return pa.Table.from_arrays(
+            [
+                shard_of(nd),
+                pa.array(np.ones(n, np.int8)),
+                nd,
+                pa.nulls(n, pa.string()),
+                pa.array(np.full(n, scale, np.int64)),
+                pc.cast(_flat_arr(batch["d"]), pa.int64()),
+            ],
+            schema=_PR_WIRE,
+        )
+
+    state = stabilize_schema(
+        deg.map_batches(state_rows, batch_format="pyarrow", batch_size=None),
+        _PR_WIRE,
+    )
+
+    def contrib_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "kind" not in group.column_names:
+            return _PR_WIRE.empty_table()
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        am = kind == 0
+        if not am.any():
+            return _PR_WIRE.empty_table()  # shard has no out-edges
+        node = _flat_arr(group["node"])
+        v1 = group["v1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v2 = group["v2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sm = ~am
+        snodes = node.filter(pa.array(sm))
+        per_src = v1[sm] // np.maximum(v2[sm], 1)
+        pos = (
+            pc.index_in(node.filter(pa.array(am)), value_set=snodes)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        # m·(rank//deg) ≤ rank ≤ total mass — exact int64 per the
+        # asserted bound (same invariant as the broadcast path)
+        w = v1[am] * per_src[pos]
+        dn = (
+            _flat_arr(group["other"])
+            .filter(pa.array(am))
+            .to_numpy(zero_copy_only=False)
+        )
+        order = np.argsort(dn, kind="stable")
+        dns = dn[order]
+        starts = np.flatnonzero(np.r_[True, dns[1:] != dns[:-1]])
+        sums = np.add.reduceat(w[order], starts).astype(np.int64)
+        du = pa.array(dns[starts], pa.string())
+        n = len(starts)
+        return pa.Table.from_arrays(
+            [
+                shard_of(du),
+                pa.array(np.zeros(n, np.int8)),
+                du,
+                pa.nulls(n, pa.string()),
+                pa.array(sums),
+                pa.array(np.zeros(n, np.int64)),
+            ],
+            schema=_PR_WIRE,
+        )
+
+    def update_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "kind" not in group.column_names:
+            return _PR_WIRE.empty_table()
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        sm = kind == 1
+        if not sm.any():
+            return _PR_WIRE.empty_table()  # partials always have state
+        node = _flat_arr(group["node"])
+        v1 = group["v1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snodes = node.filter(pa.array(sm))
+        n = len(snodes)
+        sums = np.zeros(n, np.int64)
+        pm = ~sm
+        if pm.any():
+            pos = (
+                pc.index_in(node.filter(pa.array(pm)), value_set=snodes)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            np.add.at(sums, pos, v1[pm])
+        new_rank = base + damping_num * sums // damping_den
+        return pa.Table.from_arrays(
+            [
+                shard_of(snodes),
+                pa.array(np.ones(n, np.int8)),
+                snodes,
+                pa.nulls(n, pa.string()),
+                pa.array(new_rank),
+                pa.array(
+                    group["v2"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[sm]
+                ),
+            ],
+            schema=_PR_WIRE,
+        )
+
+    for _ in range(num_iters):
+        contrib = stabilize_schema(
+            adj.union(state)
+            .groupby("_sh")
+            .map_groups(contrib_group, batch_format="pyarrow"),
+            _PR_WIRE,
+        )
+        state = stabilize_schema(
+            contrib.union(state)
+            .groupby("_sh")
+            .map_groups(update_group, batch_format="pyarrow"),
+            _PR_WIRE,
+        )
+
+    out = _concat_blocks(state, _PR_WIRE)
+    return pa.table(
+        {"node": out["node"], "rank": out["v1"]}
+    ).sort_by("node")

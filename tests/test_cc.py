@@ -233,3 +233,44 @@ def test_pagerank_high_partition_counts(ray_session):
     out = pagerank(rd.from_arrow(tbl).repartition(32))
     got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
     assert got == exp
+
+
+def test_pagerank_sharded_matches_broadcast_bitforbit(ray_session):
+    """Forcing the past-budget hash-sharded path (node_budget=1) must
+    reproduce the broadcast path bit-for-bit on a random multigraph —
+    same nodes, same exact-int64 ranks, at several edge layouts."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import pagerank
+
+    rng = np.random.default_rng(23)
+    doms = [f"d{i}" for i in range(40)]
+    si = rng.integers(0, 40, 1500)
+    di = rng.integers(0, 40, 1500)
+    src = [doms[i] for i in si]
+    dst = [doms[i] for i in di]
+    exp = _naive_pagerank(src, dst)
+    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    for parts in (1, 13):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        broad = pagerank(ds)
+        shard = pagerank(ds, node_budget=1)
+        assert broad.equals(shard), f"parts={parts}"
+        got = dict(zip(shard["node"].to_pylist(), shard["rank"].to_pylist()))
+        assert got == exp, f"parts={parts}"
+
+
+def test_pagerank_sharded_sink_dangling_and_empty(ray_session):
+    """Sharded-path edge regimes: dangling sinks, source-only nodes,
+    and shards that receive state but no adjacency (or vice versa)."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.cc import pagerank
+
+    src = ["a", "b", "a", "x"]
+    dst = ["sink", "sink", "b", "y"]
+    exp = _naive_pagerank(src, dst)
+    tbl = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    out = pagerank(rd.from_arrow(tbl).repartition(32), node_budget=1)
+    got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
+    assert got == exp
