@@ -54,3 +54,21 @@ def stabilize_schema(ds, schema: pa.Schema, *, target_rows: int = 250_000):
 
 
 PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+
+def concat_blocks(ds, schema: pa.Schema) -> pa.Table:
+    """Gather a COMPACT Dataset to one Arrow table — typed column-block
+    concat, never per-row python (``take_all()``'s row dicts were the
+    round-4 review's driver-gather anti-pattern).  Schema-less 0-row
+    shuffle blocks are dropped; a fully empty input yields ``schema``'s
+    empty table."""
+    import ray as _ray
+
+    tabs = [
+        t.select(schema.names)
+        for t in _ray.get(ds.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not tabs:
+        return schema.empty_table()
+    return pa.concat_tables(tabs).combine_chunks()

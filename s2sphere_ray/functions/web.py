@@ -204,7 +204,7 @@ def _floor_log2(ratio: np.ndarray) -> np.ndarray:
     return code_len
 
 
-def unigram_code_lengths(ds, text_col: str = "text"):
+def unigram_code_lengths(ds, text_col: str = "text", model_ds=None):
     """Corpus-derived unigram "language model" for quality scoring:
     returns ``(vocab_hashes_sorted, code_len, total_tokens)`` where
     ``code_len[i] = floor(log2(total_tokens / freq_i))`` — the integer
@@ -215,11 +215,38 @@ def unigram_code_lengths(ds, text_col: str = "text"):
 
     One counting pass (per-block token-hash value counts) + a tiny
     groupby-sum; the merged vocabulary is gathered driver-side for
-    broadcast.  At crawl scale a natural-language vocabulary is
+    broadcast AS ARROW BLOCKS (column concat — never ``take_all()``
+    row dicts).  At crawl scale a natural-language vocabulary is
     O(100M) entries (~1.6 GB as two int64 arrays) — large but broadcast-
-    viable via ray.put; beyond that, shard the vocab by hash range and
-    run one scoring pass per shard.
+    viable via ray.put; beyond that, the budget-gated sharded scorer
+    (:func:`unigram_bits_sharded`) keeps the vocab distributed and
+    never gathers it.
     """
+    from ._schema import concat_blocks
+
+    if model_ds is None:
+        model_ds = unigram_model_ds(ds, text_col)
+    tbl = concat_blocks(model_ds, _UNI_MODEL_SCHEMA)
+    vocab = tbl["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    freq = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vocab)
+    vocab, freq = vocab[order], freq[order]
+    total = int(freq.sum())
+    ratio = total // freq  # >= 1
+    return vocab, _floor_log2(ratio), total
+
+
+_UNI_MODEL_SCHEMA = pa.schema([("h", pa.int64()), ("n", pa.int64())])
+_BG_MODEL_SCHEMA = pa.schema(
+    [("bg", pa.int64()), ("ctx", pa.int64()), ("n", pa.int64())]
+)
+
+
+def unigram_model_ds(ds, text_col: str = "text"):
+    """Distributed unigram model: materialized Dataset (h, n) of token
+    hash → corpus frequency — per-block value-count partials + ONE
+    hash-keyed groupby-sum.  Shared by the broadcast gather
+    (:func:`unigram_code_lengths`) and the sharded scorer."""
     from ray.data.aggregate import Sum
 
     from .dedup import _token_hash_batch
@@ -234,19 +261,12 @@ def unigram_code_lengths(ds, text_col: str = "text"):
             }
         )
 
-    rows = (
+    return (
         ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
         .groupby("h")
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
+        .materialize()
     )
-    vocab = np.array([r["h"] for r in rows], dtype=np.int64)
-    freq = np.array([r["n"] for r in rows], dtype=np.int64)
-    order = np.argsort(vocab)
-    vocab, freq = vocab[order], freq[order]
-    total = int(freq.sum())
-    ratio = total // freq  # >= 1
-    return vocab, _floor_log2(ratio), total
 
 
 def surprisal_batch(
@@ -308,7 +328,7 @@ def _bigram_hashes_batch(
     return ctx, bg, doc_of[:-1][valid]
 
 
-def bigram_code_lengths(ds, text_col: str = "text"):
+def bigram_code_lengths(ds, text_col: str = "text", model_ds=None):
     """Corpus bigram "language model" for perplexity-style quality
     scoring (the CCNet/KenLM filter idea one order up from
     :func:`unigram_code_lengths`): for each adjacent token pair (c, w)
@@ -323,10 +343,36 @@ def bigram_code_lengths(ds, text_col: str = "text"):
     ``groupby(bg).sum`` exchange, then context totals are a numpy
     re-aggregation over the merged rows driver-side — no second
     exchange.  Returns ``(bigram_hashes_sorted, code_len)`` ready for
-    broadcast.  At crawl scale the bigram vocabulary is ~10× the
-    unigram one; the same mitigation applies (shard by hash range and
-    score in R passes), and the counting exchange stays tiny because
-    per-block pre-aggregation already collapsed repeats."""
+    broadcast; the gather is Arrow block concat, never ``take_all()``
+    row dicts.  At crawl scale the bigram vocabulary is ~10× the
+    unigram one — past the broadcast budget use
+    :func:`bigram_bits_sharded`, which keeps the model distributed."""
+    from ._schema import concat_blocks
+
+    if model_ds is None:
+        model_ds = bigram_model_ds(ds, text_col)
+    tbl = concat_blocks(model_ds, _BG_MODEL_SCHEMA)
+    bg = tbl["bg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ctx = tbl["ctx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    f = tbl["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(bg)
+    bg, ctx, f = bg[order], ctx[order], f[order]
+    # Context totals: numpy re-aggregation over the merged vocabulary —
+    # count(c,·) = Σ over bigrams sharing the context.
+    cu, cinv = np.unique(ctx, return_inverse=True)
+    cf = np.zeros(len(cu), dtype=np.int64)
+    np.add.at(cf, cinv, f)
+    ratio = cf[cinv] // f  # >= 1 by construction
+    return bg, _floor_log2(ratio)
+
+
+def bigram_model_ds(ds, text_col: str = "text"):
+    """Distributed bigram model: materialized Dataset (bg, ctx, n).
+    Grouped by the PAIR: ctx is functionally determined by bg (one
+    bigram key = one (c, w) pair up to 64-bit collision — the same
+    documented trade as every hash-keyed operator here), so grouping
+    by (bg, ctx) is the same partition as bg alone but carries the
+    context through the exchange for free."""
     from ray.data.aggregate import Sum
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -340,29 +386,12 @@ def bigram_code_lengths(ds, text_col: str = "text"):
             }
         )
 
-    # Group by the PAIR: ctx is functionally determined by bg (one
-    # bigram key = one (c, w) pair up to 64-bit collision — the same
-    # documented trade as every hash-keyed operator here), so grouping
-    # by (bg, ctx) is the same partition as bg alone but carries the
-    # context through the exchange for free.
-    rows = (
+    return (
         ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
         .groupby(["bg", "ctx"])
         .aggregate(Sum("n", alias_name="n"))
-        .take_all()
+        .materialize()
     )
-    bg = np.array([r["bg"] for r in rows], dtype=np.int64)
-    ctx = np.array([r["ctx"] for r in rows], dtype=np.int64)
-    f = np.array([r["n"] for r in rows], dtype=np.int64)
-    order = np.argsort(bg)
-    bg, ctx, f = bg[order], ctx[order], f[order]
-    # Context totals: numpy re-aggregation over the merged vocabulary —
-    # count(c,·) = Σ over bigrams sharing the context.
-    cu, cinv = np.unique(ctx, return_inverse=True)
-    cf = np.zeros(len(cu), dtype=np.int64)
-    np.add.at(cf, cinv, f)
-    ratio = cf[cinv] // f  # >= 1 by construction
-    return bg, _floor_log2(ratio)
 
 
 def bigram_surprisal_batch(
@@ -388,6 +417,377 @@ def bigram_surprisal_batch(
     out = np.zeros(len(texts), dtype=np.int64)
     np.add.at(out, doc_of, bits_per)
     return pa.array(n_bg, pa.int64()), pa.array(out, pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# Past-broadcast-budget surprisal scoring: the model stays DISTRIBUTED.
+# ---------------------------------------------------------------------------
+
+# Above this many model rows the (hashes, code_len) arrays stop
+# broadcasting via ray.put and scoring switches to the hash-sharded
+# exchange below.  8M rows ≈ 128 MB as two int64 arrays — the same
+# budget class as dedup's verify_broadcast_rows.
+VOCAB_BROADCAST_BUDGET = 8_000_000
+
+# Wire schema of the sharded scoring exchange: kind 0 rows are corpus
+# key occurrences (k=token/bigram hash, did=doc id, v=multiplicity),
+# kind 1 rows are model entries (k=hash, v=integer code length).
+_SC_WIRE = pa.schema(
+    [
+        ("_sh", pa.int32()),
+        ("kind", pa.int8()),
+        ("k", pa.int64()),
+        ("did", pa.int64()),
+        ("v", pa.int64()),
+    ]
+)
+
+_BITS_PARTIAL_SCHEMA = pa.schema([("did", pa.int64()), ("v", pa.int64())])
+
+
+def _score_bits_sharded(ds, id_col, keyer, model_wire, n_shards, out_col):
+    """Shared engine of the sharded scorers: co-partition corpus key
+    occurrences with the distributed model by key hash, score inside
+    each shard with vectorized searchsorted, pre-aggregate bits per doc,
+    then ONE doc-keyed groupby-sum.  Per-shard memory is
+    O(model/shards + distinct-keys-per-shard); nothing model- or
+    corpus-sized ever reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    from ._buckets import hash_buckets
+    from ._schema import stabilize_schema
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return _SC_WIRE.empty_table()
+        keys, doc_of = keyer(batch)
+        if not len(keys):
+            return _SC_WIRE.empty_table()
+        did = (
+            batch[id_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[doc_of]
+        )
+        k = keys.view(np.int64)
+        order = np.lexsort((did, k))
+        k, did = k[order], did[order]
+        new = np.r_[True, (k[1:] != k[:-1]) | (did[1:] != did[:-1])]
+        starts = np.flatnonzero(new)
+        m = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        ku = k[starts]
+        return pa.Table.from_arrays(
+            [
+                pa.array(hash_buckets(ku, n_shards)),
+                pa.array(np.zeros(len(ku), np.int8)),
+                pa.array(ku),
+                pa.array(did[starts]),
+                pa.array(m),
+            ],
+            schema=_SC_WIRE,
+        )
+
+    occ = stabilize_schema(
+        ds.map_batches(occ_rows, batch_format="pyarrow", batch_size=None),
+        _SC_WIRE,
+    )
+
+    def score_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "kind" not in group.column_names:
+            return _BITS_PARTIAL_SCHEMA.empty_table()
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        om = kind == 0
+        if not om.any():
+            return _BITS_PARTIAL_SCHEMA.empty_table()
+        k = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mk, mv = k[~om], v[~om]
+        morder = np.argsort(mk)
+        mk, mv = mk[morder], mv[morder]
+        ok, odid, omult = k[om], group["did"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)[om], v[om]
+        bits = np.zeros(len(ok), np.int64)
+        if len(mk):
+            pos = np.searchsorted(mk, ok)
+            pos[pos >= len(mk)] = 0
+            hit = mk[pos] == ok
+            bits[hit] = omult[hit] * mv[pos[hit]]
+        order = np.argsort(odid, kind="stable")
+        dids = odid[order]
+        starts = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1]])
+        sums = np.add.reduceat(bits[order], starts).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(dids[starts]), pa.array(sums)],
+            schema=_BITS_PARTIAL_SCHEMA,
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "did" not in batch.column_names:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    out_col: pa.array([], pa.int64()),
+                }
+            )
+        return pa.table({id_col: batch["did"], out_col: batch["v"]})
+
+    return (
+        occ.union(model_wire)
+        .groupby("_sh")
+        .map_groups(score_group, batch_format="pyarrow")
+        .groupby("did")
+        .aggregate(Sum("v", alias_name="v"))
+        .map_batches(rename, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def unigram_bits_sharded(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_ds=None,
+    n_shards: int | None = None,
+):
+    """Per-doc unigram surprisal bits with the model kept DISTRIBUTED —
+    the past-:data:`VOCAB_BROADCAST_BUDGET` path.  → Dataset
+    (id_col, surprisal_bits); docs with zero tokens are absent (score
+    0).  Bit-for-bit equal to broadcast :func:`surprisal_batch` scoring
+    (both compute multiplicity × integer Shannon code length)."""
+    from ._buckets import derive_buckets, hash_buckets
+    from ._schema import stabilize_schema
+    from .dedup import _token_hash_batch
+
+    if model_ds is None:
+        model_ds = unigram_model_ds(ds, text_col)
+    if n_shards is None:
+        n_shards = derive_buckets(model_ds.count())
+    # total tokens: tiny distributed aggregate, no vocab gather
+    total = int(model_ds.sum("n"))
+
+    def model_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "h" not in batch.column_names:
+            return _SC_WIRE.empty_table()
+        h = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = _floor_log2(total // n)
+        return pa.Table.from_arrays(
+            [
+                pa.array(hash_buckets(h, n_shards)),
+                pa.array(np.ones(len(h), np.int8)),
+                pa.array(h),
+                pa.array(np.zeros(len(h), np.int64)),
+                pa.array(cl),
+            ],
+            schema=_SC_WIRE,
+        )
+
+    model_wire = stabilize_schema(
+        model_ds.map_batches(
+            model_rows, batch_format="pyarrow", batch_size=None
+        ),
+        _SC_WIRE,
+    )
+
+    def keyer(batch: pa.Table):
+        h, offsets = _token_hash_batch(batch[text_col])
+        n_tok = np.diff(offsets).astype(np.int64)
+        return h, np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+
+    return _score_bits_sharded(
+        ds, id_col, keyer, model_wire, n_shards, "surprisal_bits"
+    )
+
+
+def bigram_bits_sharded(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    model_ds=None,
+    n_shards: int | None = None,
+):
+    """Per-doc bigram surprisal bits with the model kept DISTRIBUTED.
+    Context totals count(c,·) are computed INSIDE a ctx-hash-sharded
+    exchange (all bigrams of a context co-locate, so the total is a
+    segment sum — no driver re-aggregation), which then re-emits the
+    finished (bg, code_len) model rows sharded by bg for scoring."""
+    from ._buckets import derive_buckets, hash_buckets
+    from ._schema import stabilize_schema
+
+    if model_ds is None:
+        model_ds = bigram_model_ds(ds, text_col)
+    if n_shards is None:
+        n_shards = derive_buckets(model_ds.count())
+
+    def ctx_shard_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "bg" not in batch.column_names:
+            return _SC_WIRE.empty_table()
+        ctx = batch["ctx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(hash_buckets(ctx, n_shards)),
+                pa.array(np.ones(batch.num_rows, np.int8)),
+                pa.array(ctx),
+                batch["bg"].cast(pa.int64()),
+                batch["n"].cast(pa.int64()),
+            ],
+            schema=_SC_WIRE,
+        )
+
+    def finish_model(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "k" not in group.column_names:
+            return _SC_WIRE.empty_table()
+        ctx = group["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bg = group["did"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = group["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cu, cinv = np.unique(ctx, return_inverse=True)
+        cf = np.zeros(len(cu), np.int64)
+        np.add.at(cf, cinv, f)
+        cl = _floor_log2(cf[cinv] // f)
+        return pa.Table.from_arrays(
+            [
+                pa.array(hash_buckets(bg, n_shards)),
+                pa.array(np.ones(len(bg), np.int8)),
+                pa.array(bg),
+                pa.array(np.zeros(len(bg), np.int64)),
+                pa.array(cl),
+            ],
+            schema=_SC_WIRE,
+        )
+
+    model_wire = stabilize_schema(
+        model_ds.map_batches(
+            ctx_shard_rows, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("_sh")
+        .map_groups(finish_model, batch_format="pyarrow"),
+        _SC_WIRE,
+    )
+
+    def keyer(batch: pa.Table):
+        _, bg, doc_of = _bigram_hashes_batch(batch[text_col])
+        return bg, doc_of
+
+    return _score_bits_sharded(
+        ds, id_col, keyer, model_wire, n_shards, "bigram_bits"
+    )
+
+
+def overlay_id_columns(
+    base,
+    overlays,
+    schema: pa.Schema,
+    id_col: str = "doc_id",
+    num_rows: int | None = None,
+):
+    """Overlay per-id int64 columns onto ``base`` — the join-free attach
+    of the sharded quality path.  ``base`` must already carry every
+    overlay column (as zeros); ``overlays`` is a list of
+    ``(Dataset with columns [id_col, col], col)`` pairs.  ONE
+    id-bucketed union+groupby exchange co-locates each id's base row
+    with its overlay rows; ids absent from an overlay keep 0.
+    ``schema`` is ``base``'s static output schema (passed explicitly so
+    nothing triggers early execution)."""
+    from ._buckets import derive_buckets, hash_buckets
+
+    n_b = derive_buckets(num_rows)
+    names = schema.names
+    wire = schema.append(pa.field("_mk", pa.int8())).append(
+        pa.field("_db", pa.int32())
+    )
+    cols = [c for _, c in overlays]
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return wire.empty_table()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.Table.from_arrays(
+            [_flat_col(batch[f.name].cast(f.type)) for f in schema],
+            schema=schema,
+        )
+        n = batch.num_rows
+        return t.append_column(
+            "_mk", pa.array(np.zeros(n, np.int8))
+        ).append_column("_db", pa.array(hash_buckets(ids, n_b)))
+
+    tagged = [
+        base.map_batches(tag_base, batch_format="pyarrow", batch_size=None)
+    ]
+    for mk, (ods, col) in enumerate(overlays, start=1):
+
+        def tag_overlay(batch: pa.Table, _col=col, _mk=mk) -> pa.Table:
+            if batch.num_rows == 0 or id_col not in batch.column_names:
+                return wire.empty_table()
+            n = batch.num_rows
+            ids = batch[id_col].cast(pa.int64())
+            arrays = []
+            for f in schema:
+                if f.name == id_col:
+                    arrays.append(ids.combine_chunks() if isinstance(
+                        ids, pa.ChunkedArray) else ids)
+                elif f.name == _col:
+                    arrays.append(_flat_col(batch[_col].cast(pa.int64())))
+                else:
+                    arrays.append(pa.nulls(n, f.type))
+            arrays.append(pa.array(np.full(n, _mk, np.int8)))
+            arrays.append(
+                pa.array(
+                    hash_buckets(
+                        ids.to_numpy(zero_copy_only=False).astype(np.int64),
+                        n_b,
+                    )
+                )
+            )
+            return pa.Table.from_arrays(arrays, schema=wire)
+
+        tagged.append(
+            ods.map_batches(
+                tag_overlay, batch_format="pyarrow", batch_size=None
+            )
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "_mk" not in group.column_names:
+            return schema.empty_table()
+        mk = group["_mk"].to_numpy(zero_copy_only=False)
+        bm = mk == 0
+        if not bm.any():
+            return schema.empty_table()
+        out = group.filter(pa.array(bm)).select(names)
+        bids = out[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(bids)
+        out = out.take(pa.array(order))
+        bids = bids[order]
+        for mk_i, col in enumerate(cols, start=1):
+            om = mk == mk_i
+            if not om.any():
+                continue
+            sub = group.filter(pa.array(om))
+            oid = sub[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            ov = sub[col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(bids, oid)
+            pos[pos >= len(bids)] = 0
+            hit = bids[pos] == oid
+            vals = (
+                out[col].to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .copy()
+            )
+            vals[pos[hit]] = ov[hit]
+            out = out.set_column(
+                out.schema.get_field_index(col), col, pa.array(vals)
+            )
+        return out
+
+    both = tagged[0]
+    for t in tagged[1:]:
+        both = both.union(t)
+    return both.groupby("_db").map_groups(merge, batch_format="pyarrow")
+
+
+def _flat_col(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
 
 def pack_sequences(

@@ -1886,7 +1886,23 @@ SQL_URL_DEDUP = (
 )
 
 
-def q_webtext_quality(sf_dir: str):
+_WEBTEXT_STATS_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("lang", pa.string()),
+        ("n_chars", pa.int64()),
+        ("dup_bigram_x1000", pa.int64()),
+        ("n_pii", pa.int64()),
+        ("scrubbed_chars", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("surprisal_bits", pa.int64()),
+        ("n_bigrams", pa.int64()),
+        ("bigram_bits", pa.int64()),
+    ]
+)
+
+
+def q_webtext_quality(sf_dir: str, _vocab_budget: int | None = None):
     """Webtext curation stats, one row per document: Gopher-style
     duplicate-bigram fraction ×1000 (repetition gate), PII match count +
     post-scrub length (emails/phones planted deterministically from
@@ -1897,31 +1913,56 @@ def q_webtext_quality(sf_dir: str):
     from the oracle's printf('%b') computation), and the deterministic
     sequence-packing bin (running corpus chars within the doc's language
     // 4000).  Repetition + PII + scoring are map-only Arrow/numpy
-    kernels (the model is one tiny counting groupby + ray.put);
-    packing is the two-phase distributed prefix sum in
+    kernels; packing is the two-phase distributed prefix sum in
     web.pack_sequences (tiny per-chunk partials driver-combined, then
     ONE bounded-group exchange).  The stats stream is materialized
     before packing so the partial-sum pass reads the lean table instead
-    of re-running the text kernels."""
+    of re-running the text kernels.
+
+    The LM vocabularies are BUDGET-GATED (web.VOCAB_BROADCAST_BUDGET;
+    ``_vocab_budget`` overrides for tests): under budget both models
+    gather as Arrow blocks and broadcast once via ``ray.put`` into the
+    fused stats pass; above it the models stay distributed and the two
+    bits columns come from the hash-sharded scoring exchanges
+    (web.unigram_bits_sharded / bigram_bits_sharded), overlaid onto the
+    stats stream by ONE id-bucketed exchange (web.overlay_id_columns).
+    Both paths are bit-identical (pinned by tests/test_web.py)."""
     import ray as _ray
 
     from .functions.web import (
+        VOCAB_BROADCAST_BUDGET,
+        bigram_bits_sharded,
         bigram_code_lengths,
+        bigram_model_ds,
         bigram_surprisal_batch,
+        overlay_id_columns,
         pack_sequences,
         pii_scrub_batch,
         repetition_x1000_batch,
         surprisal_batch,
+        unigram_bits_sharded,
         unigram_code_lengths,
+        unigram_model_ds,
     )
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
     n = ds.count()
-    vocab, code_len, _total = unigram_code_lengths(
-        _docs(sf_dir, ["text"])
+    budget = (
+        VOCAB_BROADCAST_BUDGET if _vocab_budget is None else _vocab_budget
     )
-    bg_vocab, bg_code_len = bigram_code_lengths(_docs(sf_dir, ["text"]))
-    model_ref = _ray.put((vocab, code_len, bg_vocab, bg_code_len))
+    uni_model = unigram_model_ds(_docs(sf_dir, ["text"]))
+    bg_model = bigram_model_ds(_docs(sf_dir, ["text"]))
+    sharded = max(uni_model.count(), bg_model.count()) > budget
+    if sharded:
+        model_ref = None
+    else:
+        vocab, code_len, _total = unigram_code_lengths(
+            None, model_ds=uni_model
+        )
+        bg_vocab, bg_code_len = bigram_code_lengths(
+            None, model_ds=bg_model
+        )
+        model_ref = _ray.put((vocab, code_len, bg_vocab, bg_code_len))
 
     def stats(batch: pa.Table) -> pa.Table:
         texts = batch["text"]
@@ -1948,7 +1989,15 @@ def q_webtext_quality(sf_dir: str):
             "",
         )
         n_email, n_phone, scrubbed = pii_scrub_batch(aug)
-        v, cl, bgv, bgcl = _ray.get(model_ref)
+        if model_ref is None:
+            # sharded path: bits columns start 0 and are overlaid by the
+            # sharded scorers below; empty models still yield the local
+            # n_tokens / n_bigrams counts
+            v = cl = bgv = bgcl = np.zeros(0, np.int64)
+        else:
+            from .functions.dedup import _get_broadcast
+
+            v, cl, bgv, bgcl = _get_broadcast(model_ref)
         n_tok, bits = surprisal_batch(texts, v, cl)
         n_bg, bg_bits = bigram_surprisal_batch(texts, bgv, bgcl)
         return pa.table(
@@ -1968,9 +2017,25 @@ def q_webtext_quality(sf_dir: str):
             }
         )
 
-    lean = ds.map_batches(
-        stats, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    lean = ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
+    if sharded:
+        texts = _docs(sf_dir, ["doc_id", "text"])
+        lean = overlay_id_columns(
+            lean,
+            [
+                (
+                    unigram_bits_sharded(texts, model_ds=uni_model),
+                    "surprisal_bits",
+                ),
+                (
+                    bigram_bits_sharded(texts, model_ds=bg_model),
+                    "bigram_bits",
+                ),
+            ],
+            _WEBTEXT_STATS_SCHEMA,
+            num_rows=n,
+        )
+    lean = lean.materialize()
     packed = pack_sequences(
         lean, size_col="n_chars", part_col="lang", id_col="doc_id",
         budget=4000, num_rows=n,

@@ -422,3 +422,72 @@ def test_keyword_topk_matches_naive(ray_session):
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
             got[r["query_id"]].append(r["doc_id"])
         assert dict(got) == expect, f"parts={parts}"
+
+
+def test_sharded_bits_match_broadcast_scoring(ray_session):
+    """The hash-sharded surprisal scorers (model kept distributed) must
+    reproduce the broadcast kernels bit-for-bit, at several layouts."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.web import (
+        bigram_bits_sharded,
+        bigram_code_lengths,
+        bigram_surprisal_batch,
+        surprisal_batch,
+        unigram_bits_sharded,
+        unigram_code_lengths,
+    )
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(30)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 25)))
+        for _ in range(200)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    arr = pa.array(texts)
+    v, cl, _ = unigram_code_lengths(rd.from_arrow(tbl))
+    _, exp_uni = surprisal_batch(arr, v, cl)
+    bgv, bgcl = bigram_code_lengths(rd.from_arrow(tbl))
+    _, exp_bg = bigram_surprisal_batch(arr, bgv, bgcl)
+    for parts in (1, 9):
+        ds = rd.from_arrow(tbl).repartition(parts)
+        got_u = {
+            r["doc_id"]: r["surprisal_bits"]
+            for r in unigram_bits_sharded(ds).take_all()
+        }
+        got_b = {
+            r["doc_id"]: r["bigram_bits"]
+            for r in bigram_bits_sharded(ds).take_all()
+        }
+        for i in range(200):
+            assert got_u.get(i, 0) == exp_uni[i].as_py(), f"uni doc {i}"
+            assert got_b.get(i, 0) == exp_bg[i].as_py(), f"bg doc {i}"
+
+
+def test_webtext_quality_sharded_path_matches_broadcast(ray_session):
+    """q_webtext_quality forced past the vocab budget (sharded scorers +
+    overlay exchange) must equal the default broadcast path exactly."""
+    import pandas as pd
+
+    from s2sphere_ray.queries import q_webtext_quality
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_webtext_quality(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_webtext_quality(sf, _vocab_budget=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
