@@ -352,6 +352,7 @@ def minhash_lsh_pairs(
     num_rows: int | None = None,
     verify: str = "exact",
     star_run_threshold: int = 10_000,
+    gather_rows: int = 20_000_000,
 ):
     """Near-dup pairs via banded LSH, Jaccard-verified.
 
@@ -360,12 +361,19 @@ def minhash_lsh_pairs(
 
     Two verification modes:
 
-    * ``verify="exact"`` (default; the oracle-matching path): the
-      candidate pair set is gathered to the driver (bounded by true
-      near-dups + band collisions), candidate docs are semi-joined back
-      against the input by broadcast id set, and exact shingle Jaccard
-      decides. Right when the dup rate is moderate; at crawl-level dup
-      rates (tens of % of 10¹² docs) the driver gather is the limit.
+    * ``verify="exact"`` (default; the oracle-matching path), itself
+      BUDGET-GATED on ``gather_rows``: under the budget the candidate
+      pair set is gathered to the driver (bounded by true near-dups +
+      band collisions), candidate docs are semi-joined back against the
+      input by broadcast id set, and exact shingle Jaccard decides.
+      Past the budget (a near-duplicate-saturated crawl snapshot — the
+      realistic worst case the dup-rate bound does not cover) nothing
+      is gathered: pairs dedupe distributed and verification runs as
+      two hash-bucketed exchanges (:func:`_lsh_exchange_verify` —
+      pair-refs co-locate with per-doc shingle sets by doc id, then the
+      two sides co-locate by pair key and the intersection counts
+      vectorized).  Both verify paths produce identical pairs (pinned
+      by tests/test_dedup.py's forced-budget test).
     * ``verify="none"`` (the 100-TB path): FULLY distributed — candidate
       pairs dedupe via a groupby and stream out as a Dataset(id_a, id_b)
       with no driver materialization and nothing but 20 B/row crossing
@@ -501,6 +509,23 @@ def minhash_lsh_pairs(
             ),
             PAIR_SCHEMA,
         )
+    # verify="exact": gate the driver gather on the banded-pair row
+    # count (cheap off the materialized compact pair stream).  Past the
+    # budget — dup-saturated corpora — take the fully distributed
+    # exchange verify instead.
+    cand = cand.materialize()
+    if cand.count() > gather_rows:
+        from ._schema import PAIR_SCHEMA, stabilize_schema
+
+        cand_dd = stabilize_schema(
+            cand.groupby(["id_a", "id_b"]).map_groups(
+                lambda grp: grp.slice(0, 1), batch_format="pyarrow"
+            ),
+            PAIR_SCHEMA,
+        )
+        return _lsh_exchange_verify(
+            ds, cand_dd, id_col, shingle_n, jaccard_threshold, num_rows
+        )
     # Candidate pairs are driver-materialized here: bounded by the number
     # of genuine near-dups + band collisions, orders of magnitude smaller
     # than the corpus (the text NEVER is). The same pair surfaces from
@@ -613,6 +638,202 @@ def minhash_lsh_pairs(
 
     return rd.from_arrow(cand_tbl).map_batches(
         verify, batch_format="pyarrow"
+    )
+
+
+# Wire schema of the past-budget LSH exact verify: kind 1 rows carry a
+# doc's sorted-unique shingle set (did, sh), kind 0 rows are pair refs /
+# pair sides (did = the side's doc, a/b = the canonical pair).
+_LSHV_WIRE = pa.schema(
+    [
+        ("_sh", pa.int32()),
+        ("kind", pa.int8()),
+        ("did", pa.int64()),
+        ("a", pa.int64()),
+        ("b", pa.int64()),
+        ("sh", pa.large_list(pa.uint64())),
+    ]
+)
+
+_LSHV_OUT = pa.schema(
+    [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+)
+
+
+def _lsh_exchange_verify(
+    ds, cand_dd, id_col, shingle_n, jaccard_threshold, num_rows
+):
+    """Fully distributed exact-Jaccard verification of LSH candidate
+    pairs — no driver gather of pairs, ids or shingle maps.  Exchange 1
+    co-locates pair refs with per-doc shingle sets by doc-id hash (the
+    corpus pays one honest shingling pass + a doc-keyed set exchange);
+    exchange 2 co-locates each pair's two sides by pair hash and counts
+    the true intersection with the run-of-2 kernel over sorted-unique
+    sets.  Identical output to the driver verify path."""
+    from ._buckets import derive_buckets, hash_buckets
+    from ._schema import stabilize_schema
+
+    n_b = derive_buckets(num_rows)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_col not in batch.column_names:
+            return _LSHV_WIRE.empty_table()
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        sh, offs = _shingle_batch(batch["text"].to_pylist(), shingle_n)
+        lists = [
+            np.unique(sh[offs[d] : offs[d + 1]])
+            for d in range(batch.num_rows)
+        ]
+        n = len(ids)
+        return pa.Table.from_arrays(
+            [
+                pa.array(hash_buckets(ids, n_b)),
+                pa.array(np.ones(n, np.int8)),
+                pa.array(ids),
+                pa.array(np.zeros(n, np.int64)),
+                pa.array(np.zeros(n, np.int64)),
+                pa.array([list(l) for l in lists], pa.large_list(pa.uint64())),
+            ],
+            schema=_LSHV_WIRE,
+        )
+
+    def ref_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "id_a" not in batch.column_names:
+            return _LSHV_WIRE.empty_table()
+        aa = batch["id_a"].to_numpy().astype(np.int64)
+        bb = batch["id_b"].to_numpy().astype(np.int64)
+        did = np.concatenate([aa, bb])
+        a2 = np.concatenate([aa, aa])
+        b2 = np.concatenate([bb, bb])
+        n = len(did)
+        return pa.Table.from_arrays(
+            [
+                pa.array(hash_buckets(did, n_b)),
+                pa.array(np.zeros(n, np.int8)),
+                pa.array(did),
+                pa.array(a2),
+                pa.array(b2),
+                pa.nulls(n, pa.large_list(pa.uint64())),
+            ],
+            schema=_LSHV_WIRE,
+        )
+
+    docs_w = ds.map_batches(doc_rows, batch_format="pyarrow")
+    refs_w = cand_dd.map_batches(
+        ref_rows, batch_format="pyarrow", batch_size=None
+    )
+
+    def _pair_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return (
+                a.astype(np.uint64) * np.uint64(0x100000001B3)
+                + b.astype(np.uint64)
+            )
+
+    def attach_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "kind" not in group.column_names:
+            return _LSHV_WIRE.empty_table()
+        kind = group["kind"].to_numpy(zero_copy_only=False)
+        rm = kind == 0
+        if not rm.any():
+            return _LSHV_WIRE.empty_table()
+        did = group["did"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh_col = group["sh"]
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        ddid = did[~rm]
+        dorder = np.argsort(ddid)
+        doc_take = np.flatnonzero(~rm)[dorder]
+        ddid = ddid[dorder]
+        rdid = did[rm]
+        pos = np.searchsorted(ddid, rdid).clip(0, max(len(ddid) - 1, 0))
+        # every candidate id exists in the corpus; missing → empty set
+        hit = ddid[pos] == rdid if len(ddid) else np.zeros(len(rdid), bool)
+        take_idx = np.where(hit, doc_take[pos], -1)
+        sets = sh_col.take(
+            pa.array(np.where(take_idx >= 0, take_idx, 0), pa.int64())
+        )
+        lens = pc.list_value_length(sets).to_numpy(zero_copy_only=False)
+        flat = sets.flatten()
+        # zero out sets for misses (keep offsets consistent): misses get
+        # the row-0 doc's set otherwise — rebuild with masked lengths
+        if (~hit).any():
+            keep = np.repeat(hit, lens)
+            flat = flat.filter(pa.array(keep))
+            lens = np.where(hit, lens, 0)
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)[rm]
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)[rm]
+        off = np.concatenate(([0], np.cumsum(lens.astype(np.int64))))
+        out_sets = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), flat.cast(pa.uint64())
+        )
+        n = len(a)
+        return pa.Table.from_arrays(
+            [
+                pa.array(hash_buckets(_pair_hash(a, b), n_b)),
+                pa.array(np.zeros(n, np.int8)),
+                pa.array(rdid),
+                pa.array(a),
+                pa.array(b),
+                out_sets,
+            ],
+            schema=_LSHV_WIRE,
+        )
+
+    sided = stabilize_schema(
+        docs_w.union(refs_w)
+        .groupby("_sh")
+        .map_groups(attach_group, batch_format="pyarrow"),
+        _LSHV_WIRE,
+    )
+
+    def verify_group(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "a" not in group.column_names:
+            return _LSHV_OUT.empty_table()
+        a = group["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = group["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sh_col = group["sh"]
+        if isinstance(sh_col, pa.ChunkedArray):
+            sh_col = sh_col.combine_chunks()
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        sh_col = sh_col.take(pa.array(order, pa.int64()))
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        pair_of_row = np.cumsum(new) - 1
+        n_pairs = int(pair_of_row[-1]) + 1 if len(a) else 0
+        lens = (
+            pc.list_value_length(sh_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        vals = sh_col.flatten().to_numpy(zero_copy_only=False)
+        pcode = np.repeat(pair_of_row, lens)
+        vorder = np.lexsort((vals, pcode))
+        vals, pcode = vals[vorder], pcode[vorder]
+        inter = np.zeros(n_pairs, np.int64)
+        if len(vals) > 1:
+            dup = (pcode[1:] == pcode[:-1]) & (vals[1:] == vals[:-1])
+            np.add.at(inter, pcode[1:][dup], 1)
+        tot = np.zeros(n_pairs, np.int64)
+        np.add.at(tot, pair_of_row, lens)
+        union = tot - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        keep_p = jac >= jaccard_threshold
+        firsts = np.flatnonzero(new)
+        return pa.Table.from_arrays(
+            [
+                pa.array(a[firsts][keep_p]),
+                pa.array(b[firsts][keep_p]),
+                pa.array(jac[keep_p]),
+            ],
+            schema=_LSHV_OUT,
+        )
+
+    return stabilize_schema(
+        sided.groupby("_sh").map_groups(
+            verify_group, batch_format="pyarrow"
+        ),
+        _LSHV_OUT,
     )
 
 
