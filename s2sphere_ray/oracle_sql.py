@@ -815,3 +815,99 @@ def bpe_leg_sql(num_merges: int = 8) -> str:
         "SELECT 'tsum:' || CAST(doc_id AS VARCHAR), ts FROM bpedoc"
     )
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(legs)
+
+
+def _mulmod64_xy(x: str, y: str) -> str:
+    """uint64 wraparound product of two COLUMN expressions (the constant
+    variant ``_mulmod64`` cannot express): split both into 32-bit halves
+    so no intermediate exceeds HUGEINT."""
+    t = 1 << 32
+    return (
+        f"(CAST(({x}) % {t} AS HUGEINT) * CAST(({y}) % {t} AS HUGEINT)"
+        f" + ((CAST(({x}) % {t} AS HUGEINT) * CAST(({y}) >> 32 AS HUGEINT)"
+        f" + CAST(({x}) >> 32 AS HUGEINT) * CAST(({y}) % {t} AS HUGEINT))"
+        f" % {t}) * {t})"
+    )
+
+
+def bloom_flag_sql(
+    key_expr: str,
+    m_bits: int = 1 << 10,
+    k: int = 5,
+    ref_mod: int = 3,
+) -> str:
+    """SQL producing ``(doc_id, lang)`` of new-shard documents
+    (``doc_id % ref_mod != 0``) whose key (``key_expr`` over the
+    ``documents`` view) probes positive against the Bloom bitmap built
+    from the reference shard (``doc_id % ref_mod == 0``) — replaying
+    functions/dedup.bloom_build / _bloom_positions /
+    bloom_dedup_against bit for bit, INCLUDING false positives:
+
+    - ``poly_hash_strings`` (dedup.py:57-125): key bytes → zero-padded
+      little-endian uint64 words via the 256-row hex LUT,
+      ``h = Σ word_j · r^(kw−1−j) mod 2^64`` with
+      ``r = 0x9E3779B97F4A7C15`` (powers from a recursive CTE, variable
+      × variable products via 32-bit-split ``_mulmod64_xy``), XOR the
+      byte length, splitmix64 finalizer;
+    - ``_bloom_positions``: ``h2 = ((h ^ h>>33)·0xFF51AFD7ED558CCD)|1``
+      and k probe positions ``(h + i·h2) mod 2^64 & (m_bits−1)``;
+    - membership: every one of the k probes present in the reference
+      shard's distinct set-bit positions (``HAVING COUNT(*) = k`` over
+      the probe→bit join — duplicate probe positions both match,
+      exactly like the engine's ``bits.all(axis=1)``).
+    """
+    assert m_bits & (m_bits - 1) == 0
+    r_const = 0x9E3779B97F4A7C15
+    c2 = 0xBF58476D1CE4E5B9
+    c3 = 0x94D049BB133111EB
+    h2c = 0xFF51AFD7ED558CCD
+    return f"""
+WITH RECURSIVE
+blhx(h2s, sym) AS (SELECT * FROM {_hex_byte_values()} t(h2s, sym)),
+blk AS MATERIALIZED (SELECT doc_id, lang, {key_expr} AS key
+  FROM documents),
+bl0 AS MATERIALIZED (SELECT doc_id, lang, hex(encode(key)) AS hx,
+  octet_length(encode(key)) AS len,
+  (octet_length(encode(key)) + 7) // 8 AS kw FROM blk),
+blpw(e, v) AS (SELECT 0, CAST(1 AS UBIGINT)
+  UNION ALL SELECT e + 1,
+    CAST({_mulmod64("v", r_const)} % {_M64} AS UBIGINT)
+  FROM blpw WHERE e < (SELECT COALESCE(MAX(kw), 1) FROM bl0)),
+blb AS MATERIALIZED (SELECT doc_id, p // 8 AS j, p % 8 AS i,
+  CAST(m.sym AS HUGEINT) AS byte
+  FROM (SELECT doc_id, hx, unnest(range(len)) AS p FROM bl0) b
+  JOIN blhx m ON substr(b.hx, CAST(2 * p + 1 AS BIGINT), 2) = m.h2s),
+blw AS MATERIALIZED (SELECT doc_id, j,
+  CAST(SUM(byte << CAST(8 * i AS INTEGER)) AS UBIGINT) AS w
+  FROM blb GROUP BY doc_id, j),
+blsum AS MATERIALIZED (SELECT b.doc_id,
+  CAST(SUM(CAST({_mulmod64_xy("w.w", "p.v")} % {_M64} AS HUGEINT))
+       % {_M64} AS UBIGINT) AS hraw
+  FROM blw w JOIN bl0 b ON b.doc_id = w.doc_id
+  JOIN blpw p ON p.e = b.kw - 1 - w.j
+  GROUP BY b.doc_id),
+blz1 AS (SELECT b.doc_id,
+  xor(CAST(COALESCE(s.hraw, 0) AS UBIGINT), CAST(b.len AS UBIGINT)) AS z
+  FROM bl0 b LEFT JOIN blsum s ON s.doc_id = b.doc_id),
+blz2 AS (SELECT doc_id,
+  CAST({_mulmod64("xor(z, z >> 30)", c2)} % {_M64} AS UBIGINT) AS z
+  FROM blz1),
+blz3 AS (SELECT doc_id,
+  CAST({_mulmod64("xor(z, z >> 27)", c3)} % {_M64} AS UBIGINT) AS z
+  FROM blz2),
+blh AS MATERIALIZED (SELECT doc_id, xor(z, z >> 31) AS h FROM blz3),
+blh2 AS MATERIALIZED (SELECT doc_id, h,
+  xor(CAST({_mulmod64("xor(h, h >> 33)", h2c)} % {_M64} AS UBIGINT),
+      CAST(0 AS UBIGINT)) | CAST(1 AS UBIGINT) AS h2
+  FROM blh),
+blprobe AS MATERIALIZED (SELECT doc_id, t.i,
+  CAST((CAST(h AS HUGEINT) + t.i * CAST(h2 AS HUGEINT)) % {_M64}
+       AS UBIGINT) & CAST({m_bits - 1} AS UBIGINT) AS pos
+  FROM blh2, unnest(range({k})) AS t(i)),
+blref AS MATERIALIZED (SELECT DISTINCT pos FROM blprobe
+  WHERE doc_id % {ref_mod} = 0),
+blflag AS (SELECT p.doc_id FROM blprobe p JOIN blref r ON r.pos = p.pos
+  WHERE p.doc_id % {ref_mod} <> 0 GROUP BY p.doc_id
+  HAVING COUNT(*) = {k})
+SELECT b.doc_id, b.lang FROM bl0 b JOIN blflag f ON f.doc_id = b.doc_id
+"""

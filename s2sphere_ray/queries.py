@@ -1615,7 +1615,16 @@ def q_sample_hash(sf_dir: str):
     - 'split_train'/'split_valid'/'split_test': deterministic 90/5/5
       hold-out assignment (sampling.split_assign: map-only, independent
       SPLIT_MULT hash so membership is uncorrelated with the rate
-      sample)."""
+      sample).
+    - 'bloom_dup': incremental Bloom-snapshot dedup (E20,
+      state/bloom + dedup.bloom_build/bloom_dedup_against): the
+      reference shard (doc_id % 3 == 0) builds an 8192-bit bitmap over
+      its dirty URLs via the slice-bucketed distributed build, the new
+      shard flags rows whose URL probes all-positive.  The oracle
+      (oracle_sql.bloom_flag_sql) replays poly_hash_strings, the
+      double-hash probe derivation and the bitmap INCLUDING false
+      positives, so the row is exact, not merely plausible."""
+    from .functions.dedup import bloom_build, bloom_dedup_against
     from .functions.sampling import (
         split_assign,
         stratified_sample,
@@ -1668,10 +1677,48 @@ def q_sample_hash(sf_dir: str):
         batch_format="pyarrow",
         batch_size=None,
     )
+    def url_rows(batch: pa.Table) -> pa.Table:
+        return _dirty_urls_batch(batch).append_column("lang", batch["lang"])
+
+    urls = _docs(sf_dir, ["doc_id", "lang", "source"]).map_batches(
+        url_rows, batch_format="pyarrow", batch_size=None
+    )
+
+    def ref_side(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 3 == 0))
+
+    def new_side(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.array(batch["doc_id"].to_numpy() % 3 != 0))
+
+    bitmap = bloom_build(
+        urls.map_batches(ref_side, batch_format="pyarrow", batch_size=None),
+        "url",
+        m_bits=1 << 13,
+        k=5,
+    )
+    flagged = bloom_dedup_against(
+        urls.map_batches(new_side, batch_format="pyarrow", batch_size=None),
+        bitmap,
+        "url",
+        k=5,
+        mode="flag",
+    )
+
+    def bloom_rows(batch: pa.Table) -> pa.Table:
+        out = batch.filter(batch["maybe_dup"])
+        return out.append_column(
+            "variant", pa.array(np.repeat("bloom_dup", out.num_rows))
+        )
+
+    bloom = flagged.map_batches(
+        bloom_rows, batch_format="pyarrow", batch_size=None
+    )
+
     return (
         hash10.union(quota)
         .union(temp)
         .union(split)
+        .union(bloom)
         .select_columns(["variant", "doc_id", "lang"])
     )
 
@@ -3985,6 +4032,20 @@ SQL_CORPUS_HISTOGRAMS = (
     f" UNION ALL SELECT lang, n_docs, 'bpe' FROM ({_sql_bpe_leg()})"
 )
 ORACLE_SQL["q_corpus_histograms"] = SQL_CORPUS_HISTOGRAMS
+
+
+def _sql_bloom_leg() -> str:
+    from .oracle_sql import bloom_flag_sql
+
+    return bloom_flag_sql(_SQL_DIRTY_URL, m_bits=1 << 13, k=5, ref_mod=3)
+
+
+ORACLE_SQL["q_sample_hash"] = (
+    SQL_SAMPLE_HASH
+    + " UNION ALL SELECT 'bloom_dup' AS variant, doc_id, lang FROM ("
+    + _sql_bloom_leg()
+    + ")"
+)
 
 
 def _sql_neighbors_l8() -> str:
