@@ -24,7 +24,12 @@ only = (
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    # a table may be a DIRECTORY of fragments (tools/make_multifrag.py);
+    # Ray reads those natively, DuckDB needs the glob
+    p = f"{sf}/{t}.parquet"
+    if os.path.isdir(p):
+        p = f"{p}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 r = e.entry()
 n = r.count() if hasattr(r, "count") else len(r)
