@@ -32,6 +32,124 @@ SCALE_LO = int(os.environ.get("GRAFT_SCALE_LO", "4"))
 SCALE_HI = int(os.environ.get("GRAFT_SCALE_HI", "16"))
 
 
+# ---------------------------------------------------------------------------
+# Scaled synthetic inputs for the HEAVY-pipeline scaling legs (VERDICT r4
+# #8): the sf0.1 tables are too small to amortize per-process fixed cost,
+# so each heavy pipeline gets a deterministic at-scale input, materialized
+# once under /tmp and reused by every leg.
+# ---------------------------------------------------------------------------
+
+
+def _mix64(x):
+    import numpy as np
+
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _heavy_docs_path(n_docs: int) -> str:
+    """Near-dup corpus: clusters of 3 docs share a 40-word base (30k-word
+    vocabulary), two of the three carry a 1-word mutation — realistic
+    prefix-filter selectivity with planted near-dup structure."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    path = f"/tmp/graft_bench_docs_{n_docs}"
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+
+    def make(batch):
+        ids = batch["id"].to_numpy().astype(np.int64)
+        out = []
+        for d in ids:
+            gid = d // 3
+            w = (
+                _mix64(np.int64(gid) * 64 + np.arange(40, dtype=np.int64))
+                % 30_000
+            )
+            if d % 3:
+                w = w.copy()
+                w[int(d % 37)] = 30_000 + d % 3
+            out.append(" ".join(f"w{int(x)}" for x in w))
+        return pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array(out, pa.string())}
+        )
+
+    rd.range(n_docs, override_num_blocks=64).map_batches(
+        make, batch_format="pyarrow"
+    ).write_parquet(path)
+    return path
+
+
+def _heavy_edges_path(n_edges: int, n_nodes: int, as_str: bool) -> str:
+    """Deterministic random multigraph edges — int64 pair columns for CC,
+    string node names for PageRank."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    kind = "str" if as_str else "int"
+    path = f"/tmp/graft_bench_edges_{kind}_{n_edges}_{n_nodes}"
+    if os.path.isdir(path) and os.listdir(path):
+        return path
+
+    def make(batch):
+        ids = batch["id"].to_numpy().astype(np.int64)
+        a = (_mix64(ids) % n_nodes).astype(np.int64)
+        b = (_mix64(ids + np.int64(1 << 40)) % n_nodes).astype(np.int64)
+        if as_str:
+            return pa.table(
+                {
+                    "src": pa.array([f"d{x}" for x in a], pa.string()),
+                    "dst": pa.array([f"d{x}" for x in b], pa.string()),
+                }
+            )
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b) + 1  # avoid self-loops
+        return pa.table({"id_a": pa.array(lo), "id_b": pa.array(hi)})
+
+    rd.range(n_edges, override_num_blocks=64).map_batches(
+        make, batch_format="pyarrow"
+    ).write_parquet(path)
+    return path
+
+
+def _run_heavy(name: str) -> tuple[int, int]:
+    """One heavy scaling pipeline over its pre-materialized scaled input
+    → (result_rows, input_rows).  Ray is already initialized."""
+    import ray.data as rd
+
+    if name == "jaccard":
+        n = int(os.environ.get("GRAFT_HEAVY_DOCS", "60000"))
+        ds = rd.read_parquet(
+            _heavy_docs_path(n), columns=["doc_id", "text"]
+        )
+        from s2sphere_ray.functions.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(
+            ds, n=3, threshold=0.8, num_rows=n
+        ).count(), n
+    if name == "cc":
+        n = int(os.environ.get("GRAFT_HEAVY_EDGES", "4000000"))
+        n_nodes = n // 8
+        ds = rd.read_parquet(_heavy_edges_path(n, n_nodes, False))
+        from s2sphere_ray.functions.cc import connected_components
+
+        return connected_components(ds).count(), n
+    if name == "pagerank":
+        n = int(os.environ.get("GRAFT_HEAVY_EDGES", "4000000"))
+        n_nodes = int(os.environ.get("GRAFT_HEAVY_NODES", "50000"))
+        ds = rd.read_parquet(_heavy_edges_path(n, n_nodes, True))
+        from s2sphere_ray.functions.cc import pagerank
+
+        return pagerank(ds, num_iters=4).num_rows, n
+    raise ValueError(f"unknown heavy pipeline {name!r}")
+
+
 def run_bench() -> dict:
     import ray
 
@@ -102,6 +220,38 @@ def run_bench() -> dict:
         queries[name] = round(dt, 3)
         print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr, flush=True)
         return out
+
+    # --- heavy-pipeline scaling leg: one named pipeline over its own
+    # scaled input, everything else skipped (VERDICT r4 #8) -----------------
+    only_heavy = os.environ.get("GRAFT_BENCH_ONLY")
+    if only_heavy and only_heavy != "flagship":
+        def _warm_h(batch):
+            import s2sphere_ray.functions.dedup  # noqa: F401
+
+            return batch
+
+        rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+            _warm_h, batch_size=1
+        ).count()
+        # input materialization is inside _run_heavy's *_path builders
+        # (idempotent); run_scaling's untimed prep subprocess warms it
+        t0 = time.time()
+        n_out, n_in = _run_heavy(only_heavy)
+        dt = round(time.time() - t0, 3)
+        result = {
+            "metric": f"{only_heavy}_pipeline_sec",
+            "value": dt,
+            "unit": "sec",
+            "queries": {only_heavy: dt},
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "bench_rows": n_in,
+            "rows_per_sec": round(n_in / dt, 1),
+            "result_rows": n_out,
+            "calibration_sec": calibration_sec,
+        }
+        ray.shutdown()
+        return result
 
     # Materialize the deterministic bench input ONCE (untimed input prep —
     # the engine's job starts at read_parquet, matching real pipelines);
@@ -358,11 +508,16 @@ def run_bench() -> dict:
     return result
 
 
-def run_scaling() -> dict:
+def run_scaling(pipeline: str = "flagship") -> dict:
     # Larger input than the plain bench: the per-process fixed cost (~6 s of
     # plan/schedule/finalize latency) must amortize for the ratio to measure
     # scaling of the *work*, not the constant.
     scale_rows = os.environ.get("GRAFT_BENCH_ROWS", "32000000")
+    extra = (
+        {"GRAFT_BENCH_ONLY_FLAGSHIP": "1"}
+        if pipeline == "flagship"
+        else {"GRAFT_BENCH_ONLY": pipeline}
+    )
 
     # Prep pass (untimed, discarded): materializes the input parquet and
     # warms the page cache so both timed runs see identical conditions.
@@ -372,8 +527,8 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(SCALE_HI),
             GRAFT_BENCH_ROWS=scale_rows,
-            GRAFT_BENCH_ONLY_FLAGSHIP="1",
             GRAFT_BENCH_SINGLE_RUN="1",
+            **extra,
         ),
         capture_output=True,
         text=True,
@@ -385,8 +540,8 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_ROWS=scale_rows,
-            GRAFT_BENCH_ONLY_FLAGSHIP="1",
             GRAFT_BENCH_SINGLE_RUN="1",
+            **extra,
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -414,6 +569,7 @@ def run_scaling() -> dict:
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
+        "pipeline": pipeline,
         "value": round(eff, 3),
         "unit": "ratio",
         "num_cpus_lo": lo,
@@ -532,7 +688,25 @@ def run_ab(prev_rev: str, ab_queries: str | None = None) -> dict:
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        # bench.py --scaling [pipeline[,pipeline...]] — default flagship
+        # (the driver contract); heavy legs: jaccard, cc, pagerank.
+        i = sys.argv.index("--scaling")
+        names = (
+            sys.argv[i + 1].split(",")
+            if len(sys.argv) > i + 1 and not sys.argv[i + 1].startswith("-")
+            else ["flagship"]
+        )
+        if len(names) == 1:
+            print(json.dumps(run_scaling(names[0])))
+        else:
+            print(
+                json.dumps(
+                    {
+                        "metric": "scaling_efficiency_multi",
+                        "pipelines": {n: run_scaling(n) for n in names},
+                    }
+                )
+            )
     elif "--ab" in sys.argv:
         # bench.py --ab <rev> [q1,q2,...]  (extra arg = per-query A/B)
         i = sys.argv.index("--ab")

@@ -435,8 +435,6 @@ def pagerank(
     Both paths compute the identical integer recurrence, so results are
     bit-for-bit equal (pinned by tests/test_cc.py's forced-shard test).
     """
-    from ray.data.aggregate import Sum
-
     if node_budget is None:
         node_budget = PAGERANK_NODE_BUDGET
     edges = edges.materialize()
@@ -458,12 +456,39 @@ def pagerank(
             }
         )
 
+    # Exact (node, outdeg) via the repo's fast exchange idiom: per-block
+    # distinct partials → ONE node-hash-bucketed map_groups whose group
+    # body is Arrow's C++ hash aggregate.  (A Ray sort-groupby on the
+    # same high-cardinality string key measured ~29 s at 4M edges where
+    # this costs ~2 s.)
+    from ._buckets import derive_buckets, hash_buckets
+    from .dedup import poly_hash_strings
+
+    n_buckets = derive_buckets(edges.count())
+
+    def add_node_bucket(batch: pa.Table) -> pa.Table:
+        t = deg_partial(batch)
+        return t.append_column(
+            "_nb", pa.array(hash_buckets(poly_hash_strings(t["node"]),
+                                         n_buckets))
+        )
+
+    def combine_deg(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "node" not in group.column_names:
+            return _PR_DEG_SCHEMA.empty_table()
+        return (
+            group.select(["node", "d"])
+            .group_by("node")
+            .aggregate([("d", "sum")])
+            .rename_columns(["node", "d"])
+        )
+
     deg = (
         edges.map_batches(
-            deg_partial, batch_format="pyarrow", batch_size=None
+            add_node_bucket, batch_format="pyarrow", batch_size=None
         )
-        .groupby("node")
-        .aggregate(Sum("d", alias_name="d"))
+        .groupby("_nb")
+        .map_groups(combine_deg, batch_format="pyarrow")
         .materialize()
     )
     n_nodes = deg.count()
@@ -495,9 +520,15 @@ def pagerank(
     rank = np.full(n_nodes, scale, dtype=np.int64)
     safe_deg = np.maximum(outdeg, 1)  # sinks never appear as src
 
-    # Recode ONCE to the weighted adjacency list: distinct packed
-    # (src_code, dst_code) pairs with multiplicities. Every iteration
-    # then streams two int64 columns — no strings, no hash lookups.
+    # Recode ONCE to the weighted adjacency list — distinct packed
+    # (src_code, dst_code) pairs with multiplicities — and partition it
+    # ONCE by dst-code bucket (hash-bucketed map_groups, the repo's fast
+    # exchange idiom: a Ray sort-groupby on the 4M-row high-cardinality
+    # pair key measured ~29 s where this bucketed exchange is ~2 s).
+    # Because every dst's pairs then live in exactly ONE block, each
+    # iteration's per-block segment sums are already GLOBAL per-dst
+    # totals: the iterations are map + node-sized Arrow gather, no
+    # exchange at all.
     nodes_ref = _ray.put(nodes)
 
     def adj_partial(batch: pa.Table, _ref=nodes_ref) -> pa.Table:
@@ -510,15 +541,39 @@ def pagerank(
         ).astype(np.int64)
         u, m = np.unique(sc * (np.int64(1) << 32) + dc, return_counts=True)
         return pa.table(
-            {"p": pa.array(u), "m": pa.array(m.astype(np.int64))}
+            {
+                "_db": pa.array(
+                    ((u & ((np.int64(1) << 32) - 1)) % n_buckets).astype(
+                        np.int32
+                    )
+                ),
+                "p": pa.array(u),
+                "m": pa.array(m.astype(np.int64)),
+            }
+        )
+
+    def combine_pairs(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0 or "p" not in group.column_names:
+            return pa.table(
+                {"p": pa.array([], pa.int64()),
+                 "m": pa.array([], pa.int64())}
+            )
+        p = group["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = group["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(p, kind="stable")
+        ps, ms = p[order], m[order]
+        starts = np.flatnonzero(np.r_[True, ps[1:] != ps[:-1]])
+        sums = np.add.reduceat(ms, starts).astype(np.int64)
+        return pa.table(
+            {"p": pa.array(ps[starts]), "m": pa.array(sums)}
         )
 
     adj = (
         edges.map_batches(
             adj_partial, batch_format="pyarrow", batch_size=None
         )
-        .groupby("p")
-        .aggregate(Sum("m", alias_name="m"))
+        .groupby("_db")
+        .map_groups(combine_pairs, batch_format="pyarrow")
         .materialize()
     )
 
@@ -526,7 +581,7 @@ def pagerank(
         ref = _ray.put((rank // safe_deg).astype(np.int64))
 
         def contrib(batch: pa.Table, _ref=ref) -> pa.Table:
-            # the adjacency groupby can emit schema-less empty blocks at
+            # the bucketed exchange can emit schema-less empty blocks at
             # high partition counts (round-3 hazard) — normalize first
             if batch.num_rows == 0 or "p" not in batch.column_names:
                 return pa.table(
@@ -543,7 +598,8 @@ def pagerank(
             # m·(rank//deg) ≤ rank ≤ total mass — inside the asserted
             # bound, so the products and sums stay exact int64
             w = m * per_src[sc]
-            # int64-exact per-dst partial: bincount floats would round
+            # int64-exact per-dst total (each dst is block-local after
+            # the dst-bucketed partition): bincount floats would round
             # above 2^53, so segment-sum on the sorted dst codes instead
             order = np.argsort(dc, kind="stable")
             dcs = dc[order]
@@ -556,14 +612,18 @@ def pagerank(
         got = _concat_blocks(
             adj.map_batches(
                 contrib, batch_format="pyarrow", batch_size=None
-            )
-            .groupby("c")
-            .aggregate(Sum("s", alias_name="s")),
+            ),
             _PR_CS_SCHEMA,
         )
         sums = np.zeros(n_nodes, dtype=np.int64)
-        sums[got["c"].to_numpy(zero_copy_only=False).astype(np.int64)] = (
-            got["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # ACCUMULATE, don't assign: Ray may split an oversized group
+        # output across blocks, yielding two partials for one dst — the
+        # dst-bucketed partition is a pre-aggregation optimization, not
+        # a correctness dependency (int64 adds commute exactly).
+        np.add.at(
+            sums,
+            got["c"].to_numpy(zero_copy_only=False).astype(np.int64),
+            got["s"].to_numpy(zero_copy_only=False).astype(np.int64),
         )
         rank = base + damping_num * sums // damping_den
 
