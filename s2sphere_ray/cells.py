@@ -543,6 +543,42 @@ def all_neighbors(cell_id, nbr_level=None):
     return out
 
 
+def vertex_neighbors(cell_id, nbr_level):
+    """Neighbors sharing the vertex closest to each cell's center, at the
+    coarser ``nbr_level`` (sphere.py get_vertex_neighbors; scalar twin
+    ``geometry.CellId.get_vertex_neighbors`` — cross-tested).
+
+    Returns array shape (n, 4) of uint64; column 3 is the 0 SENTINEL
+    where the diagonal neighbor does not exist (neither i- nor j-offset
+    stays on the face — cube corners).  Callers drop zeros.
+    """
+    cell_id = np.atleast_1d(np.asarray(cell_id, dtype=np.uint64))
+    f, i, j, _ = cell_id_to_face_ij_orientation(cell_id)
+    halfsize = int(get_size_ij(np.int64(nbr_level + 1)))
+    size = halfsize << 1
+    ihalf = (i & halfsize) != 0
+    jhalf = (j & halfsize) != 0
+    ioffset = np.where(ihalf, size, -size).astype(np.int64)
+    isame = np.where(ihalf, i + size < MAX_SIZE, i - size >= 0)
+    joffset = np.where(jhalf, size, -size).astype(np.int64)
+    jsame = np.where(jhalf, j + size < MAX_SIZE, j - size >= 0)
+    n = cell_id.shape[0]
+    out = np.empty((n, 4), dtype=np.uint64)
+    out[:, 0] = parent(cell_id, nbr_level)
+    out[:, 1] = parent(
+        _from_face_ij_same(f, i + ioffset, j, isame), nbr_level
+    )
+    out[:, 2] = parent(
+        _from_face_ij_same(f, i, j + joffset, jsame), nbr_level
+    )
+    diag = parent(
+        _from_face_ij_same(f, i + ioffset, j + joffset, isame & jsame),
+        nbr_level,
+    )
+    out[:, 3] = np.where(isame | jsame, diag, np.uint64(0))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Great-circle distance (SURVEY §2.1 B3 — LatLng.get_distance)
 # ---------------------------------------------------------------------------

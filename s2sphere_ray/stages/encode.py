@@ -97,20 +97,35 @@ def neighbors_expand(
     kind: str = "edge",
     out_col: str = "neighbor_id",
     keep_cols: list[str] | None = None,
+    nbr_level: int | None = None,
 ) -> pa.Table:
     """E10: 1→k row expansion to (kept columns ×, neighbor_id).
 
-    ``kind`` ∈ {"edge" (4), "all" (8, deduped per-row upstream consumers)}.
-    Implemented as a widened batch (flat-map style) without per-row Python.
+    ``kind`` ∈ {"edge" (4), "all" (8, deduped per-row upstream
+    consumers), "vertex" (3-4 at the coarser ``nbr_level`` — the 0
+    sentinel rows cells.vertex_neighbors emits at cube corners are
+    dropped here)}.  Implemented as a widened batch (flat-map style)
+    without per-row Python.
     """
     ids = _np(batch[id_col])
-    nbrs = ck.edge_neighbors(ids) if kind == "edge" else ck.all_neighbors(ids)
+    if kind == "edge":
+        nbrs = ck.edge_neighbors(ids)
+    elif kind == "vertex":
+        if nbr_level is None:
+            raise ValueError("kind='vertex' requires nbr_level")
+        nbrs = ck.vertex_neighbors(ids, nbr_level)
+    else:
+        nbrs = ck.all_neighbors(ids)
     k = nbrs.shape[1]
     idx = np.repeat(np.arange(len(ids)), k)
+    flat = nbrs.reshape(-1)
+    if kind == "vertex":
+        keep = flat != np.uint64(0)
+        idx, flat = idx[keep], flat[keep]
     cols = {}
     for name in keep_cols or batch.column_names:
         cols[name] = batch[name].take(pa.array(idx))
-    cols[out_col] = pa.array(nbrs.reshape(-1), pa.uint64())
+    cols[out_col] = pa.array(flat, pa.uint64())
     return pa.table(cols)
 
 

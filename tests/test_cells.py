@@ -182,3 +182,49 @@ def test_coverage_half_leaf_diag():
     lat2, lng2 = ck.cell_id_to_latlng(IDS[:2000])
     d = ck.haversine_rad(LAT[:2000], LNG[:2000], lat2, lng2)
     assert d.max() <= 0.5 * g.MAX_DIAG.get_value(30) * (1 + 1e-9)
+
+
+def test_vertex_neighbors_vectorized_matches_scalar():
+    """cells.vertex_neighbors ≡ geometry.CellId.get_vertex_neighbors
+    (order-free, sentinel-0 dropped), incl. face-edge/corner cells."""
+    extra = ck.cell_id_from_latlng(
+        np.array([45.0, -45.0, 0.0, 35.26, -35.26]),
+        np.array([0.0, 90.0, 45.0, 45.0, -135.0]),
+    )
+    ids = np.concatenate([IDS[:200], extra])
+    for lvl in (4, 9, 15):
+        p = np.unique(ck.parent(ids, lvl + 3))
+        vn = ck.vertex_neighbors(p, lvl)
+        assert vn.shape == (len(p), 4)
+        for k in range(0, len(p), 7):
+            scalar = sorted(
+                c.id for c in g.CellId(int(p[k])).get_vertex_neighbors(lvl)
+            )
+            got = sorted(int(x) for x in vn[k] if int(x) != 0)
+            assert scalar == got, (k, lvl)
+
+
+def test_neighbors_expand_vertex_kind():
+    import pyarrow as pa
+
+    from s2sphere_ray.stages.encode import neighbors_expand
+
+    p = np.unique(ck.parent(IDS[:64], 10))
+    batch = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(p), dtype=np.int64)),
+            "cell_id": pa.array(p, pa.uint64()),
+        }
+    )
+    out = neighbors_expand(batch, kind="vertex", nbr_level=7)
+    assert set(out.column_names) == {"doc_id", "cell_id", "neighbor_id"}
+    nb = out["neighbor_id"].to_numpy()
+    assert (nb != 0).all()
+    by_doc = {}
+    for d, v in zip(out["doc_id"].to_numpy(), nb):
+        by_doc.setdefault(int(d), []).append(int(v))
+    for r, cid in enumerate(p):
+        exp = sorted(
+            c.id for c in g.CellId(int(cid)).get_vertex_neighbors(7)
+        )
+        assert sorted(by_doc[r]) == exp
