@@ -1064,7 +1064,13 @@ def ngram_jaccard_pairs(
     max_candidates: int = 1_000_000,
     max_gram_run: int = 2_000,
     local_rows: int = 2_000_000,
-    verify_broadcast_rows: int = 20_000_000,
+    # Broadcast-CSR verify pays a DRIVER-side gather + lexsort of the
+    # candidate docs' gram rows; measured at 9.1M rows it loses to the
+    # distributed exchange verify at every parallelism level (54 vs 22 s
+    # at 16 CPUs, 60 vs 40 s at 4 — round-5 scaling legs), while at
+    # ≤200k rows it wins 5-7x (round-4 sf0.1 bench).  2M is the
+    # conservative crossover.
+    verify_broadcast_rows: int = 2_000_000,
 ):
     """EXACT word-n-gram Jaccard similarity join via distributed prefix
     filtering (AllPairs/PPJoin family) — the guaranteed-complete companion
