@@ -509,12 +509,30 @@ def minhash_lsh_pairs(
             ),
             PAIR_SCHEMA,
         )
-    # verify="exact": gate the driver gather on the banded-pair row
-    # count (cheap off the materialized compact pair stream).  Past the
-    # budget — dup-saturated corpora — take the fully distributed
-    # exchange verify instead.
-    cand = cand.materialize()
-    if cand.count() > gather_rows:
+    # verify="exact": STREAM the candidate gather under a hard row cap —
+    # the original single-pass gather (a materialize+count pre-gate cost
+    # the sf0.1 minhash micro ~1.25×), aborted the moment the budget is
+    # exceeded.  Past the cap — dup-saturated corpora — the banding
+    # pipeline re-executes once into the fully distributed exchange
+    # verify (the recompute only ever taxes the saturated path).
+    # Under the cap, candidate pairs are driver-materialized: bounded by
+    # genuine near-dups + band collisions, orders of magnitude smaller
+    # than the corpus (the text NEVER is). The same pair surfaces from
+    # several bands — dedupe with one np.unique over the gathered pairs
+    # instead of paying a second distributed shuffle.
+    cand_batches = []
+    gathered = 0
+    over_budget = False
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        cand_batches.append(b)
+        gathered += b.num_rows
+        if gathered > gather_rows:
+            over_budget = True
+            cand_batches = []
+            break
+    if over_budget:
         from ._schema import PAIR_SCHEMA, stabilize_schema
 
         cand_dd = stabilize_schema(
@@ -526,12 +544,6 @@ def minhash_lsh_pairs(
         return _lsh_exchange_verify(
             ds, cand_dd, id_col, shingle_n, jaccard_threshold, num_rows
         )
-    # Candidate pairs are driver-materialized here: bounded by the number
-    # of genuine near-dups + band collisions, orders of magnitude smaller
-    # than the corpus (the text NEVER is). The same pair surfaces from
-    # several bands — dedupe with one np.unique over the gathered pairs
-    # instead of paying a second distributed shuffle.
-    cand_batches = list(cand.iter_batches(batch_format="pyarrow"))
     cand_tbl = (
         pa.concat_tables(cand_batches, promote_options="default")
         if cand_batches
