@@ -130,18 +130,33 @@ def neighbors_expand(
 
 
 def vertex_latlng(batch: pa.Table, id_col: str = "cell_id") -> pa.Table:
-    """E8: 4 cell vertices as list<float64> lat/lng columns (on demand)."""
-    from .. import geometry as g
-
+    """E8: 4 cell vertices as list<float64> lat/lng columns — fully
+    vectorized (was a per-row Cell loop through round 4).  Same CCW
+    corner order ((lo,lo),(hi,lo),(hi,hi),(lo,hi)) and the same float
+    operations as ``geometry.Cell.vertices()`` + ``LatLng.from_point``
+    (normalize then atan2); equal to the scalar path within 2 ulp —
+    np.arctan2 vs math.atan2 libm rounding is the only divergence
+    (pinned by tests/test_stages.py)."""
     ids = _np(batch[id_col])
+    f, i, j, _ = ck.cell_id_to_face_ij_orientation(ids)
+    size = ck.get_size_ij(ck.level(ids))
+    i0, j0 = i & -size, j & -size
+    us = (
+        ck.st_to_uv(ck.ij_to_st_min(i0)),
+        ck.st_to_uv(ck.ij_to_st_min(i0 + size)),
+    )
+    vs = (
+        ck.st_to_uv(ck.ij_to_st_min(j0)),
+        ck.st_to_uv(ck.ij_to_st_min(j0 + size)),
+    )
     vlat = np.empty((len(ids), 4))
     vlng = np.empty((len(ids), 4))
-    for r, cid in enumerate(ids):  # vertices are rarely materialized; small use
-        cell = g.Cell(g.CellId(int(cid)))
-        for k in range(4):
-            ll = g.LatLng.from_point(cell.get_vertex(k))
-            vlat[r, k] = np.degrees(ll.lat)
-            vlng[r, k] = np.degrees(ll.lng)
+    for k, (ui, vi) in enumerate(((0, 0), (1, 0), (1, 1), (0, 1))):
+        x, y, z = ck.face_uv_to_xyz(f, us[ui], vs[vi])
+        nrm = np.sqrt(x * x + y * y + z * z)
+        x, y, z = x / nrm, y / nrm, z / nrm
+        vlat[:, k] = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+        vlng[:, k] = np.degrees(np.arctan2(y, x))
     batch = batch.append_column(
         "vertex_lat", pa.FixedSizeListArray.from_arrays(pa.array(vlat.reshape(-1)), 4)
     )

@@ -1571,3 +1571,37 @@ def test_split_assign_custom_fractions_and_overflow_ids(ray_session):
             valid_pct=-5,
             test_pct=5,
         ).take_all()
+
+
+def test_vertex_latlng_vectorized_matches_scalar():
+    """The vectorized E8 vertex kernel must match the scalar
+    geometry.Cell.vertices() + LatLng.from_point path to <=2 ulp (the
+    only permitted divergence is np.arctan2 vs math.atan2 libm
+    rounding)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from s2sphere_ray import cells as ck
+    from s2sphere_ray import geometry as g
+    from s2sphere_ray.stages.encode import vertex_latlng
+
+    ids = ck.cell_id_from_latlng(
+        np.array([48.8584, 40.7486, -33.8568, 90.0, -90.0, 0.1]),
+        np.array([2.2945, -73.9857, 151.2153, 0.0, 0.0, 179.9]),
+    )
+    ids = np.concatenate([ids, ck.parent(ids, 3), ck.parent(ids, 17)])
+    out = vertex_latlng(
+        pa.table({"cell_id": pa.array(ids, pa.uint64())})
+    )
+    vlat = out["vertex_lat"].combine_chunks().flatten().to_numpy().reshape(-1, 4)
+    vlng = out["vertex_lng"].combine_chunks().flatten().to_numpy().reshape(-1, 4)
+    for r, cid in enumerate(ids):
+        cell = g.Cell(g.CellId(int(cid)))
+        for k in range(4):
+            ll = g.LatLng.from_point(cell.get_vertex(k))
+            np.testing.assert_array_almost_equal_nulp(
+                vlat[r, k], np.degrees(ll.lat), nulp=2
+            )
+            np.testing.assert_array_almost_equal_nulp(
+                vlng[r, k], np.degrees(ll.lng), nulp=2
+            )
