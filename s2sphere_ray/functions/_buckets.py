@@ -76,3 +76,131 @@ def _cluster_cpus() -> int:
     import os
 
     return os.cpu_count() or 8
+
+# --------------------------------------------------------------------------
+# Bucketed high-cardinality aggregation (the round-5 exchange idiom)
+# --------------------------------------------------------------------------
+#
+# Ray's native ``groupby(key).aggregate(Sum(...))`` sort-shuffles the
+# whole exchange BY KEY — measured ~15x slower than a hash-bucketed
+# ``groupby(bucket).map_groups(Arrow C++ hash agg)`` at 4M distinct keys
+# (BASELINE.md round 5, the PageRank deg exchange rework).  The helpers
+# below are the one shared definition of that idiom for the
+# vocabulary-scale exchanges (token/bigram/word/pair histograms,
+# candidate-pair dedup): same all-to-all volume, but the reduce is a
+# C++ hash aggregation over ~target_rows-sized buckets instead of a
+# global sort.
+
+
+def _key_mix(batch, keys):
+    """Combined uint64 hash over one or more key columns (int-typed
+    columns are used full-width; string/binary via poly_hash_strings)."""
+    import numpy as np
+    import pyarrow as pa
+
+    mix = None
+    for k in keys:
+        col = batch[k]
+        if (
+            pa.types.is_string(col.type)
+            or pa.types.is_large_string(col.type)
+            or pa.types.is_binary(col.type)
+            or pa.types.is_large_binary(col.type)
+        ):
+            from .dedup import poly_hash_strings  # lazy: import cycle
+
+            h = poly_hash_strings(col).astype(np.uint64, copy=False)
+        else:
+            h = (
+                col.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .view(np.uint64)
+            )
+        with np.errstate(over="ignore"):
+            mix = h if mix is None else mix * np.uint64(0x100000001B3) + h
+    return mix
+
+
+def bucketed_sum(ds, keys, vals, schema, *, n_buckets=None, num_rows=None):
+    """``groupby(keys).sum(vals)`` as ONE hash-bucketed exchange +
+    per-bucket Arrow C++ hash aggregation.
+
+    Input blocks must already be (keys + vals) partials (callers
+    pre-aggregate per block, so the exchange carries distinct-key
+    partials, not occurrences).  ``schema`` is the output block schema
+    (keys then vals) — empty buckets emit a typed empty table so the
+    block schema stays stable.  Output rows are NOT key-sorted (unlike
+    Ray's native sort-groupby); every consumer in this repo re-sorts or
+    re-shards after the gather.
+    """
+    import pyarrow as pa
+
+    keys, vals = list(keys), list(vals)
+    if n_buckets is None:
+        n_buckets = derive_buckets(num_rows)
+    aggs = [(v, "sum") for v in vals]
+
+    def add_bucket(batch: "pa.Table") -> "pa.Table":
+        if batch.num_rows == 0:
+            return schema.empty_table().append_column(
+                "_kb", pa.array([], pa.int32())
+            )
+        return batch.select(keys + vals).append_column(
+            "_kb", pa.array(hash_buckets(_key_mix(batch, keys), n_buckets))
+        )
+
+    def combine(group: "pa.Table") -> "pa.Table":
+        if group.num_rows == 0 or keys[0] not in group.column_names:
+            return schema.empty_table()
+        t = group.select(keys + vals).group_by(keys).aggregate(aggs)
+        return t.rename_columns(keys + vals).cast(schema)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_kb")
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+def distinct_pairs(ds, extra_cols=(), *, n_buckets=None, num_rows=None):
+    """Distinct ``(id_a, id_b)`` rows of a candidate-pair stream —
+    bucketed by the pair hash, per-bucket Arrow C++ hash-distinct.
+
+    Replaces ``groupby(["id_a","id_b"]).map_groups(slice(0,1))``, which
+    sort-shuffles every candidate pair by the composite key.  Any
+    ``extra_cols`` must be FUNCTIONS of the pair (e.g. a hamming
+    distance) — the representative kept is their min, which equals the
+    unique value.  Output is NOT pair-sorted.
+    """
+    import pyarrow as pa
+
+    extra_cols = list(extra_cols)
+    keys = ["id_a", "id_b"]
+    schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64())]
+        + [(c, pa.int64()) for c in extra_cols]
+    )
+    if n_buckets is None:
+        n_buckets = derive_buckets(num_rows)
+    aggs = [(c, "min") for c in extra_cols]
+
+    def add_bucket(batch: "pa.Table") -> "pa.Table":
+        if batch.num_rows == 0:
+            return schema.empty_table().append_column(
+                "_pb", pa.array([], pa.int32())
+            )
+        return batch.select(keys + extra_cols).append_column(
+            "_pb", pa.array(hash_buckets(_key_mix(batch, keys), n_buckets))
+        )
+
+    def combine(group: "pa.Table") -> "pa.Table":
+        if group.num_rows == 0 or "id_a" not in group.column_names:
+            return schema.empty_table()
+        t = group.select(keys + extra_cols).group_by(keys).aggregate(aggs)
+        return t.rename_columns(keys + extra_cols).cast(schema)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_pb")
+        .map_groups(combine, batch_format="pyarrow")
+    )

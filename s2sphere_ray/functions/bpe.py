@@ -43,6 +43,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _PACK = np.int64(1) << np.int64(32)
+_PAIR_CNT_SCHEMA = pa.schema([("pair", pa.int64()), ("cnt", pa.int64())])
 
 
 # --------------------------------------------------------------------------
@@ -54,8 +55,6 @@ def word_histogram(ds, text_col: str = "text"):
     """(word, freq) Dataset: single-space fields of ``text_col``,
     pre-aggregated per block so the one corpus-scale exchange carries
     distinct-word partials, not token occurrences."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         words = pc.list_flatten(pc.split_pattern(batch[text_col], " "))
         if isinstance(words, pa.ChunkedArray):
@@ -75,10 +74,14 @@ def word_histogram(ds, text_col: str = "text"):
             }
         )
 
-    return (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("word")
-        .aggregate(Sum("freq", alias_name="freq"))
+    from ._buckets import bucketed_sum
+
+    # vocabulary-cardinality exchange — hash-bucketed, not key-sorted
+    return bucketed_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["word"],
+        ["freq"],
+        pa.schema([("word", pa.string()), ("freq", pa.int64())]),
     )
 
 
@@ -282,7 +285,7 @@ def _train_local(words, freq, num_merges: int):
 
 
 def _train_distributed(hist, num_merges: int):
-    from ray.data.aggregate import Sum
+    from ._buckets import bucketed_sum
 
     def to_syms(batch: pa.Table) -> pa.Table:
         flat, offsets = _word_bytes(batch["word"])
@@ -335,11 +338,14 @@ def _train_distributed(hist, num_merges: int):
     next_id = 256
     for _ in range(num_merges):
         cand = (
-            work.map_batches(
-                pair_partial, batch_format="pyarrow", batch_size=None
+            bucketed_sum(
+                work.map_batches(
+                    pair_partial, batch_format="pyarrow", batch_size=None
+                ),
+                ["pair"],
+                ["cnt"],
+                _PAIR_CNT_SCHEMA,
             )
-            .groupby("pair")
-            .aggregate(Sum("cnt", alias_name="cnt"))
             .map_batches(
                 argmax_partial, batch_format="pyarrow", batch_size=None
             )

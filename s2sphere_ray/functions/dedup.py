@@ -501,14 +501,10 @@ def minhash_lsh_pairs(
         # The map_groups output MUST be schema-stabilized: empty hash
         # partitions emit schema-less blocks that break any downstream
         # native join on id_a/id_b (observed at num_cpus=32).
+        from ._buckets import distinct_pairs
         from ._schema import PAIR_SCHEMA, stabilize_schema
 
-        return stabilize_schema(
-            cand.groupby(["id_a", "id_b"]).map_groups(
-                lambda grp: grp.slice(0, 1), batch_format="pyarrow"
-            ),
-            PAIR_SCHEMA,
-        )
+        return stabilize_schema(distinct_pairs(cand), PAIR_SCHEMA)
     # verify="exact": STREAM the candidate gather under a hard row cap —
     # the original single-pass gather (a materialize+count pre-gate cost
     # the sf0.1 minhash micro ~1.25×), aborted the moment the budget is
@@ -533,14 +529,10 @@ def minhash_lsh_pairs(
             cand_batches = []
             break
     if over_budget:
+        from ._buckets import distinct_pairs
         from ._schema import PAIR_SCHEMA, stabilize_schema
 
-        cand_dd = stabilize_schema(
-            cand.groupby(["id_a", "id_b"]).map_groups(
-                lambda grp: grp.slice(0, 1), batch_format="pyarrow"
-            ),
-            PAIR_SCHEMA,
-        )
+        cand_dd = stabilize_schema(distinct_pairs(cand), PAIR_SCHEMA)
         return _lsh_exchange_verify(
             ds, cand_dd, id_col, shingle_n, jaccard_threshold, num_rows
         )
@@ -1028,9 +1020,9 @@ def simhash_neardup_pairs(
     if as_dataset:
         # Crawl-scale mode: distributed dedupe, streamed result — the
         # pair set never reaches the driver.
-        return pairs_ds.groupby(["id_a", "id_b"]).map_groups(
-            lambda grp: grp.slice(0, 1), batch_format="pyarrow"
-        )
+        from ._buckets import distinct_pairs
+
+        return distinct_pairs(pairs_ds, ["hamming"])
     got = list(pairs_ds.iter_batches(batch_format="pyarrow"))
     tbl = (
         pa.concat_tables(got, promote_options="default")
@@ -2031,7 +2023,6 @@ def duplicated_span_strip(
     ``n_tok_dropped`` and replaces ``text_col``.
     """
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     def counts(batch: pa.Table) -> pa.Table:
         _, _, _, wh, _ = _space_window_hashes(batch[text_col], n)
@@ -2043,10 +2034,15 @@ def duplicated_span_strip(
             }
         )
 
-    agg = (
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
-        .groupby("h")
-        .aggregate(Sum("c", alias_name="c"))
+    from ._buckets import bucketed_sum
+
+    # distinct-window-cardinality exchange (~corpus token count at crawl
+    # scale) — hash-bucketed, not key-sorted
+    agg = bucketed_sum(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        ["h"],
+        ["c"],
+        pa.schema([("h", pa.int64()), ("c", pa.int64())]),
     )
 
     def only_dups(batch: pa.Table) -> pa.Table:
@@ -2056,10 +2052,13 @@ def duplicated_span_strip(
             {"h": batch["h"].filter(pc.greater_equal(batch["c"], min_count))}
         )
 
-    dup_rows = agg.map_batches(
-        only_dups, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    dup = np.sort(np.array([r["h"] for r in dup_rows], dtype=np.int64))
+    from ._schema import concat_blocks
+
+    dup_tbl = concat_blocks(
+        agg.map_batches(only_dups, batch_format="pyarrow", batch_size=None),
+        pa.schema([("h", pa.int64())]),
+    )
+    dup = np.sort(dup_tbl["h"].to_numpy(zero_copy_only=False).astype(np.int64))
     dup_ref = _ray.put(dup)
 
     def strip(batch: pa.Table) -> pa.Table:

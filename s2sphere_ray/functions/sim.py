@@ -200,9 +200,9 @@ def embedding_neardup_pairs(
     pairs = bucketed.groupby("lsh_bucket").map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda grp: grp.slice(0, 1), batch_format="pyarrow"
-    )
+    from ._buckets import distinct_pairs
+
+    return distinct_pairs(pairs)
 
 
 def train_ivf_centroids(

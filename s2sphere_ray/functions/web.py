@@ -246,9 +246,11 @@ def unigram_model_ds(ds, text_col: str = "text"):
     """Distributed unigram model: materialized Dataset (h, n) of token
     hash → corpus frequency — per-block value-count partials + ONE
     hash-keyed groupby-sum.  Shared by the broadcast gather
-    (:func:`unigram_code_lengths`) and the sharded scorer."""
-    from ray.data.aggregate import Sum
-
+    (:func:`unigram_code_lengths`) and the sharded scorer.  The
+    vocabulary-scale exchange is hash-bucketed (``bucketed_sum``) — a
+    native key-sorted groupby over a crawl-scale vocab pays the ~15x
+    sort constant the round-5 PageRank rework measured."""
+    from ._buckets import bucketed_sum
     from .dedup import _token_hash_batch
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -261,12 +263,12 @@ def unigram_model_ds(ds, text_col: str = "text"):
             }
         )
 
-    return (
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
-        .groupby("h")
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()
-    )
+    return bucketed_sum(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        ["h"],
+        ["n"],
+        _UNI_MODEL_SCHEMA,
+    ).materialize()
 
 
 def surprisal_batch(
@@ -372,8 +374,10 @@ def bigram_model_ds(ds, text_col: str = "text"):
     bigram key = one (c, w) pair up to 64-bit collision — the same
     documented trade as every hash-keyed operator here), so grouping
     by (bg, ctx) is the same partition as bg alone but carries the
-    context through the exchange for free."""
-    from ray.data.aggregate import Sum
+    context through the exchange for free.  Bucketed exchange, same
+    rationale as :func:`unigram_model_ds` (bigram vocab is ~10x the
+    unigram one)."""
+    from ._buckets import bucketed_sum
 
     def counts(batch: pa.Table) -> pa.Table:
         ctx, bg, _ = _bigram_hashes_batch(batch[text_col])
@@ -386,12 +390,12 @@ def bigram_model_ds(ds, text_col: str = "text"):
             }
         )
 
-    return (
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
-        .groupby(["bg", "ctx"])
-        .aggregate(Sum("n", alias_name="n"))
-        .materialize()
-    )
+    return bucketed_sum(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        ["bg", "ctx"],
+        ["n"],
+        _BG_MODEL_SCHEMA,
+    ).materialize()
 
 
 def bigram_surprisal_batch(
@@ -452,8 +456,6 @@ def _score_bits_sharded(ds, id_col, keyer, model_wire, n_shards, out_col):
     then ONE doc-keyed groupby-sum.  Per-shard memory is
     O(model/shards + distinct-keys-per-shard); nothing model- or
     corpus-sized ever reaches the driver."""
-    from ray.data.aggregate import Sum
-
     from ._buckets import hash_buckets
     from ._schema import stabilize_schema
 
@@ -531,14 +533,18 @@ def _score_bits_sharded(ds, id_col, keyer, model_wire, n_shards, out_col):
             )
         return pa.table({id_col: batch["did"], out_col: batch["v"]})
 
-    return (
+    from ._buckets import bucketed_sum
+
+    # doc-cardinality exchange (billions of rows at crawl scale) —
+    # bucketed, not key-sorted
+    return bucketed_sum(
         occ.union(model_wire)
         .groupby("_sh")
-        .map_groups(score_group, batch_format="pyarrow")
-        .groupby("did")
-        .aggregate(Sum("v", alias_name="v"))
-        .map_batches(rename, batch_format="pyarrow", batch_size=None)
-    )
+        .map_groups(score_group, batch_format="pyarrow"),
+        ["did"],
+        ["v"],
+        _BITS_PARTIAL_SCHEMA,
+    ).map_batches(rename, batch_format="pyarrow", batch_size=None)
 
 
 def unigram_bits_sharded(
@@ -954,7 +960,6 @@ def line_dedup(ds, text_col: str = "text", min_count: int = 2):
     was duplicated).  Assumes non-null text.
     """
     import ray as _ray
-    from ray.data.aggregate import Sum
 
     from .dedup import poly_hash_strings
 
@@ -972,10 +977,14 @@ def line_dedup(ds, text_col: str = "text", min_count: int = 2):
             }
         )
 
-    agg = (
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
-        .groupby("h")
-        .aggregate(Sum("n", alias_name="n"))
+    from ._buckets import bucketed_sum
+
+    # distinct-line-cardinality exchange — bucketed, not key-sorted
+    agg = bucketed_sum(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        ["h"],
+        ["n"],
+        pa.schema([("h", pa.int64()), ("n", pa.int64())]),
     )
 
     def only_dups(batch: pa.Table) -> pa.Table:
@@ -984,14 +993,19 @@ def line_dedup(ds, text_col: str = "text", min_count: int = 2):
         keep = pc.greater_equal(batch["n"], min_count)
         return pa.table({"h": batch["h"].filter(keep)})
 
-    dup_rows = agg.map_batches(
-        only_dups, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    dup = np.sort(np.array([r["h"] for r in dup_rows], dtype=np.int64))
+    from ._schema import concat_blocks
+
+    dup_tbl = concat_blocks(
+        agg.map_batches(only_dups, batch_format="pyarrow", batch_size=None),
+        pa.schema([("h", pa.int64())]),
+    )
+    dup = np.sort(dup_tbl["h"].to_numpy(zero_copy_only=False).astype(np.int64))
     dup_ref = _ray.put(dup)
 
     def strip(batch: pa.Table) -> pa.Table:
-        dup_s = _ray.get(dup_ref)
+        from .dedup import _get_broadcast
+
+        dup_s = _get_broadcast(dup_ref)
         txt = batch[text_col]
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()

@@ -2947,8 +2947,6 @@ def q_outer_join_counts(sf_dir: str):
     """LEFT OUTER join: per-customer order count INCLUDING zero-order
     customers (the rows an inner join silently drops) — Ray's native
     left_outer join, then a count of non-null order keys per customer."""
-    from ray.data.aggregate import Sum
-
     cust = _rd().read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey"]
     )
@@ -2982,10 +2980,14 @@ def q_outer_join_counts(sf_dir: str):
             {"c_custkey": pa.array(u), "n_orders": pa.array(n)}
         )
 
-    return (
-        joined.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("c_custkey")
-        .aggregate(Sum("n_orders", alias_name="n_orders"))
+    from .functions._buckets import bucketed_sum
+
+    # customer-cardinality exchange — hash-bucketed, not key-sorted
+    return bucketed_sum(
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["c_custkey"],
+        ["n_orders"],
+        pa.schema([("c_custkey", pa.int64()), ("n_orders", pa.int64())]),
     )
 
 
