@@ -167,10 +167,31 @@ def _token_hash_batch(texts) -> tuple[np.ndarray, np.ndarray]:
     return h, offsets
 
 
-def _shingle_batch(
-    texts: list[str], n: int = 3
+def _unique_per_doc(
+    sh: np.ndarray, offs: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Vectorized word-n-gram shingle hashes for a whole batch.
+    """Per-document sorted-unique values of a concatenated segment array
+    in ONE vectorized pass (lexsort by (doc, value) + first-occurrence
+    mask) — no per-doc ``np.unique`` Python loop.  Returns
+    (flat uint64, int64 offsets[n_docs+1])."""
+    n_docs = len(offs) - 1
+    counts = np.diff(offs)
+    if not len(sh):
+        return sh, np.zeros(n_docs + 1, dtype=np.int64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((sh, doc_of))
+    d_s, v_s = doc_of[order], sh[order]
+    keep = np.ones(len(v_s), dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+    kept_per = np.bincount(d_s[keep], minlength=n_docs)
+    new_offs = np.concatenate([[0], np.cumsum(kept_per)]).astype(np.int64)
+    return v_s[keep], new_offs
+
+
+def _shingle_batch(texts, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-n-gram shingle hashes for a whole batch; accepts
+    a list[str] or an Arrow string array/chunked array (pass the Arrow
+    column straight through — no ``to_pylist()`` materialization).
 
     Returns (shingles uint64 concatenated, offsets int64[n_docs+1]);
     per-doc shingle multisets match :func:`_shingle_hashes` up to
@@ -597,19 +618,18 @@ def minhash_lsh_pairs(
                 }
             )
         sub = batch.filter(pa.array(wanted))
-        sh, offs = _shingle_batch(sub["text"].to_pylist(), shingle_n)
-        # Per-doc sorted-unique shingle sets (Jaccard is a set measure).
-        lists = [
-            np.unique(sh[offs[d] : offs[d + 1]])
-            for d in range(sub.num_rows)
-        ]
+        sh, offs = _shingle_batch(sub["text"], shingle_n)
+        # Per-doc sorted-unique shingle sets (Jaccard is a set measure) —
+        # one vectorized lexsort pass, no per-doc Python loop.
+        flat, new_offs = _unique_per_doc(sh, offs)
         return pa.table(
             {
                 "id": pa.array(
                     sub[id_col].to_numpy().astype(np.int64), pa.int64()
                 ),
-                "shingles": pa.array(
-                    [l for l in lists], pa.list_(pa.uint64())
+                "shingles": pa.ListArray.from_arrays(
+                    pa.array(new_offs, pa.int32()),
+                    pa.array(flat, pa.uint64()),
                 ),
             }
         )
@@ -683,11 +703,8 @@ def _lsh_exchange_verify(
         if batch.num_rows == 0 or id_col not in batch.column_names:
             return _LSHV_WIRE.empty_table()
         ids = batch[id_col].to_numpy().astype(np.int64)
-        sh, offs = _shingle_batch(batch["text"].to_pylist(), shingle_n)
-        lists = [
-            np.unique(sh[offs[d] : offs[d + 1]])
-            for d in range(batch.num_rows)
-        ]
+        sh, offs = _shingle_batch(batch["text"], shingle_n)
+        flat, new_offs = _unique_per_doc(sh, offs)
         n = len(ids)
         return pa.Table.from_arrays(
             [
@@ -696,7 +713,10 @@ def _lsh_exchange_verify(
                 pa.array(ids),
                 pa.array(np.zeros(n, np.int64)),
                 pa.array(np.zeros(n, np.int64)),
-                pa.array([list(l) for l in lists], pa.large_list(pa.uint64())),
+                pa.LargeListArray.from_arrays(
+                    pa.array(new_offs, pa.int64()),
+                    pa.array(flat, pa.uint64()),
+                ),
             ],
             schema=_LSHV_WIRE,
         )
