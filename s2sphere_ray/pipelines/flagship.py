@@ -58,6 +58,14 @@ def flagship_write(
     pages = geocoded_pages(sf_dir, with_html=True)
     pages = pages.map_batches(cell_encode, batch_format="pyarrow", batch_size=None)
     pages = pages.map_batches(cell_token, batch_format="pyarrow")
+    try:
+        import ray.data as _rd
+
+        n_hint = _rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        ).count()
+    except Exception:
+        n_hint = None
     return write_tiles(
-        pages, out_dir, tile_level, fingerprint=fingerprint
+        pages, out_dir, tile_level, fingerprint=fingerprint, num_rows=n_hint
     )

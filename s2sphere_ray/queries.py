@@ -577,11 +577,23 @@ def q_write_tiles_roundtrip(sf_dir: str):
         tempfile.gettempdir(), f"s2ray_write_rt_{sf_tag}_{os.getpid()}"
     )
     shutil.rmtree(out_dir, ignore_errors=True)
-    write_tiles(_points(sf_dir), out_dir, level=8, fingerprint="rt-v1")
+    # Parquet-metadata row count (free) sizes the partition-prefix length
+    # so small inputs don't scatter over thousands of tiny directories.
+    try:
+        n_hint = _docs(sf_dir, ["doc_id"]).count()
+    except Exception:
+        n_hint = None
+    write_tiles(
+        _points(sf_dir), out_dir, level=8, fingerprint="rt-v1",
+        num_rows=n_hint,
+    )
     manifests = read_manifests(out_dir)
     rows_before = sum(m["rows"] for m in manifests)
     # Resume: nothing to rewrite, manifests unchanged.
-    write_tiles(_points(sf_dir), out_dir, level=8, fingerprint="rt-v1")
+    write_tiles(
+        _points(sf_dir), out_dir, level=8, fingerprint="rt-v1",
+        num_rows=n_hint,
+    )
     manifests2 = read_manifests(out_dir)
     assert sum(m["rows"] for m in manifests2) == rows_before, "resume rewrote"
 

@@ -212,7 +212,8 @@ def write_tiles(
     lat_col="lat",
     lng_col="lng",
     fingerprint: str = "",
-    tile_prefix_len: int = 4,
+    tile_prefix_len: int | None = None,
+    num_rows: int | None = None,
 ):
     """Write pages partitioned by tile-token prefix with lineage manifests.
 
@@ -222,15 +223,38 @@ def write_tiles(
     the same fingerprint skips partitions whose manifest already exists —
     that is the checkpoint/resume contract (SURVEY §4).
 
-    Partitioning by token *prefix* (first ``tile_prefix_len`` hex chars ≈
-    level ~6 granularity) bounds the directory count while keeping
-    restart granularity useful.
+    Partitioning by token *prefix* bounds the directory count while
+    keeping restart granularity useful.  The prefix length is
+    data-proportional (the ``derive_buckets`` idiom): from the
+    ``num_rows`` hint (parquet metadata count — free) it targets
+    ~100k rows/partition clamped to [16, 4096] partitions — a fixed
+    length over-partitions small inputs ~3800 directories of ~13 rows
+    at sf0.1 (filesystem-metadata-bound writes) while a crawl-scale
+    input saturates the cap exactly as before.  Without a hint the
+    scale-safe length 4 is used.  The length chosen by the FIRST run is
+    persisted in ``_manifests/_meta.json`` and reused by every rerun,
+    so the resume skip-set always matches the on-disk layout even if a
+    later caller passes a different hint.
     """
     os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    meta_path = os.path.join(out_dir, "_manifests", "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            tile_prefix_len = int(json.load(fh)["tile_prefix_len"])
+    elif tile_prefix_len is None:
+        if num_rows is not None and num_rows > 0:
+            import math
+
+            p_target = min(4096, max(16, math.ceil(num_rows / 100_000)))
+            tile_prefix_len = max(1, math.ceil(math.log(p_target) / math.log(16)))
+        else:
+            tile_prefix_len = 4
+    with open(meta_path, "w") as fh:
+        json.dump({"tile_prefix_len": int(tile_prefix_len)}, fh)
     done = {
         f[: -len(".json")]
         for f in os.listdir(os.path.join(out_dir, "_manifests"))
-        if f.endswith(".json")
+        if f.endswith(".json") and not f.startswith("_")
     }
     # Input lineage: the source files feeding this write (resolvable from
     # the logical plan for file-based sources; empty for synthetic inputs).
@@ -311,7 +335,8 @@ def read_manifests(out_dir: str) -> list[dict]:
     if not os.path.isdir(mdir):
         return out
     for f in sorted(os.listdir(mdir)):
-        if f.endswith(".json"):
+        # "_meta.json" holds the layout choice, not a partition manifest
+        if f.endswith(".json") and not f.startswith("_"):
             with open(os.path.join(mdir, f)) as fh:
                 out.append(json.load(fh))
     return out
