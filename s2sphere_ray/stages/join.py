@@ -1093,7 +1093,14 @@ def anti_join_drop_ids(
         anti = group["_anti"].to_numpy()
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         drop_ids = np.unique(ids[anti == 1])
-        keep = (anti == 0) & ~np.isin(ids, drop_ids)
+        # drop_ids is sorted-unique: searchsorted membership, no per-group
+        # hash/sort rebuild (the np.isin replacement idiom)
+        if len(drop_ids):
+            pos = np.searchsorted(drop_ids, ids).clip(0, len(drop_ids) - 1)
+            dropped = drop_ids[pos] == ids
+        else:
+            dropped = np.zeros(len(ids), dtype=bool)
+        keep = (anti == 0) & ~dropped
         return group.filter(pa.array(keep)).drop_columns(["_anti", "_ab"])
 
     both = left.map_batches(tag_left, batch_format="pyarrow").union(
