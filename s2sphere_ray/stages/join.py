@@ -731,8 +731,13 @@ def _empty_result(group: pa.Table, point_cols) -> pa.Table:
 
 
 def _find_hot_keys(p_side, threshold: int, with_counts: bool = False):
-    """Counting pre-pass: per-batch partial counts, tiny groupby, driver
-    collect of keys (and counts) whose point count exceeds ``threshold``."""
+    """Counting pre-pass: per-batch partial counts, one hash-bucketed
+    exchange (``bucketed_sum`` — the native key-sorted groupby cost
+    ~2.5 s of the 6.8 s bench join at 1M points), driver gather of keys
+    (and counts) whose point count exceeds ``threshold`` as Arrow
+    column blocks.  Output keys are NOT sorted (callers sort)."""
+    from ..functions._buckets import bucketed_sum
+    from ..functions._schema import concat_blocks
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         k, c = np.unique(batch["join_key"].to_numpy(), return_counts=True)
@@ -743,20 +748,22 @@ def _find_hot_keys(p_side, threshold: int, with_counts: bool = False):
     partials = p_side.map_batches(
         partial_counts, batch_format="pyarrow", batch_size=None
     )
-    totals = partials.groupby("join_key").sum("n")
+    schema = pa.schema([("join_key", pa.int64()), ("n", pa.int64())])
+    totals = bucketed_sum(partials, ["join_key"], ["n"], schema)
 
     def _filt(b: pa.Table) -> pa.Table:
-        col = "sum(n)" if "sum(n)" in b.column_names else b.column_names[-1]
-        return b.filter(pc.greater(b[col], threshold))
+        if b.num_rows == 0 or "n" not in b.column_names:
+            return schema.empty_table()
+        return b.filter(pc.greater(b["n"], threshold))
 
-    rows = totals.map_batches(_filt, batch_format="pyarrow").take_all()
-    keys = np.array([r["join_key"] for r in rows], dtype=np.int64)
+    hot = concat_blocks(
+        totals.map_batches(_filt, batch_format="pyarrow", batch_size=None),
+        schema,
+    )
+    keys = hot["join_key"].to_numpy(zero_copy_only=False).astype(np.int64)
     if not with_counts:
         return keys
-    counts = np.array(
-        [next(v for k, v in r.items() if k != "join_key") for r in rows],
-        dtype=np.int64,
-    )
+    counts = hot["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     return keys, counts
 
 
