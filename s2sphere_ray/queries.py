@@ -604,16 +604,19 @@ def q_write_tiles_roundtrip(sf_dir: str):
         return pa.table(
             {
                 "tile_token": vc.field("values"),
-                "n": vc.field("counts").cast(pa.int64()),
+                "n_rows": vc.field("counts").cast(pa.int64()),
             }
         )
 
-    from ray.data.aggregate import Sum
+    # Token cardinality is 6·4^L — a bucketed exchange, not the native
+    # key-sorted groupby (the repo-wide high-cardinality idiom).
+    from .functions._buckets import bucketed_sum
 
-    return (
-        back.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby("tile_token")
-        .aggregate(Sum("n", alias_name="n_rows"))
+    return bucketed_sum(
+        back.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["tile_token"],
+        ["n_rows"],
+        pa.schema([("tile_token", pa.string()), ("n_rows", pa.int64())]),
     )
 
 
