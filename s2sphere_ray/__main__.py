@@ -3,6 +3,7 @@
     python -m s2sphere_ray flagship --sf-dir /root/testdata/sf0.001
     python -m s2sphere_ray write --sf-dir ... --out /tmp/tiles --level 8
     python -m s2sphere_ray query q_join_rect --sf-dir ...
+    python -m s2sphere_ray export-jsonl --sf-dir ... --out /tmp/docs_jsonl
 
 Owns its Ray session (guarded init per driver contract: library code never
 calls ray.init, only CLI/bench/test entry points do).
@@ -34,6 +35,12 @@ def main(argv=None) -> int:
     qr.add_argument("name")
     qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qr.add_argument("--limit", type=int, default=20)
+    ex = sub.add_parser(
+        "export-jsonl", help="resumable JSONL export of the documents table"
+    )
+    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--fingerprint", default="cli-v1")
     args = ap.parse_args(argv)
 
     import ray
@@ -96,6 +103,33 @@ def main(argv=None) -> int:
                 json.dumps(
                     {"cmd": "query", "name": args.name, "rows": n, "head": head},
                     default=str,
+                )
+            )
+        elif args.cmd == "export-jsonl":
+            import pyarrow.parquet as pq
+
+            from s2sphere_ray.sources import write_jsonl
+            from s2sphere_ray.sources.jsonl import read_manifests
+
+            path = f"{args.sf_dir}/documents.parquet"
+            n_hint = None
+            if os.path.isfile(path):
+                n_hint = pq.ParquetFile(path).metadata.num_rows
+            write_jsonl(
+                rd.read_parquet(path),
+                args.out,
+                fingerprint=args.fingerprint,
+                num_rows=n_hint,
+            )
+            manifests = read_manifests(args.out)
+            print(
+                json.dumps(
+                    {
+                        "cmd": "export-jsonl",
+                        "partitions": len(manifests),
+                        "rows": sum(m["rows"] for m in manifests),
+                        "out": args.out,
+                    }
                 )
             )
         return 0

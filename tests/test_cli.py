@@ -38,3 +38,18 @@ def test_cli_query_smoke():
     assert out["cmd"] == "query"
     assert out["rows"] > 0
     assert len(out["head"]) == 3
+
+
+def test_cli_export_jsonl_smoke(tmp_path):
+    out_dir = str(tmp_path / "docs_jsonl")
+    out = _run_cli(
+        "export-jsonl", "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir
+    )
+    assert out["cmd"] == "export-jsonl"
+    assert out["rows"] == 500
+    assert out["partitions"] >= 16
+    # resume: a second run rewrites nothing (manifests already present)
+    again = _run_cli(
+        "export-jsonl", "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir
+    )
+    assert again["rows"] == 500 and again["partitions"] == out["partitions"]
