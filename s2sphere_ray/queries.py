@@ -1995,8 +1995,8 @@ def q_webtext_quality(sf_dir: str, _vocab_budget: int | None = None):
         VOCAB_BROADCAST_BUDGET,
         bigram_bits_sharded,
         bigram_code_lengths,
-        bigram_model_ds,
         bigram_surprisal_batch,
+        lm_models_ds,
         overlay_id_columns,
         pack_sequences,
         pii_scrub_batch,
@@ -2004,7 +2004,6 @@ def q_webtext_quality(sf_dir: str, _vocab_budget: int | None = None):
         surprisal_batch,
         unigram_bits_sharded,
         unigram_code_lengths,
-        unigram_model_ds,
     )
 
     ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
@@ -2012,8 +2011,9 @@ def q_webtext_quality(sf_dir: str, _vocab_budget: int | None = None):
     budget = (
         VOCAB_BROADCAST_BUDGET if _vocab_budget is None else _vocab_budget
     )
-    uni_model = unigram_model_ds(_docs(sf_dir, ["text"]))
-    bg_model = bigram_model_ds(_docs(sf_dir, ["text"]))
+    # ONE tokenize pass + ONE exchange builds BOTH LM models (the
+    # separate builders each re-read the corpus).
+    uni_model, bg_model = lm_models_ds(_docs(sf_dir, ["text"]))
     sharded = max(uni_model.count(), bg_model.count()) > budget
     if sharded:
         model_ref = None

@@ -491,3 +491,42 @@ def test_webtext_quality_sharded_path_matches_broadcast(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a[sorted(a.columns)], b[sorted(b.columns)])
+
+
+def test_lm_models_ds_equals_separate_builders(ray_session):
+    """The fused one-pass model builder must be row-equal to the two
+    separate builders (same tokens, same hashes, same counts)."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.web import (
+        bigram_model_ds,
+        lm_models_ds,
+        unigram_model_ds,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(0, 30)))
+        for _ in range(300)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+
+    def _sorted(ds, keys):
+        t = pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        return t.sort_by([(k, "ascending") for k in keys]).combine_chunks()
+
+    for parts in (1, 7):
+        src = rd.from_arrow(tbl).repartition(parts)
+        uni_f, bg_f = lm_models_ds(src)
+        uni_s = unigram_model_ds(rd.from_arrow(tbl).repartition(parts))
+        bg_s = bigram_model_ds(rd.from_arrow(tbl).repartition(parts))
+        assert _sorted(uni_f, ["h"]).equals(_sorted(uni_s, ["h"]))
+        assert _sorted(bg_f, ["bg"]).equals(_sorted(bg_s, ["bg"]))
