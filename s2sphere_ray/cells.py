@@ -431,13 +431,44 @@ def token_from_cell_id(cell_id):
 
 
 def token_to_cell_id_array(tokens):
-    """Vectorized token decode: pad to 16 hex digits → uint64 ids."""
-    n = len(tokens)
+    """Vectorized token decode: right-pad to 16 hex digits → uint64 ids.
+
+    Accepts an Arrow string array/chunked array (zero per-row Python —
+    nibble math over the raw UTF-8 buffer) or any sequence of str
+    (converted once).  ``None``/``""``/``"X"``/``"x"`` decode to 0, the
+    inverse of ``token_from_cell_id``'s id-0 convention."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(tokens, pa.ChunkedArray):
+        arr = tokens.combine_chunks()
+    elif isinstance(tokens, pa.Array):
+        arr = tokens
+    else:
+        arr = pa.array(list(tokens), pa.string())
+    n = len(arr)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    invalid = pc.or_(
+        pc.is_null(arr), pc.is_in(arr, value_set=pa.array(["", "X", "x"]))
+    )
+    arr = pc.if_else(invalid, "0000000000000000", arr)
+    arr = pc.ascii_rpad(arr, width=16, padding="0")
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], np.int32)
+    off0 = int(offs[arr.offset])
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    # every row is exactly 16 bytes after the pad, so the value buffer
+    # slice is a dense (n, 16) nibble matrix; all math stays uint8
+    nib = data[off0 : off0 + 16 * n].reshape(n, 16) - np.uint8(48)
+    nib[nib >= 49] -= np.uint8(39)  # 'a'-'f'
+    nib[nib >= 17] -= np.uint8(7)  # 'A'-'F'
     out = np.zeros(n, dtype=np.uint64)
-    for r, t in enumerate(tokens):
-        if t is None or t == "" or t in ("X", "x"):
-            continue
-        out[r] = _u(int(t, 16) << (4 * (16 - len(t))))
+    for k in range(16):  # 16 vector shifts, not a per-row loop
+        out = (out << np.uint64(4)) | nib[:, k]
     return out
 
 

@@ -48,7 +48,7 @@ def token_to_cell(
     batch: pa.Table, token_col: str = "cell_token", out_col: str = "cell_id"
 ) -> pa.Table:
     """E4 inverse: token string → cell id column."""
-    ids = ck.token_to_cell_id_array(batch[token_col].to_pylist())
+    ids = ck.token_to_cell_id_array(batch[token_col])
     return batch.append_column(out_col, pa.array(ids, pa.uint64()))
 
 
