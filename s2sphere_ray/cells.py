@@ -401,12 +401,8 @@ for _c, _v in [(ord(c), i) for i, c in enumerate("0123456789abcdef")] + [
     _HEX_VAL[_c] = _v
 
 
-def token_from_cell_id(cell_id):
-    """Vectorized token encode: 16 hex digits, trailing zeros stripped.
-
-    Returns a list of Python strings (callers wrap into an Arrow column).
-    Token of id 0 is "X" (sphere.py CellId.to_token).
-    """
+def _token_bytes(cell_id):
+    """Shared token-encode core: (utf8 data bytes, int64 offsets)."""
     cell_id = np.atleast_1d(np.asarray(cell_id, dtype=np.uint64))
     n = cell_id.shape[0]
     digits = np.empty((n, 16), dtype=np.uint8)
@@ -426,8 +422,37 @@ def token_from_cell_id(cell_id):
     data = digits[mask]
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
+    return data, offsets
+
+
+def token_from_cell_id(cell_id):
+    """Vectorized token encode: 16 hex digits, trailing zeros stripped.
+
+    Returns a list of Python strings (compat path; batch stages use
+    :func:`token_array_from_cell_id` to skip the per-row str slicing).
+    Token of id 0 is "X" (sphere.py CellId.to_token).
+    """
+    data, offsets = _token_bytes(cell_id)
     flat = data.tobytes().decode("ascii")
-    return [flat[offsets[r] : offsets[r + 1]] for r in range(n)]
+    return [flat[offsets[r] : offsets[r + 1]] for r in range(len(offsets) - 1)]
+
+
+def token_array_from_cell_id(cell_id):
+    """Token encode straight into an Arrow string array — the (offsets,
+    data) buffers are handed to Arrow without materializing Python
+    strings.  Same values as ``token_from_cell_id`` (cross-pinned in
+    tests).  Tokens are ≤16 B/row, so int32 offsets hold for any block
+    below ~134M rows — far past the 250k-row block target."""
+    import pyarrow as pa
+
+    data, offsets = _token_bytes(cell_id)
+    if offsets[-1] > np.iinfo(np.int32).max:  # pragma: no cover
+        raise ValueError("token block exceeds int32 offsets; split batches")
+    return pa.Array.from_buffers(
+        pa.string(),
+        len(offsets) - 1,
+        [None, pa.py_buffer(offsets.astype(np.int32)), pa.py_buffer(data)],
+    )
 
 
 def token_to_cell_id_array(tokens):

@@ -1830,11 +1830,12 @@ def q_neighbors_l8(sf_dir: str):
     )
 
     def tokenize(batch: pa.Table) -> pa.Table:
-        toks = ck.token_from_cell_id(_np(batch["neighbor_id"]))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "neighbor_token": pa.array(toks, pa.string()),
+                "neighbor_token": ck.token_array_from_cell_id(
+                    _np(batch["neighbor_id"])
+                ),
             }
         )
 

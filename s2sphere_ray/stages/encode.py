@@ -40,8 +40,9 @@ def cell_token(
     batch: pa.Table, id_col: str = "cell_id", out_col: str = "cell_token"
 ) -> pa.Table:
     """E4: cell id → token string column."""
-    toks = ck.token_from_cell_id(_np(batch[id_col]))
-    return batch.append_column(out_col, pa.array(toks, pa.string()))
+    return batch.append_column(
+        out_col, ck.token_array_from_cell_id(_np(batch[id_col]))
+    )
 
 
 def token_to_cell(
@@ -86,8 +87,9 @@ def tile_assign(
     tiles = ck.parent(_np(batch[id_col]), level)
     batch = batch.append_column(out_col, pa.array(tiles, pa.uint64()))
     if token:
-        toks = ck.token_from_cell_id(tiles)
-        batch = batch.append_column(out_col + "_token", pa.array(toks, pa.string()))
+        batch = batch.append_column(
+            out_col + "_token", ck.token_array_from_cell_id(tiles)
+        )
     return batch
 
 

@@ -37,8 +37,9 @@ def add_tile_column(
                 )
         tiles = ck.parent(leaf, level)
         batch = batch.append_column("tile_id", pa.array(tiles, pa.uint64()))
-        toks = ck.token_from_cell_id(tiles)
-        return batch.append_column("tile_token", pa.array(toks, pa.string()))
+        return batch.append_column(
+            "tile_token", ck.token_array_from_cell_id(tiles)
+        )
 
     return ds.map_batches(_assign, batch_format="pyarrow")
 
@@ -165,8 +166,9 @@ def tile_counts(
 
     def tokenize(batch: pa.Table) -> pa.Table:
         tiles = batch["tile_id"].to_numpy().view(np.uint64)
-        toks = ck.token_from_cell_id(tiles)
-        batch = batch.append_column("tile_token", pa.array(toks, pa.string()))
+        batch = batch.append_column(
+            "tile_token", ck.token_array_from_cell_id(tiles)
+        )
         return batch.drop_columns(["tile_id"])
 
     return out.map_batches(tokenize, batch_format="pyarrow")

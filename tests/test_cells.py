@@ -228,3 +228,17 @@ def test_neighbors_expand_vertex_kind():
             c.id for c in g.CellId(int(cid)).get_vertex_neighbors(7)
         )
         assert sorted(by_doc[r]) == exp
+
+
+def test_token_array_matches_list_encode():
+    """token_array_from_cell_id is buffer-identical to the list encode."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    ids = rng.integers(0, 2**63, 5000, dtype=np.int64).view(np.uint64)
+    ids[::7] |= np.uint64(1)          # leaf cells
+    ids[::11] = np.uint64(0)          # "X" convention
+    ids[::13] &= ~np.uint64(0xFFFF)   # deep trailing zeros
+    arr = ck.token_array_from_cell_id(ids)
+    assert arr.to_pylist() == ck.token_from_cell_id(ids)
+    assert arr.type == pa.string()
