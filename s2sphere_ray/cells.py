@@ -480,6 +480,11 @@ def token_to_cell_id_array(tokens):
         pc.is_null(arr), pc.is_in(arr, value_set=pa.array(["", "X", "x"]))
     )
     arr = pc.if_else(invalid, "0000000000000000", arr)
+    max_len = pc.max(pc.utf8_length(arr)).as_py()
+    if max_len is not None and max_len > 16:
+        # rpad never truncates; a >16-char token would misalign the
+        # dense nibble matrix and corrupt every later row
+        raise ValueError("token longer than 16 hex digits")
     arr = pc.ascii_rpad(arr, width=16, padding="0")
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -491,6 +496,9 @@ def token_to_cell_id_array(tokens):
     nib = data[off0 : off0 + 16 * n].reshape(n, 16) - np.uint8(48)
     nib[nib >= 49] -= np.uint8(39)  # 'a'-'f'
     nib[nib >= 17] -= np.uint8(7)  # 'A'-'F'
+    if nib.size and nib.max() > 15:
+        # non-hex byte (the scalar path's int(t, 16) ValueError)
+        raise ValueError("token holds a non-hex character")
     out = np.zeros(n, dtype=np.uint64)
     for k in range(16):  # 16 vector shifts, not a per-row loop
         out = (out << np.uint64(4)) | nib[:, k]

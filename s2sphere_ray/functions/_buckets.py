@@ -65,6 +65,24 @@ def hash_buckets(keys, n_buckets: int):
     return b.astype(np.int32)
 
 
+def sorted_lookup(values, sorted_arr):
+    """(hit mask, clipped positions) of ``values`` in sorted-unique
+    ``sorted_arr`` via ONE ``np.searchsorted`` — the shared
+    ``np.isin``-replacement (use the mask) and broadcast-index probe
+    (use the positions where the mask is true).  O(n log m) with no
+    per-call hash build; empty inputs yield all-false / zeros."""
+    import numpy as np
+
+    values = np.asarray(values)
+    if len(sorted_arr) == 0 or len(values) == 0:
+        return (
+            np.zeros(len(values), dtype=bool),
+            np.zeros(len(values), dtype=np.int64),
+        )
+    pos = np.searchsorted(sorted_arr, values).clip(0, len(sorted_arr) - 1)
+    return sorted_arr[pos] == values, pos
+
+
 def _cluster_cpus() -> int:
     try:
         import ray

@@ -601,15 +601,13 @@ def minhash_lsh_pairs(
 
     def shingle_candidates(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy()
-        # need_ids is sorted-unique: searchsorted membership is
-        # O(n log m) with no per-batch hash build (np.isin) and the
-        # broadcast deserializes once per worker process, not per batch.
+        # need_ids is sorted-unique: shared searchsorted membership (no
+        # per-batch hash build) and the broadcast deserializes once per
+        # worker process, not per batch.
+        from ._buckets import sorted_lookup
+
         need = _get_broadcast(ids_ref)
-        if len(need):
-            pos = np.searchsorted(need, ids).clip(0, len(need) - 1)
-            wanted = need[pos] == ids
-        else:
-            wanted = np.zeros(len(ids), dtype=bool)
+        wanted, _ = sorted_lookup(ids, need)
         if not wanted.any():
             return pa.table(
                 {
@@ -770,9 +768,10 @@ def _lsh_exchange_verify(
         doc_take = np.flatnonzero(~rm)[dorder]
         ddid = ddid[dorder]
         rdid = did[rm]
-        pos = np.searchsorted(ddid, rdid).clip(0, max(len(ddid) - 1, 0))
+        from ._buckets import sorted_lookup
+
         # every candidate id exists in the corpus; missing → empty set
-        hit = ddid[pos] == rdid if len(ddid) else np.zeros(len(rdid), bool)
+        hit, pos = sorted_lookup(rdid, ddid)
         take_idx = np.where(hit, doc_take[pos], -1)
         sets = sh_col.take(
             pa.array(np.where(take_idx >= 0, take_idx, 0), pa.int64())
@@ -1496,10 +1495,11 @@ def ngram_jaccard_pairs(
         docs_ref = _ray.put(uniq_docs)
 
         def pick_rows(batch: pa.Table) -> pa.Table:
+            from ._buckets import sorted_lookup
+
             uniq = _get_broadcast(docs_ref)
             did = batch["did"].to_numpy()
-            pos = np.searchsorted(uniq, did).clip(0, max(len(uniq) - 1, 0))
-            valid = uniq[pos] == did
+            valid, _ = sorted_lookup(did, uniq)
             return pa.table(
                 {
                     "did": pa.array(did[valid]),
@@ -1555,11 +1555,13 @@ def ngram_jaccard_pairs(
             # (pair, gram) run of length 2 IS one intersection element);
             # any change to that assumption must land in BOTH kernels —
             # the 8-combo brute-force pin test enforces agreement.
+            from ._buckets import sorted_lookup
+
             docs, offs, grams_v = _get_broadcast(csr_ref)
             aa = batch["id_a"].to_numpy()
             bb = batch["id_b"].to_numpy()
-            ia = np.searchsorted(docs, aa).clip(0, max(len(docs) - 1, 0))
-            ib = np.searchsorted(docs, bb).clip(0, max(len(docs) - 1, 0))
+            _, ia = sorted_lookup(aa, docs)
+            _, ib = sorted_lookup(bb, docs)
             ca = offs[ia + 1] - offs[ia]
             cb = offs[ib + 1] - offs[ib]
             npair = len(aa)
@@ -1618,11 +1620,11 @@ def ngram_jaccard_pairs(
     # side — run length 2 ⟺ intersection element — and the total rows
     # of a pair are exactly |A| + |B|, giving union = rows − inter.
     def emit_pair_grams(batch: pa.Table) -> pa.Table:
+        from ._buckets import sorted_lookup
+
         uniq, offs, pk_arr = _ray.get(index_ref)
         did = batch["did"].to_numpy()
-        pos = np.searchsorted(uniq, did)
-        pos[pos >= len(uniq)] = 0
-        valid = uniq[pos] == did if len(uniq) else np.zeros(len(did), bool)
+        valid, pos = sorted_lookup(did, uniq)
         if not valid.any():
             return pa.table(
                 {

@@ -485,12 +485,15 @@ def lm_models_ds(ds, text_col: str = "text"):
             {"bg": t["key"], "ctx": t["ctx"], "n": t["n"]}
         ).cast(_BG_MODEL_SCHEMA)
 
+    # materialize each split so consumers (budget-gate counts, gathers,
+    # sharded scorers) don't re-run the split map per use — same
+    # contract as the separate builders, which returned materialized
     uni = combined.map_batches(
         split_uni, batch_format="pyarrow", batch_size=None
-    )
+    ).materialize()
     bg = combined.map_batches(
         split_bg, batch_format="pyarrow", batch_size=None
-    )
+    ).materialize()
     return uni, bg
 
 

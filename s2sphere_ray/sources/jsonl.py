@@ -51,6 +51,30 @@ def _part_name(bucket: int) -> str:
     return f"part-{bucket:05d}"
 
 
+def _check_finite(body: pa.Table) -> None:
+    """JSON has no NaN/Inf; orjson would silently serialize them as
+    ``null`` — gate them with an error instead (the binary-column
+    policy applied to non-finite floats).  Checks float columns and
+    list<float> columns (flattened); nulls stay legal."""
+    for name, typ in zip(body.schema.names, body.schema.types):
+        col = None
+        if pa.types.is_floating(typ):
+            col = body[name]
+        elif (
+            pa.types.is_list(typ) or pa.types.is_large_list(typ)
+        ) and pa.types.is_floating(typ.value_type):
+            col = body[name].combine_chunks().flatten()
+        if col is None:
+            continue
+        vals = pc.drop_null(col)
+        if len(vals) and not pc.all(pc.is_finite(vals)).as_py():
+            raise ValueError(
+                f"column {name!r} holds non-finite floats (NaN/Inf); "
+                "JSON cannot represent them — clean or drop the column, "
+                "or write Parquet."
+            )
+
+
 def write_jsonl(
     ds,
     out_dir: str,
@@ -65,12 +89,13 @@ def write_jsonl(
     are skipped and not re-listed).
 
     ``id_col`` must be an integer column; rows are bucketed by its hash
-    and sorted by it inside each part file (deterministic bytes).
-    ``binary="base64"`` converts binary columns to base64 strings and
-    records them in the meta so ``read_jsonl`` restores them.
+    and sorted by it — with equal-id runs tie-broken by serialized bytes
+    — inside each part file, so part bytes are deterministic even for
+    duplicate ids.  ``binary="base64"`` converts binary columns to
+    base64 strings and records them in the meta so ``read_jsonl``
+    restores them.  Non-finite float values (NaN/±Inf) raise — JSON has
+    no representation for them (orjson would silently emit ``null``).
     """
-    import ray as _ray
-
     from ..functions._buckets import hash_buckets
 
     man_dir = os.path.join(out_dir, "_manifests")
@@ -152,6 +177,7 @@ def write_jsonl(
         if name in done:
             return empty
         body = group.drop_columns(["_jp"]).sort_by(id_col)
+        _check_finite(body)
         for c in b64_cols:
             ix = body.schema.get_field_index(c)
             enc = pa.array(
@@ -163,7 +189,16 @@ def write_jsonl(
             )
             body = body.set_column(ix, c, enc)
         dumps = _orjson().dumps
-        buf = b"".join(dumps(r) + b"\n" for r in body.to_pylist())
+        lines = [dumps(r) + b"\n" for r in body.to_pylist()]
+        ids = body[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
+            # duplicate ids: tie-break equal-id runs by serialized bytes
+            # so part bytes stay a pure function of the data
+            order = sorted(
+                range(len(lines)), key=lambda i: (int(ids[i]), lines[i])
+            )
+            lines = [lines[i] for i in order]
+        buf = b"".join(lines)
         path = os.path.join(out_dir, name + ".jsonl")
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
@@ -224,6 +259,16 @@ def read_jsonl(path, columns=None, schema: pa.Schema | None = None):
             if f.endswith(".jsonl") or f.endswith(".jsonl.gz")
         )
         if not paths:
+            # A sink dir with meta but no parts is a legal 0-row export
+            # (empty buckets write no file); surface it as a typed empty
+            # Dataset when the caller gave a schema.
+            if os.path.exists(meta_path) and schema is not None:
+                fields = [
+                    f
+                    for f in schema
+                    if columns is None or f.name in set(columns)
+                ]
+                return rd.from_arrow(pa.schema(fields).empty_table())
             raise FileNotFoundError(f"no .jsonl files under {path}")
     else:
         paths = path

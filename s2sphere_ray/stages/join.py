@@ -770,11 +770,11 @@ def _find_hot_keys(p_side, threshold: int, with_counts: bool = False):
 def _split_points_targeted(batch: pa.Table, split_ref) -> pa.Table:
     """Re-key point rows of hot keys to their per-key target level (the
     broadcast carries (sorted hot keys, target levels))."""
+    from ..functions._buckets import sorted_lookup
+
     hot_sorted, tgt_sorted = _get_params(split_ref)
     keys = batch["join_key"].to_numpy()
-    pos = np.searchsorted(hot_sorted, keys)
-    pos_c = np.minimum(pos, len(hot_sorted) - 1)
-    is_hot = (len(hot_sorted) > 0) & (hot_sorted[pos_c] == keys)
+    is_hot, pos_c = sorted_lookup(keys, hot_sorted)
     side = batch["side"].to_numpy()
     sel = is_hot & (side == 0)
     if not sel.any():
@@ -1100,13 +1100,9 @@ def anti_join_drop_ids(
         anti = group["_anti"].to_numpy()
         ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         drop_ids = np.unique(ids[anti == 1])
-        # drop_ids is sorted-unique: searchsorted membership, no per-group
-        # hash/sort rebuild (the np.isin replacement idiom)
-        if len(drop_ids):
-            pos = np.searchsorted(drop_ids, ids).clip(0, len(drop_ids) - 1)
-            dropped = drop_ids[pos] == ids
-        else:
-            dropped = np.zeros(len(ids), dtype=bool)
+        from ..functions._buckets import sorted_lookup
+
+        dropped, _ = sorted_lookup(ids, drop_ids)
         keep = (anti == 0) & ~dropped
         return group.filter(pa.array(keep)).drop_columns(["_anti", "_ab"])
 

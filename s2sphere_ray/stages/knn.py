@@ -131,14 +131,11 @@ def knn_points_pruned(
         lng = _np(batch[lng_col])
         pid = _np(batch[point_id_col])
         anc = ck.parent(ck.cell_id_from_latlng(lat, lng), level)
-        # cells is sorted-unique (np.unique): searchsorted membership is
-        # O(n log m) with no per-batch hash/sort build (the np.isin
-        # replacement idiom, functions/dedup.py:594)
-        if len(cells):
-            pos = np.searchsorted(cells, anc).clip(0, len(cells) - 1)
-            keep = cells[pos] == anc
-        else:
-            keep = np.zeros(len(anc), dtype=bool)
+        # cells is sorted-unique (np.unique): shared searchsorted
+        # membership, no per-batch hash/sort build
+        from ..functions._buckets import sorted_lookup
+
+        keep, _ = sorted_lookup(anc, cells)
         lat, lng, pid = lat[keep], lng[keep], pid[keep]
         if not len(lat):
             return pa.table(

@@ -242,3 +242,12 @@ def test_token_array_matches_list_encode():
     arr = ck.token_array_from_cell_id(ids)
     assert arr.to_pylist() == ck.token_from_cell_id(ids)
     assert arr.type == pa.string()
+
+
+def test_token_decode_rejects_malformed():
+    import pytest
+
+    with pytest.raises(ValueError, match="non-hex"):
+        ck.token_to_cell_id_array(["zz", "4"])
+    with pytest.raises(ValueError, match="longer than 16"):
+        ck.token_to_cell_id_array(["89c2500000000000f", "4"])

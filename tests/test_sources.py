@@ -194,3 +194,72 @@ def test_binary_column_policy(ray_session, tmp_path):
         read_jsonl(d).iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("doc_id")
     assert back["payload"].to_pylist() == src["payload"].to_pylist()
+
+
+def test_nonfinite_floats_rejected(ray_session, tmp_path):
+    import ray.data as rd
+
+    from s2sphere_ray.sources import write_jsonl
+
+    src = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "x": pa.array([1.5, float("nan")], pa.float64()),
+        }
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        write_jsonl(rd.from_arrow(src), str(tmp_path / "nan"), num_rows=2)
+    src2 = pa.table(
+        {
+            "doc_id": pa.array([1], pa.int64()),
+            "emb": pa.array([[0.5, float("inf")]], pa.list_(pa.float64())),
+        }
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        write_jsonl(rd.from_arrow(src2), str(tmp_path / "inf"), num_rows=1)
+    # null floats stay legal
+    src3 = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "x": pa.array([1.5, None], pa.float64()),
+        }
+    )
+    write_jsonl(rd.from_arrow(src3), str(tmp_path / "ok"), num_rows=2)
+
+
+def test_empty_export_reads_back_empty(ray_session, tmp_path):
+    import ray.data as rd
+
+    from s2sphere_ray.sources import read_jsonl, write_jsonl
+
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    d = str(tmp_path / "empty")
+    out = write_jsonl(rd.from_arrow(schema.empty_table()), d, num_rows=0)
+    assert out == []
+    back = read_jsonl(d, schema=schema)
+    assert back.count() == 0
+
+
+def test_duplicate_ids_deterministic_bytes(ray_session, tmp_path):
+    import ray.data as rd
+
+    from s2sphere_ray.sources import write_jsonl
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([7, 7, 7, 8], pa.int64()),
+            "text": pa.array(["c", "a", "b", "z"], pa.string()),
+        }
+    )
+    rev = tbl.take(pa.array([3, 2, 1, 0]))
+    d1, d2 = str(tmp_path / "x"), str(tmp_path / "y")
+    write_jsonl(rd.from_arrow(tbl), d1, num_rows=4)
+    write_jsonl(rd.from_arrow(rev).repartition(3), d2, num_rows=4)
+    f1 = sorted(f for f in os.listdir(d1) if f.endswith(".jsonl"))
+    f2 = sorted(f for f in os.listdir(d2) if f.endswith(".jsonl"))
+    assert f1 == f2
+    for f in f1:
+        with open(os.path.join(d1, f), "rb") as a, open(
+            os.path.join(d2, f), "rb"
+        ) as b:
+            assert a.read() == b.read()
