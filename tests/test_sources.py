@@ -263,3 +263,43 @@ def test_duplicate_ids_deterministic_bytes(ray_session, tmp_path):
             os.path.join(d2, f), "rb"
         ) as b:
             assert a.read() == b.read()
+
+
+def test_unicode_and_control_chars_roundtrip(ray_session, tmp_path):
+    """Newlines inside values must NOT break the line-delimited format
+    (JSON escapes them), and unicode/control chars survive exactly."""
+    import ray.data as rd
+
+    from s2sphere_ray.sources import read_jsonl, write_jsonl
+
+    texts = [
+        "plain",
+        "embedded\nnewline\r\nand\rcarriage",
+        "tab\tquote\"backslash\\slash/",
+        "emoji \U0001f600\U0001f680 combining é",
+        "nul\x00bell\x07esc\x1b",
+        "𠜎𠜱𠝹 ﷽ مرحبا שלום",
+        "",
+    ]
+    src = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    d = str(tmp_path / "uni")
+    write_jsonl(rd.from_arrow(src), d, num_rows=len(texts))
+    back = pa.concat_tables(
+        read_jsonl(d, schema=src.schema).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("doc_id")
+    assert back["text"].to_pylist() == texts
+    # every physical line is one JSON doc (the newline inside a value
+    # was escaped, not emitted raw)
+    total_lines = 0
+    for f in os.listdir(d):
+        if f.endswith(".jsonl"):
+            with open(os.path.join(d, f), "rb") as fh:
+                total_lines += sum(1 for _ in fh)
+    assert total_lines == len(texts)
