@@ -1076,6 +1076,69 @@ def simhash_neardup_pairs(
     return tbl
 
 
+def _verify_pairs_csr(
+    docs: np.ndarray,
+    offs: np.ndarray,
+    grams_v: np.ndarray,
+    aa: np.ndarray,
+    bb: np.ndarray,
+    t_x1000: int,
+) -> pa.Table:
+    """Exact Jaccard verification of pair batch (aa, bb) against a CSR
+    doc→sorted-grams index — the ONE shared count kernel behind both the
+    broadcast in-task verify and the local in-process verify.  Same
+    run-of-2 intersection math as the exchange path's count_pairs
+    (per-doc grams are DISTINCT, so a (pair, gram) run of length 2 IS
+    one intersection element); any change to that assumption must land
+    in ALL kernels — the 8-combo brute-force pin test enforces
+    agreement.  Returns rows passing ``1000·inter ≥ t_x1000·union``."""
+    from ._buckets import sorted_lookup
+
+    _, ia = sorted_lookup(aa, docs)
+    _, ib = sorted_lookup(bb, docs)
+    ca = offs[ia + 1] - offs[ia]
+    cb = offs[ib + 1] - offs[ib]
+    npair = len(aa)
+
+    def gather(starts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+        total = int(cnt.sum())
+        if not total:
+            return np.zeros(0, grams_v.dtype)
+        base = np.repeat(starts, cnt)
+        run0 = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        return grams_v[base + (np.arange(total) - run0)]
+
+    pidx = np.concatenate(
+        [np.repeat(np.arange(npair), ca), np.repeat(np.arange(npair), cb)]
+    )
+    gvals = np.concatenate([gather(offs[ia], ca), gather(offs[ib], cb)])
+    sort_ix = np.lexsort((gvals, pidx))
+    p_s, g_s = pidx[sort_ix], gvals[sort_ix]
+    new_run = np.ones(len(p_s), dtype=bool)
+    new_run[1:] = (p_s[1:] != p_s[:-1]) | (g_s[1:] != g_s[:-1])
+    run_id = np.cumsum(new_run) - 1
+    run_len = np.bincount(run_id) if len(run_id) else np.zeros(0, np.int64)
+    first_p = p_s[new_run] if len(p_s) else np.zeros(0, np.int64)
+    inter = np.bincount(first_p[run_len == 2], minlength=npair).astype(
+        np.int64
+    )
+    total = (ca + cb).astype(np.int64)
+    union = total - inter
+    keep = inter * 1000 >= t_x1000 * union
+    jac = np.zeros(npair, dtype=np.int64)
+    nz = union > 0
+    jac[nz] = (1000 * inter[nz]) // union[nz]
+    return pa.table(
+        {
+            "id_a": pa.array(aa[keep].astype(np.int64)),
+            "id_b": pa.array(bb[keep].astype(np.int64)),
+            "inter_n": pa.array(inter[keep]),
+            "union_n": pa.array(union[keep]),
+            "jac_x1000": pa.array(jac[keep]),
+        }
+    )
+
+
 def ngram_jaccard_pairs(
     ds,
     id_col: str = "doc_id",
@@ -1149,18 +1212,19 @@ def ngram_jaccard_pairs(
     Returns (id_a, id_b, inter_n, union_n, jac_x1000), id_a < id_b.
 
     Hybrid small-state path: when the distinct-gram table holds ≤
-    ``local_rows`` rows (known from the materialize), it is coalesced to
-    ONE block and steps 2–4 run as fused whole-block ``map_batches``
-    with zero sort exchanges — every kernel is a bucket-level reduction,
-    and one block is one bucket.  Same kernels, same results; this is
-    the connected-components single-task-finisher pattern applied to a
-    join, and it removes ~6 s of fixed exchange overhead at test scale.
-    Step 5's verify exchange is NEVER shortcut (Ray splits oversized map
-    outputs into multiple blocks, so a fused whole-batch count would see
-    partial pair groups), but its expansion input is repartitioned to
-    match the estimated expansion size so it parallelizes even when the
-    candidate path ran single-block.  Above the threshold the fully
-    distributed chain runs unchanged.
+    ``local_rows`` rows (known from the materialize), the whole table is
+    gathered ONCE and steps 2–4 run IN-PROCESS on the driver — the same
+    pure Table→Table kernels the distributed chain maps, called
+    directly.  When the broadcast verify is also admitted and the pair
+    set is small (≤50k), step 5 runs in-process too, so the entire join
+    costs exactly ONE dataset execution (the grams materialize): each
+    Ray execution carries ~0.5–2 s of fixed streaming overhead at test
+    scale while the kernels need ~10 ms (round-5 measurement — the full
+    sf0.1 tokenize is 68 ms single-threaded).  The EXCHANGE verify is
+    never fused into a map (Ray splits oversized map outputs into
+    multiple blocks, so a fused whole-batch count would see partial
+    pair groups — the round-4 regression the 8-combo pin test guards);
+    above ``local_rows`` the fully distributed chain runs unchanged.
     """
     from ._buckets import derive_buckets, hash_buckets
 
@@ -1355,30 +1419,40 @@ def ngram_jaccard_pairs(
             {"id_a": pa.array(did[a_ix]), "id_b": pa.array(did[b_ix])}
         )
 
-    from ._schema import PAIR_SCHEMA, stabilize_schema
+    from ._schema import PAIR_SCHEMA, concat_blocks, stabilize_schema
 
+    gt_all: pa.Table | None = None
     if local:
         # Single-block state: the three kernels are bucket-agnostic
-        # whole-group reductions, so fuse them into ONE task over the
-        # one block — identical results, zero sort exchanges.
-        def local_candidates(batch: pa.Table) -> pa.Table:
-            if order == "freq":
-                t = attach_freq(
-                    batch.append_column(
-                        "_fb",
-                        pa.array(np.zeros(batch.num_rows, dtype=np.int32)),
-                    )
-                )
-            else:
-                t = zero_freq(batch)
-            return emit_pairs(mark_prefix(t))
-
-        cand = stabilize_schema(
-            grams_raw.map_batches(
-                local_candidates, batch_format="pyarrow", batch_size=None
+        # whole-group reductions, AND the whole gram table is bounded by
+        # ``local_rows`` — so gather it ONCE and run the candidate chain
+        # driver-side in the same numpy space.  Each Ray dataset
+        # execution costs ~0.5-2 s of fixed streaming overhead at test
+        # scale while the kernels run in ~10 ms (measured: the full
+        # sf0.1 tokenize is 68 ms single-threaded); the driver path
+        # removes the candidate execution, the pick_rows execution and
+        # (with the broadcast verify) the verify execution.
+        gt_all = concat_blocks(
+            grams_raw,
+            pa.schema(
+                [
+                    ("did", pa.int64()),
+                    ("gram", pa.int64()),
+                    ("set_sz", pa.int64()),
+                ]
             ),
-            PAIR_SCHEMA,
         )
+        if order == "freq":
+            t = attach_freq(
+                gt_all.append_column(
+                    "_fb",
+                    pa.array(np.zeros(gt_all.num_rows, dtype=np.int32)),
+                )
+            )
+        else:
+            t = zero_freq(gt_all)
+        cand_raw = emit_pairs(mark_prefix(t))
+        cand_batches = [cand_raw] if cand_raw.num_rows else []
     else:
         cand = stabilize_schema(
             prefixes.map_batches(
@@ -1388,19 +1462,20 @@ def ngram_jaccard_pairs(
             .map_groups(emit_pairs, batch_format="pyarrow"),
             PAIR_SCHEMA,
         )
-    # Guard before the verify expansion: candidates x set-size rows flow
-    # through the pair-gram exchange, so a degenerate candidate set
-    # (low-diversity corpus, low threshold => nearly all pairs survive
-    # prefix filtering) must fail loudly here, not grind through an
-    # O(n^2) exchange.  The raw stream may carry the same pair once per
-    # shared prefix gram (dup factor <= prefix length); deduping at the
-    # driver with np.unique replaces a whole hash-bucketed exchange
-    # (round-4: one of five sorts removed), at the cost of an 8x-cap raw
-    # gather bound (16 B/row => <=128 MB driver-side at the default cap)
-    # — which is also what licenses the driver-side pair index below.
-    cand_batches = [
-        b for b in cand.iter_batches(batch_format="pyarrow") if b.num_rows
-    ]
+        # Guard before the verify expansion: candidates x set-size rows
+        # flow through the pair-gram exchange, so a degenerate candidate
+        # set (low-diversity corpus, low threshold => nearly all pairs
+        # survive prefix filtering) must fail loudly here, not grind
+        # through an O(n^2) exchange.  The raw stream may carry the same
+        # pair once per shared prefix gram (dup factor <= prefix
+        # length); deduping at the driver with np.unique replaces a
+        # whole hash-bucketed exchange (round-4: one of five sorts
+        # removed), at the cost of an 8x-cap raw gather bound (16 B/row
+        # => <=128 MB driver-side at the default cap) — which is also
+        # what licenses the driver-side pair index below.
+        cand_batches = [
+            b for b in cand.iter_batches(batch_format="pyarrow") if b.num_rows
+        ]
     raw_rows = sum(b.num_rows for b in cand_batches)
     if raw_rows > 8 * max_candidates:
         raise ValueError(
@@ -1491,7 +1566,27 @@ def ngram_jaccard_pairs(
     avg_set = g_rows / max(1, num_rows) if num_rows else 64.0
     est_cand_gram_rows = int(len(uniq_docs) * max(1.0, avg_set))
     use_broadcast = est_cand_gram_rows <= verify_broadcast_rows
-    if use_broadcast:
+    if use_broadcast and gt_all is not None:
+        # Local path: the whole gram table is already driver-side
+        # (bounded by ``local_rows``) — filter the candidate docs' rows
+        # in-process instead of paying a pick_rows dataset execution.
+        from ._buckets import sorted_lookup
+
+        did_v = gt_all["did"].to_numpy()
+        valid, _ = sorted_lookup(did_v, uniq_docs)
+        picked = (
+            [
+                pa.table(
+                    {
+                        "did": pa.array(did_v[valid]),
+                        "gram": pa.array(gt_all["gram"].to_numpy()[valid]),
+                    }
+                )
+            ]
+            if valid.any()
+            else []
+        )
+    elif use_broadcast:
         docs_ref = _ray.put(uniq_docs)
 
         def pick_rows(batch: pa.Table) -> pa.Table:
@@ -1540,9 +1635,20 @@ def ngram_jaccard_pairs(
         csr_offs = np.append(
             np.searchsorted(did_all, uniq_docs), len(did_all)
         ).astype(np.int64)
-        csr_ref = _ray.put((uniq_docs, csr_offs, gram_all))
 
         import ray.data as _rd
+
+        if gt_all is not None and n_cand <= 50_000:
+            # Local + small pair set: verify ALL pairs in-process — the
+            # whole jaccard join then costs exactly ONE dataset
+            # execution (the grams materialize).  Past 50k pairs the
+            # task pool below parallelizes the expansion instead.
+            return _rd.from_arrow(
+                _verify_pairs_csr(
+                    uniq_docs, csr_offs, gram_all, a_ids, b_ids, t_x1000
+                )
+            )
+        csr_ref = _ray.put((uniq_docs, csr_offs, gram_all))
 
         pairs_ds = _rd.from_arrow(cand_tbl)
         blocks = max(1, min(256, math.ceil(n_cand / 50_000)))
@@ -1550,62 +1656,14 @@ def ngram_jaccard_pairs(
             pairs_ds = pairs_ds.repartition(blocks)
 
         def verify_batch(batch: pa.Table) -> pa.Table:
-            # Same run-of-2 intersection math as the exchange path's
-            # count_pairs below (per-doc grams are DISTINCT, so a
-            # (pair, gram) run of length 2 IS one intersection element);
-            # any change to that assumption must land in BOTH kernels —
-            # the 8-combo brute-force pin test enforces agreement.
-            from ._buckets import sorted_lookup
-
             docs, offs, grams_v = _get_broadcast(csr_ref)
-            aa = batch["id_a"].to_numpy()
-            bb = batch["id_b"].to_numpy()
-            _, ia = sorted_lookup(aa, docs)
-            _, ib = sorted_lookup(bb, docs)
-            ca = offs[ia + 1] - offs[ia]
-            cb = offs[ib + 1] - offs[ib]
-            npair = len(aa)
-
-            def gather(starts: np.ndarray, cnt: np.ndarray) -> np.ndarray:
-                total = int(cnt.sum())
-                if not total:
-                    return np.zeros(0, grams_v.dtype)
-                base = np.repeat(starts, cnt)
-                run0 = np.repeat(np.cumsum(cnt) - cnt, cnt)
-                return grams_v[base + (np.arange(total) - run0)]
-
-            pidx = np.concatenate(
-                [np.repeat(np.arange(npair), ca), np.repeat(np.arange(npair), cb)]
-            )
-            gvals = np.concatenate(
-                [gather(offs[ia], ca), gather(offs[ib], cb)]
-            )
-            sort_ix = np.lexsort((gvals, pidx))
-            p_s, g_s = pidx[sort_ix], gvals[sort_ix]
-            new_run = np.ones(len(p_s), dtype=bool)
-            new_run[1:] = (p_s[1:] != p_s[:-1]) | (g_s[1:] != g_s[:-1])
-            run_id = np.cumsum(new_run) - 1
-            run_len = (
-                np.bincount(run_id) if len(run_id) else np.zeros(0, np.int64)
-            )
-            first_p = p_s[new_run] if len(p_s) else np.zeros(0, np.int64)
-            inter = np.bincount(
-                first_p[run_len == 2], minlength=npair
-            ).astype(np.int64)
-            total = (ca + cb).astype(np.int64)
-            union = total - inter
-            keep = inter * 1000 >= t_x1000 * union
-            jac = np.zeros(npair, dtype=np.int64)
-            nz = union > 0
-            jac[nz] = (1000 * inter[nz]) // union[nz]
-            return pa.table(
-                {
-                    "id_a": pa.array(aa[keep].astype(np.int64)),
-                    "id_b": pa.array(bb[keep].astype(np.int64)),
-                    "inter_n": pa.array(inter[keep]),
-                    "union_n": pa.array(union[keep]),
-                    "jac_x1000": pa.array(jac[keep]),
-                }
+            return _verify_pairs_csr(
+                docs,
+                offs,
+                grams_v,
+                batch["id_a"].to_numpy(),
+                batch["id_b"].to_numpy(),
+                t_x1000,
             )
 
         return pairs_ds.map_batches(
