@@ -730,12 +730,22 @@ def _empty_result(group: pa.Table, point_cols) -> pa.Table:
     return pa.table(cols)
 
 
+_HOT_KEY_GATHER_ROWS = 2_000_000
+
+
 def _find_hot_keys(p_side, threshold: int, with_counts: bool = False):
-    """Counting pre-pass: per-batch partial counts, one hash-bucketed
-    exchange (``bucketed_sum`` — the native key-sorted groupby cost
-    ~2.5 s of the 6.8 s bench join at 1M points), driver gather of keys
-    (and counts) whose point count exceeds ``threshold`` as Arrow
-    column blocks.  Output keys are NOT sorted (callers sort)."""
+    """Counting pre-pass: per-batch partial counts (one row per
+    distinct key per block), then a budget-gated final sum.
+
+    Under ``_HOT_KEY_GATHER_ROWS`` partial rows the gather streams to
+    the driver and the global sum is one ``np.unique``/``np.add.at`` —
+    NO exchange at all (measured in-suite: both Ray final-sum flavors —
+    native sort-groupby and ``bucketed_sum`` — pay 3-4 s of fixed
+    machinery at 1M bench points, where the driver sum is ~ms on ~320k
+    partial rows).  Past the cap (crawl-scale distinct-cell counts) the
+    gather aborts to one hash-bucketed ``bucketed_sum`` exchange, at
+    the documented cost of re-running the narrow upstream once.  Output
+    keys are NOT sorted (callers sort)."""
     from ..functions._buckets import bucketed_sum
     from ..functions._schema import concat_blocks
 
@@ -745,11 +755,40 @@ def _find_hot_keys(p_side, threshold: int, with_counts: bool = False):
             {"join_key": pa.array(k, pa.int64()), "n": pa.array(c, pa.int64())}
         )
 
-    partials = p_side.map_batches(
-        partial_counts, batch_format="pyarrow", batch_size=None
-    )
+    def make_partials():
+        return p_side.map_batches(
+            partial_counts, batch_format="pyarrow", batch_size=None
+        )
+
+    got: list[pa.Table] = []
+    rows = 0
+    over = False
+    for b in make_partials().iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        got.append(b)
+        rows += b.num_rows
+        if rows > _HOT_KEY_GATHER_ROWS:
+            over = True
+            got = []
+            break
+    if not over:
+        if got:
+            t = pa.concat_tables(got)
+            k = t["join_key"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            uk, inv = np.unique(k, return_inverse=True)
+            sums = np.zeros(len(uk), dtype=np.int64)
+            np.add.at(sums, inv, n)  # int64, not bincount's float64
+            sel = sums > threshold
+            keys, counts = uk[sel], sums[sel]
+        else:
+            keys = np.zeros(0, dtype=np.int64)
+            counts = np.zeros(0, dtype=np.int64)
+        return (keys, counts) if with_counts else keys
+
     schema = pa.schema([("join_key", pa.int64()), ("n", pa.int64())])
-    totals = bucketed_sum(partials, ["join_key"], ["n"], schema)
+    totals = bucketed_sum(make_partials(), ["join_key"], ["n"], schema)
 
     def _filt(b: pa.Table) -> pa.Table:
         if b.num_rows == 0 or "n" not in b.column_names:

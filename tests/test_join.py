@@ -401,3 +401,18 @@ def test_spatial_join_empty_regions(ray_session):
             pts, empty, strategy=strategy, point_cols=("doc_id",)
         ).take_all()
         assert out == [], strategy
+
+
+def test_hot_key_fallback_exchange_equals_gather(ray_session, setup, monkeypatch):
+    """Forcing the hot-key pre-count past its driver-gather budget (the
+    bucketed-exchange fallback) must not change the join result."""
+    regions, doc_id, lat, lng, expected = setup
+    monkeypatch.setattr(J, "_HOT_KEY_GATHER_ROWS", 1)
+    out = J.spatial_join(
+        _points_ds(doc_id, lat, lng),
+        regions,
+        strategy="shuffle",
+        hot_threshold=40,
+        split_delta=3,
+    )
+    assert _pairs(out) == expected
