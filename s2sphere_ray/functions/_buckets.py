@@ -65,6 +65,40 @@ def hash_buckets(keys, n_buckets: int):
     return b.astype(np.int32)
 
 
+def budgeted_sum_single_key(make_partials, key, val, *, cap=2_000_000):
+    """Budget-gated final sum over (int64 key, int64 count) partials —
+    the driver half of the ``_find_hot_keys`` idiom, shared so every
+    bounded-cardinality counting pre-pass skips its exchange.
+
+    Streams ``make_partials()`` under ``cap`` rows and hash-sums
+    driver-side (``np.unique`` + int64 ``np.add.at`` — both Ray
+    final-sum flavors pay seconds of fixed machinery where this is ms).
+    Returns ``(keys, sums)`` (key-sorted), or ``None`` past the cap —
+    the caller then runs its exchange path, re-executing the narrow
+    upstream once (the documented trade; at crawl cardinality the
+    exchange is the right shape anyway)."""
+    import numpy as np
+    import pyarrow as pa
+
+    got, rows = [], 0
+    for b in make_partials().iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        got.append(b)
+        rows += b.num_rows
+        if rows > cap:
+            return None
+    if not got:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    t = pa.concat_tables(got)
+    k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = t[val].to_numpy(zero_copy_only=False).astype(np.int64)
+    uk, inv = np.unique(k, return_inverse=True)
+    sums = np.zeros(len(uk), dtype=np.int64)
+    np.add.at(sums, inv, n)  # int64, not bincount's float64 weights
+    return uk, sums
+
+
 def sorted_lookup(values, sorted_arr):
     """(hit mask, clipped positions) of ``values`` in sorted-unique
     ``sorted_arr`` via ONE ``np.searchsorted`` — the shared

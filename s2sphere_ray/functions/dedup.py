@@ -2114,31 +2114,48 @@ def duplicated_span_strip(
             }
         )
 
-    from ._buckets import bucketed_sum
+    from ._buckets import bucketed_sum, budgeted_sum_single_key
 
-    # distinct-window-cardinality exchange (~corpus token count at crawl
-    # scale) — hash-bucketed, not key-sorted
-    agg = bucketed_sum(
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
-        ["h"],
-        ["c"],
-        pa.schema([("h", pa.int64()), ("c", pa.int64())]),
+    # Budget-gated final sum (the _find_hot_keys idiom): under the cap
+    # the global window count is a driver np.unique/np.add.at; past it
+    # (distinct windows ≈ corpus token count at crawl scale) one
+    # hash-bucketed exchange runs, re-executing the count pass once.
+    res = budgeted_sum_single_key(
+        lambda: ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        "h",
+        "c",
     )
-
-    def only_dups(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.int64())})
-        return pa.table(
-            {"h": batch["h"].filter(pc.greater_equal(batch["c"], min_count))}
+    if res is not None:
+        uk, sums = res
+        dup = uk[sums >= min_count]  # np.unique output is sorted
+    else:
+        agg = bucketed_sum(
+            ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+            ["h"],
+            ["c"],
+            pa.schema([("h", pa.int64()), ("c", pa.int64())]),
         )
 
-    from ._schema import concat_blocks
+        def only_dups(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table({"h": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "h": batch["h"].filter(
+                        pc.greater_equal(batch["c"], min_count)
+                    )
+                }
+            )
 
-    dup_tbl = concat_blocks(
-        agg.map_batches(only_dups, batch_format="pyarrow", batch_size=None),
-        pa.schema([("h", pa.int64())]),
-    )
-    dup = np.sort(dup_tbl["h"].to_numpy(zero_copy_only=False).astype(np.int64))
+        from ._schema import concat_blocks
+
+        dup_tbl = concat_blocks(
+            agg.map_batches(only_dups, batch_format="pyarrow", batch_size=None),
+            pa.schema([("h", pa.int64())]),
+        )
+        dup = np.sort(
+            dup_tbl["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
     dup_ref = _ray.put(dup)
 
     def strip(batch: pa.Table) -> pa.Table:
@@ -2148,13 +2165,9 @@ def duplicated_span_strip(
         )
         m = len(flat)
         whs = wh.view(np.int64)
-        if len(dup_s) and len(whs):
-            pos = np.searchsorted(dup_s, whs)
-            v = pos < len(dup_s)
-            is_dup = np.zeros(len(whs), dtype=bool)
-            is_dup[v] = dup_s[pos[v]] == whs[v]
-        else:
-            is_dup = np.zeros(len(whs), dtype=bool)
+        from ._buckets import sorted_lookup
+
+        is_dup, _ = sorted_lookup(whs, dup_s)
         starts = wstart[is_dup]
         delta = np.zeros(m + 1, dtype=np.int64)
         np.add.at(delta, starts, 1)

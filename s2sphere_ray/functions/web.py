@@ -1076,29 +1076,44 @@ def line_dedup(ds, text_col: str = "text", min_count: int = 2):
             }
         )
 
-    from ._buckets import bucketed_sum
+    from ._buckets import bucketed_sum, budgeted_sum_single_key
 
-    # distinct-line-cardinality exchange — bucketed, not key-sorted
-    agg = bucketed_sum(
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
-        ["h"],
-        ["n"],
-        pa.schema([("h", pa.int64()), ("n", pa.int64())]),
+    # Budget-gated final sum (the _find_hot_keys idiom): distinct-line
+    # partials are blocks × boilerplate-bounded line sets, so under the
+    # cap the global count is a driver np.unique/np.add.at and the
+    # exchange disappears; past it (crawl-scale distinct lines) one
+    # bucketed exchange runs, re-executing the narrow count pass once.
+    res = budgeted_sum_single_key(
+        lambda: ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        "h",
+        "n",
     )
+    if res is not None:
+        uk, sums = res
+        dup = uk[sums >= min_count]  # np.unique output is sorted
+    else:
+        agg = bucketed_sum(
+            ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+            ["h"],
+            ["n"],
+            pa.schema([("h", pa.int64()), ("n", pa.int64())]),
+        )
 
-    def only_dups(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return pa.table({"h": pa.array([], pa.int64())})
-        keep = pc.greater_equal(batch["n"], min_count)
-        return pa.table({"h": batch["h"].filter(keep)})
+        def only_dups(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table({"h": pa.array([], pa.int64())})
+            keep = pc.greater_equal(batch["n"], min_count)
+            return pa.table({"h": batch["h"].filter(keep)})
 
-    from ._schema import concat_blocks
+        from ._schema import concat_blocks
 
-    dup_tbl = concat_blocks(
-        agg.map_batches(only_dups, batch_format="pyarrow", batch_size=None),
-        pa.schema([("h", pa.int64())]),
-    )
-    dup = np.sort(dup_tbl["h"].to_numpy(zero_copy_only=False).astype(np.int64))
+        dup_tbl = concat_blocks(
+            agg.map_batches(only_dups, batch_format="pyarrow", batch_size=None),
+            pa.schema([("h", pa.int64())]),
+        )
+        dup = np.sort(
+            dup_tbl["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        )
     dup_ref = _ray.put(dup)
 
     def strip(batch: pa.Table) -> pa.Table:
@@ -1113,13 +1128,9 @@ def line_dedup(ds, text_col: str = "text", min_count: int = 2):
         offs = offs - offs[0]
         flat = lines.flatten()
         h = poly_hash_strings(flat).view(np.int64)
-        if len(dup_s) and len(h):
-            pos = np.searchsorted(dup_s, h)
-            valid = pos < len(dup_s)
-            is_dup = np.zeros(len(h), dtype=bool)
-            is_dup[valid] = dup_s[pos[valid]] == h[valid]
-        else:
-            is_dup = np.zeros(len(h), dtype=bool)
+        from ._buckets import sorted_lookup
+
+        is_dup, _ = sorted_lookup(h, dup_s)
         keep = ~is_dup
         n_rows = len(txt)
         per_row = np.diff(offs)

@@ -760,31 +760,15 @@ def _find_hot_keys(p_side, threshold: int, with_counts: bool = False):
             partial_counts, batch_format="pyarrow", batch_size=None
         )
 
-    got: list[pa.Table] = []
-    rows = 0
-    over = False
-    for b in make_partials().iter_batches(batch_format="pyarrow"):
-        if not b.num_rows:
-            continue
-        got.append(b)
-        rows += b.num_rows
-        if rows > _HOT_KEY_GATHER_ROWS:
-            over = True
-            got = []
-            break
-    if not over:
-        if got:
-            t = pa.concat_tables(got)
-            k = t["join_key"].to_numpy(zero_copy_only=False).astype(np.int64)
-            n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-            uk, inv = np.unique(k, return_inverse=True)
-            sums = np.zeros(len(uk), dtype=np.int64)
-            np.add.at(sums, inv, n)  # int64, not bincount's float64
-            sel = sums > threshold
-            keys, counts = uk[sel], sums[sel]
-        else:
-            keys = np.zeros(0, dtype=np.int64)
-            counts = np.zeros(0, dtype=np.int64)
+    from ..functions._buckets import budgeted_sum_single_key
+
+    res = budgeted_sum_single_key(
+        make_partials, "join_key", "n", cap=_HOT_KEY_GATHER_ROWS
+    )
+    if res is not None:
+        uk, sums = res
+        sel = sums > threshold
+        keys, counts = uk[sel], sums[sel]
         return (keys, counts) if with_counts else keys
 
     schema = pa.schema([("join_key", pa.int64()), ("n", pa.int64())])

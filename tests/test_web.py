@@ -530,3 +530,57 @@ def test_lm_models_ds_equals_separate_builders(ray_session):
         bg_s = bigram_model_ds(rd.from_arrow(tbl).repartition(parts))
         assert _sorted(uni_f, ["h"]).equals(_sorted(uni_s, ["h"]))
         assert _sorted(bg_f, ["bg"]).equals(_sorted(bg_s, ["bg"]))
+
+
+def test_line_and_span_dedup_exchange_fallback_equal(
+    ray_session, monkeypatch
+):
+    """Forcing the budget-gated count sums past their driver cap (the
+    bucketed-exchange fallback) must not change either dedup output."""
+    import ray.data as rd
+
+    from s2sphere_ray.functions.dedup import duplicated_span_strip
+    from s2sphere_ray.functions.web import line_dedup
+
+    rng = np.random.default_rng(13)
+    words = [f"w{i}" for i in range(25)]
+    texts = [
+        " ".join(rng.choice(words, size=rng.integers(8, 60)))
+        for _ in range(120)
+    ]
+    texts += texts[:20]  # planted duplicates
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(
+                [t.replace(" ", "\n", 3) for t in texts], pa.string()
+            ),
+        }
+    )
+
+    def run_both():
+        a = (
+            line_dedup(rd.from_arrow(tbl))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            duplicated_span_strip(rd.from_arrow(tbl), n=3, min_count=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        return a, b
+
+    a1, b1 = run_both()
+    import s2sphere_ray.functions._buckets as bk
+
+    monkeypatch.setattr(
+        bk, "budgeted_sum_single_key", lambda *a, **k: None
+    )
+    a2, b2 = run_both()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a1, a2)
+    pd.testing.assert_frame_equal(b1, b2)
