@@ -514,9 +514,37 @@ def minhash_lsh_pairs(
             }
         )
 
-    cand = exploded.map_batches(
-        add_bucket, batch_format="pyarrow", batch_size=None
-    ).groupby("_cb").map_groups(bucket_pairs, batch_format="pyarrow")
+    # Budget-gated candidate generation (the budgeted-sum idiom): the
+    # exploded band table is EXACTLY num_rows × bands rows of 20 B, so
+    # with a row-count hint the gate is decided up front — under the cap
+    # gather the band rows once and run ``bucket_pairs`` IN-PROCESS over
+    # the whole table (its boundaries are (band_id, band_hash) runs, so
+    # one group ≡ the global answer), skipping the band exchange AND the
+    # candidate-gather execution.  Without a hint or past the cap the
+    # exchange chain runs unchanged (never a wasted signature pass).
+    cand_tbl_direct = None
+    if (
+        verify != "none"
+        and num_rows is not None
+        and num_rows * bands <= min(gather_rows, 2_000_000)
+    ):
+        from ._schema import concat_blocks
+
+        band_tbl = concat_blocks(
+            exploded,
+            pa.schema(
+                [
+                    ("band_id", pa.int32()),
+                    ("band_hash", pa.int64()),
+                    (id_col, pa.int64()),
+                ]
+            ),
+        )
+        cand_tbl_direct = bucket_pairs(band_tbl)
+    else:
+        cand = exploded.map_batches(
+            add_bucket, batch_format="pyarrow", batch_size=None
+        ).groupby("_cb").map_groups(bucket_pairs, batch_format="pyarrow")
     if verify == "none":
         # Distributed dedupe, streamed result — nothing reaches the driver.
         # The map_groups output MUST be schema-stabilized: empty hash
@@ -540,15 +568,46 @@ def minhash_lsh_pairs(
     cand_batches = []
     gathered = 0
     over_budget = False
-    for b in cand.iter_batches(batch_format="pyarrow"):
-        if not b.num_rows:
-            continue
-        cand_batches.append(b)
-        gathered += b.num_rows
-        if gathered > gather_rows:
-            over_budget = True
-            cand_batches = []
-            break
+    if cand_tbl_direct is not None:
+        if cand_tbl_direct.num_rows > gather_rows:
+            # dup-saturated pair blowup: dedupe the (already
+            # materialized) pairs and hand them to the exchange verify,
+            # matching the streamed path's abort semantics
+            from ._schema import PAIR_SCHEMA
+
+            pair_mat = np.unique(
+                np.stack(
+                    [
+                        cand_tbl_direct["id_a"].to_numpy(),
+                        cand_tbl_direct["id_b"].to_numpy(),
+                    ],
+                    axis=1,
+                ),
+                axis=0,
+            )
+            cand_dd = rd.from_arrow(
+                pa.table(
+                    {
+                        "id_a": pa.array(pair_mat[:, 0], pa.int64()),
+                        "id_b": pa.array(pair_mat[:, 1], pa.int64()),
+                    }
+                ).cast(PAIR_SCHEMA)
+            )
+            return _lsh_exchange_verify(
+                ds, cand_dd, id_col, shingle_n, jaccard_threshold, num_rows
+            )
+        if cand_tbl_direct.num_rows:
+            cand_batches = [cand_tbl_direct]
+    else:
+        for b in cand.iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            cand_batches.append(b)
+            gathered += b.num_rows
+            if gathered > gather_rows:
+                over_budget = True
+                cand_batches = []
+                break
     if over_budget:
         from ._buckets import distinct_pairs
         from ._schema import PAIR_SCHEMA, stabilize_schema
