@@ -243,9 +243,16 @@ def connected_components(
         return rd.from_arrow(NODE_SCHEMA.empty_table())
 
     def finish_local(mds):
-        return mds.repartition(1).map_batches(
-            _local_cc_kernel, batch_format="pyarrow", batch_size=None
+        # The state is MATERIALIZED and ≤ local_threshold rows: gather
+        # it and run the kernel in-process — the repartition(1) +
+        # map_batches execution this replaces is pure fixed overhead on
+        # a single-task tail (the budgeted-sum idiom).
+        from ._schema import concat_blocks
+
+        tbl = concat_blocks(
+            mds, pa.schema([("u", pa.int64()), ("v", pa.int64())])
         )
+        return rd.from_arrow(_local_cc_kernel(tbl))
 
     if n <= local_threshold:
         return finish_local(state)
