@@ -344,6 +344,11 @@ PAGERANK_SCALE = 10**9
 # graphs this engine scores.
 PAGERANK_NODE_BUDGET = 4_000_000
 
+
+# Distinct weighted-adjacency rows below which the broadcast path's
+# iterations run driver-side (the budgeted-sum idiom).
+_PR_ADJ_GATHER_ROWS = 2_000_000
+
 # Wire schema shared by the sharded path's two per-iteration exchanges:
 # kind 0 rows are adjacency (node=src, other=dst, v1=multiplicity) or
 # dst-partials (node=dst, v1=partial sum); kind 1 rows are node state
@@ -583,6 +588,40 @@ def pagerank(
         .map_groups(combine_pairs, batch_format="pyarrow")
         .materialize()
     )
+
+    if adj.count() <= _PR_ADJ_GATHER_ROWS:
+        # The distinct weighted adjacency fits one driver gather: run
+        # every iteration in-process (the budgeted-sum idiom — each
+        # distributed iteration is a map + gather dataset execution of
+        # pure fixed overhead at this size).  Identical exact-int64
+        # recurrence, pinned vs the distributed loop by test_cc.py.
+        at = _concat_blocks(
+            adj.map_batches(
+                lambda b: (
+                    b.select(["p", "m"])
+                    if b.num_rows and "p" in b.column_names
+                    else pa.table(
+                        {
+                            "p": pa.array([], pa.int64()),
+                            "m": pa.array([], pa.int64()),
+                        }
+                    )
+                ),
+                batch_format="pyarrow",
+                batch_size=None,
+            ),
+            pa.schema([("p", pa.int64()), ("m", pa.int64())]),
+        )
+        p = at["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = at["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = p >> 32
+        dc = p & ((np.int64(1) << 32) - 1)
+        for _ in range(num_iters):
+            w = m * (rank // safe_deg).astype(np.int64)[sc]
+            sums = np.zeros(n_nodes, dtype=np.int64)
+            np.add.at(sums, dc, w)
+            rank = base + damping_num * sums // damping_den
+        return pa.table({"node": nodes, "rank": pa.array(rank)})
 
     for _ in range(num_iters):
         ref = _ray.put((rank // safe_deg).astype(np.int64))

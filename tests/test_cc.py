@@ -274,3 +274,27 @@ def test_pagerank_sharded_sink_dangling_and_empty(ray_session):
     out = pagerank(rd.from_arrow(tbl).repartition(32), node_budget=1)
     got = dict(zip(out["node"].to_pylist(), out["rank"].to_pylist()))
     assert got == exp
+
+
+def test_pagerank_driver_iterations_match_distributed(ray_session, monkeypatch):
+    """Forcing the adjacency past the driver-gather budget (distributed
+    per-iteration map+gather loop) must be bit-identical to the default
+    in-process iteration path."""
+    import ray.data as rd
+
+    import s2sphere_ray.functions.cc as cc
+
+    rng = np.random.default_rng(17)
+    n_nodes = 300
+    src = rng.integers(0, n_nodes, 4000)
+    dst = rng.integers(0, n_nodes, 4000)
+    tbl = pa.table(
+        {
+            "src": pa.array([f"d{x}" for x in src], pa.string()),
+            "dst": pa.array([f"d{x}" for x in dst], pa.string()),
+        }
+    )
+    a = cc.pagerank(rd.from_arrow(tbl), num_iters=5)
+    monkeypatch.setattr(cc, "_PR_ADJ_GATHER_ROWS", 0)
+    b = cc.pagerank(rd.from_arrow(tbl), num_iters=5)
+    assert a.sort_by("node").equals(b.sort_by("node"))
