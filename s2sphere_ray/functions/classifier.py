@@ -41,6 +41,10 @@ import pyarrow as pa
 
 _INT63 = (1 << 62)
 
+# rows × dim cells below which the perceptron trains in-process
+# (the budgeted-sum idiom); 2M int64 cells = 16 MB driver-side.
+_CLS_GATHER_CELLS = 2_000_000
+
 
 def perceptron_milli(
     ds,
@@ -144,6 +148,51 @@ def perceptron_milli(
                 f"(dim={dim}, scale={scale}, max|w|={wmax}); "
                 "lower scale or iters"
             )
+
+    # In-process epochs when the quantized matrix fits one gather (the
+    # budgeted-sum idiom): each distributed epoch is a dataset execution
+    # + a dim-keyed exchange of pure fixed overhead at small n; the
+    # per-epoch update Σ_mis y·m is a commutative int64 sum, so the
+    # driver loop is bit-identical (forced-path pytest pins it).
+    if q.count() * dim <= _CLS_GATHER_CELLS:
+        from ._schema import concat_blocks
+
+        qt = concat_blocks(
+            q,
+            pa.schema(
+                [
+                    ("vid", pa.int64()),
+                    ("label", pa.int64()),
+                    ("y", pa.int64()),
+                    ("m", pa.list_(pa.int64(), dim)),
+                ]
+            ),
+        )
+        m_all = _milli(qt)
+        y_all = qt["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        for _ in range(iters):
+            _check_bound(w)
+            s = m_all @ w
+            mis = (y_all * s) <= 0
+            if mis.any():
+                w = w + (m_all[mis] * y_all[mis, None]).sum(
+                    axis=0, dtype=np.int64
+                )
+        _check_bound(w)
+        s = m_all @ w
+        import ray.data as _rdm
+
+        return _rdm.from_arrow(
+            pa.table(
+                {
+                    "vec_id": qt["vid"],
+                    "label": qt["label"],
+                    "y": qt["y"],
+                    "score": pa.array(s.astype(np.int64)),
+                    "pred": pa.array(np.where(s > 0, 1, -1).astype(np.int64)),
+                }
+            )
+        )
 
     for _ in range(iters):
         _check_bound(w)

@@ -1605,3 +1605,35 @@ def test_vertex_latlng_vectorized_matches_scalar():
             np.testing.assert_array_almost_equal_nulp(
                 vlng[r, k], np.degrees(ll.lng), nulp=2
             )
+
+
+def test_perceptron_driver_epochs_match_distributed(ray_session, monkeypatch):
+    """Forcing the quantized matrix past the gather budget (distributed
+    per-epoch loop) must be bit-identical to the in-process epochs."""
+    import ray.data as rd
+
+    import s2sphere_ray.functions.classifier as cls
+
+    rng = np.random.default_rng(23)
+    n, d = 400, 8
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "label": pa.array(rng.integers(0, 3, n).astype(np.int64)),
+            "embedding": pa.array(
+                [list(map(float, rng.normal(size=d))) for _ in range(n)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    a = cls.perceptron_milli(rd.from_arrow(tbl), iters=4).to_pandas()
+    monkeypatch.setattr(cls, "_CLS_GATHER_CELLS", 0)
+    b = cls.perceptron_milli(
+        rd.from_arrow(tbl).repartition(5), iters=4
+    ).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True),
+    )
