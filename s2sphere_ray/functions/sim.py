@@ -320,6 +320,11 @@ def cosine_topk_lsh(
     return cosine_topk(pruned, queries, k, id_col=id_col, query_id_col=query_id_col)
 
 
+
+# rows × dim cells below which kmeans iterates in-process (the
+# budgeted-sum idiom); 2M int64 cells = 16 MB driver-side.
+_KM_GATHER_CELLS = 2_000_000
+
 def kmeans_milli(
     ds,
     k: int = 8,
@@ -396,6 +401,67 @@ def kmeans_milli(
     k_eff = len(cent)
 
     counts = np.zeros(k_eff, dtype=np.int64)
+
+    if q.count() * max(dim, 1) <= _KM_GATHER_CELLS:
+        # In-process Lloyd iterations when the quantized matrix fits one
+        # gather (the budgeted-sum idiom): each distributed iteration is
+        # a dataset execution + a (c, dim)-keyed exchange of pure fixed
+        # overhead at small n.  The global argmin/segment-sum is the
+        # identical exact-int math the per-block partials sum to
+        # (commutative int64), so the result is bit-identical (pinned
+        # by the forced-path pytest).
+        from ._schema import concat_blocks
+
+        qt = concat_blocks(
+            q,
+            pa.schema(
+                [("vid", pa.int64()), ("m", pa.list_(pa.int64(), dim))]
+            ),
+        )
+        m_all = (
+            qt["m"]
+            .combine_chunks()
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(-1, dim)
+            .astype(np.int64)
+        )
+        for _ in range(iters):
+            cross = (
+                m_all.astype(np.float64) @ cent.T.astype(np.float64)
+            ).astype(np.int64)
+            d2 = (
+                (m_all * m_all).sum(axis=1)[:, None]
+                + (cent * cent).sum(axis=1)[None, :]
+                - 2 * cross
+            )
+            assign = d2.argmin(axis=1)
+            counts = np.zeros(k_eff, dtype=np.int64)
+            new_cent = cent.copy()
+            uniq, starts, cnt = np.unique(
+                np.sort(assign, kind="stable"),
+                return_index=True,
+                return_counts=True,
+            )
+            o = np.argsort(assign, kind="stable")
+            sums = np.add.reduceat(m_all[o], starts, axis=0)
+            for i, ci in enumerate(uniq):
+                new_cent[int(ci)] = sums[i] // cnt[i]
+                counts[int(ci)] = cnt[i]
+            cent = new_cent
+        return pa.table(
+            {
+                "cluster": pa.array(
+                    np.repeat(np.arange(k_eff, dtype=np.int64), dim)
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int64), k_eff)
+                ),
+                "centroid_milli": pa.array(cent.reshape(-1)),
+                "n_vecs": pa.array(np.repeat(counts, dim)),
+            }
+        )
+
     for _ in range(iters):
         cent_ref = _ray.put(cent)
 

@@ -1637,3 +1637,27 @@ def test_perceptron_driver_epochs_match_distributed(ray_session, monkeypatch):
         a.sort_values("vec_id").reset_index(drop=True),
         b.sort_values("vec_id").reset_index(drop=True),
     )
+
+
+def test_kmeans_driver_iterations_match_distributed(ray_session, monkeypatch):
+    """Forcing kmeans past the gather budget (distributed per-iteration
+    loop) must be bit-identical to the in-process iterations."""
+    import ray.data as rd
+
+    import s2sphere_ray.functions.sim as sim
+
+    rng = np.random.default_rng(29)
+    n, d = 300, 6
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [list(map(float, rng.normal(size=d))) for _ in range(n)],
+                pa.list_(pa.float64()),
+            ),
+        }
+    )
+    a = sim.kmeans_milli(rd.from_arrow(tbl), k=5, iters=4)
+    monkeypatch.setattr(sim, "_KM_GATHER_CELLS", 0)
+    b = sim.kmeans_milli(rd.from_arrow(tbl).repartition(7), k=5, iters=4)
+    assert a.equals(b)
