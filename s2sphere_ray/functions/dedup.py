@@ -325,8 +325,22 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _mh_stage(num_hashes: int, shingle_n: int, seed: int = 42):
+    """Per-worker-process cached MinHashStage — lets the signature pass
+    run as a fused TASK map (trivial state; see minhash_lsh_pairs)."""
+    return MinHashStage(
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
+    )
+
+
 class MinHashStage:
-    """Actor stage: per-doc minhash signatures (permutations built once)."""
+    """Callable stage: per-doc minhash signatures (permutations built
+    once).  Usable as an actor-pool class (pass ``concurrency``) or via
+    the cached task path (:func:`_mh_stage`)."""
 
     def __init__(self, num_hashes: int = 64, shingle_n: int = 3, seed: int = 42):
         rng = np.random.default_rng(seed)
@@ -412,19 +426,30 @@ def minhash_lsh_pairs(
     import ray
     import ray.data as rd
 
-    from ._buckets import derive_buckets, derive_concurrency
+    from ._buckets import derive_buckets
 
-    if concurrency is None:
-        # Signature stage is CPU-bound shingling: scale pool to cluster.
-        concurrency = derive_concurrency(1.0)
     rows_per_band = num_hashes // bands
-    sigged = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs=dict(num_hashes=num_hashes, shingle_n=shingle_n),
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    if concurrency is None:
+        # Task pool, not actors: MinHashStage's state is two 8·H-byte
+        # seed arrays rebuilt in μs (cached per worker process by
+        # _mh_stage), so an actor pool buys nothing and costs pool
+        # spawn-up PLUS the fusion break between the read and the
+        # signature map.  Pass an explicit ``concurrency`` to force the
+        # actor pool (e.g. to cap parallelism).
+        sigged = ds.map_batches(
+            lambda b, _nh=num_hashes, _sn=shingle_n: _mh_stage(_nh, _sn)(b),
+            batch_format="pyarrow",
+        )
+    else:
+        sigged = ds.map_batches(
+            MinHashStage,
+            fn_constructor_kwargs=dict(
+                num_hashes=num_hashes, shingle_n=shingle_n
+            ),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            num_cpus=1,
+        )
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         sig = (
