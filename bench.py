@@ -348,6 +348,7 @@ def run_bench() -> dict:
             hot_threshold=max(10_000, BENCH_ROWS // 100),
             split_delta=3,
             point_types={"doc_id": pa.int64()},
+            num_rows=BENCH_ROWS // 4,
         ).count()
 
     timed("shuffle_join_quarter", shuffle_join)

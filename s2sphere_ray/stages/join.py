@@ -614,12 +614,26 @@ def spatial_join_shuffle(
 
     # --- optional skew split (count-adaptive, single pass) -----------------
     if hot_threshold is not None:
+        # The counting pre-pass consumes the key stream once and the join
+        # consumes it again — two executions of the narrow upstream
+        # (read+geocode+emit).  When the caller's ``num_rows`` hint bounds
+        # the emitted stream under ``_P_SIDE_MATERIALIZE_ROWS``, pin the
+        # stream in the object store ONCE so both passes share a single
+        # upstream execution (1M points × ~2 levels ≈ 100 MB — trivially
+        # plasma-resident).  Past the cap, or with no hint, keep the
+        # streaming re-execution: at 10¹² rows materializing the key
+        # stream costs tens of TB of spill, whereas re-executing the
+        # narrow upstream is a second streaming pass.  Results are
+        # identical either way (same lazy plan, pinned blocks vs
+        # recomputed blocks) — tests/test_join.py pins it.
+        if (
+            num_rows is not None
+            and num_rows * max(1, len(levels)) <= _P_SIDE_MATERIALIZE_ROWS
+        ):
+            p_side = p_side.materialize()
         # One lazy counting pre-pass over the key stream (per-block partial
         # counts → small groupby → driver take of keys above threshold).
-        # Nothing is materialized: at 10¹² rows the alternative — spilling
-        # the whole narrow key stream to the object store — costs tens of
-        # TB, whereas re-executing the narrow upstream (read+geocode+encode)
-        # once more is a second streaming pass. The split depth is chosen
+        # The split depth is chosen
         # PER KEY from its observed count (δ = split_delta ·
         # ceil(log_{4^split_delta}(count/threshold)), capped at
         # split_delta·max_split_rounds and MAX_LEVEL), so a single split
@@ -731,6 +745,10 @@ def _empty_result(group: pa.Table, point_cols) -> pa.Table:
 
 
 _HOT_KEY_GATHER_ROWS = 2_000_000
+# Emitted-key-stream rows (num_rows hint × snap levels) under which the
+# skew path materializes the narrow p_side once instead of executing the
+# upstream twice (pre-count pass + join pass).
+_P_SIDE_MATERIALIZE_ROWS = 8_000_000
 
 
 def _find_hot_keys(p_side, threshold: int, with_counts: bool = False):

@@ -82,6 +82,38 @@ def test_shuffle_skew_split_equals_brute(ray_session, setup):
     assert _pairs(out) == expected
 
 
+def test_shuffle_skew_materialized_equals_streaming(ray_session, setup):
+    """The num_rows-hinted skew path pins the key stream in the object
+    store (one upstream execution); past _P_SIDE_MATERIALIZE_ROWS, or
+    with no hint, the stream is re-executed per pass.  Both must give
+    identical pairs."""
+    regions, doc_id, lat, lng, expected = setup
+    kwargs = dict(
+        strategy="shuffle", hot_threshold=40, split_delta=3
+    )
+    hinted = J.spatial_join(
+        _points_ds(doc_id, lat, lng),
+        regions,
+        num_rows=len(doc_id),  # under the cap → materialized path
+        **kwargs,
+    )
+    assert _pairs(hinted) == expected
+    import s2sphere_ray.stages.join as join_mod
+
+    old = join_mod._P_SIDE_MATERIALIZE_ROWS
+    join_mod._P_SIDE_MATERIALIZE_ROWS = 0  # force the streaming fallback
+    try:
+        streamed = J.spatial_join(
+            _points_ds(doc_id, lat, lng),
+            regions,
+            num_rows=len(doc_id),
+            **kwargs,
+        )
+        assert _pairs(streamed) == expected
+    finally:
+        join_mod._P_SIDE_MATERIALIZE_ROWS = old
+
+
 def test_snap_levels_variation(ray_session, setup):
     # Different canonical level sets must not change results.
     regions, doc_id, lat, lng, expected = setup
