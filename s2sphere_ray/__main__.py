@@ -4,6 +4,7 @@
     python -m s2sphere_ray write --sf-dir ... --out /tmp/tiles --level 8
     python -m s2sphere_ray query q_join_rect --sf-dir ...
     python -m s2sphere_ray export-jsonl --sf-dir ... --out /tmp/docs_jsonl
+    python -m s2sphere_ray export-csv --sf-dir ... --out /tmp/docs_csv
 
 Owns its Ray session (guarded init per driver contract: library code never
 calls ray.init, only CLI/bench/test entry points do).
@@ -35,12 +36,14 @@ def main(argv=None) -> int:
     qr.add_argument("name")
     qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qr.add_argument("--limit", type=int, default=20)
-    ex = sub.add_parser(
-        "export-jsonl", help="resumable JSONL export of the documents table"
-    )
-    ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
-    ex.add_argument("--out", required=True)
-    ex.add_argument("--fingerprint", default="cli-v1")
+    for fmt in ("jsonl", "csv"):
+        ex = sub.add_parser(
+            f"export-{fmt}",
+            help=f"resumable {fmt.upper()} export of the documents table",
+        )
+        ex.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        ex.add_argument("--out", required=True)
+        ex.add_argument("--fingerprint", default="cli-v1")
     args = ap.parse_args(argv)
 
     import ray
@@ -105,17 +108,18 @@ def main(argv=None) -> int:
                     default=str,
                 )
             )
-        elif args.cmd == "export-jsonl":
+        elif args.cmd in ("export-jsonl", "export-csv"):
             import pyarrow.parquet as pq
 
-            from s2sphere_ray.sources import write_jsonl
-            from s2sphere_ray.sources.jsonl import read_manifests
+            from s2sphere_ray.sources import write_csv, write_jsonl
+            from s2sphere_ray.sources._partsink import read_manifests
 
+            writer = write_jsonl if args.cmd == "export-jsonl" else write_csv
             path = f"{args.sf_dir}/documents.parquet"
             n_hint = None
             if os.path.isfile(path):
                 n_hint = pq.ParquetFile(path).metadata.num_rows
-            write_jsonl(
+            writer(
                 rd.read_parquet(path),
                 args.out,
                 fingerprint=args.fingerprint,
@@ -125,7 +129,7 @@ def main(argv=None) -> int:
             print(
                 json.dumps(
                     {
-                        "cmd": "export-jsonl",
+                        "cmd": args.cmd,
                         "partitions": len(manifests),
                         "rows": sum(m["rows"] for m in manifests),
                         "out": args.out,

@@ -2,9 +2,11 @@
 
 Parquet is the scale format every registered pipeline reads; this
 package adds the interchange formats a web-text curation stack meets at
-its edges.  ``jsonl`` — newline-delimited JSON corpus shards — is the
-first: crawl dumps, filtered-shard hand-offs and eval sets all travel
-as JSONL.
+its edges: ``jsonl`` — newline-delimited JSON corpus shards (crawl
+dumps, filtered-shard hand-offs, eval sets) — and ``csv`` — flat
+label/metadata tables.  Both sinks share one manifested, resumable,
+id-hash-bucketed partition contract (``_partsink``).
 """
 
+from .csv import read_csv, write_csv  # noqa: F401
 from .jsonl import read_jsonl, write_jsonl  # noqa: F401

@@ -5,17 +5,10 @@ filtered shards, eval sets); Parquet stays the scale format.  This
 module lets a pipeline ingest or export the interchange form without
 leaving the engine.
 
-Sink contract (mirrors ``stages/tiles.write_tiles``): the output
-directory holds ``part-{bucket}.jsonl`` files plus
-``_manifests/{bucket}.json`` lineage manifests with
-``{partition, rows, bytes, inputs, op_fingerprint, wall_ms,
-written_at}``; a rerun with manifests present skips those partitions —
-the checkpoint/resume contract (SURVEY §4).  Rows are id-hash bucketed
-(bucket count sized from the ``num_rows`` hint at ~100k rows/part in
-[16, 4096], persisted in ``_manifests/_meta.json`` and reused by
-reruns) and id-sorted inside each part, so every part's BYTES are a
-pure function of the data — independent of input partitioning — which
-is what makes the resume skip-set safe.
+The sink uses the shared manifested, resumable, id-hash-bucketed
+partition contract (``sources/_partsink.py`` — part files +
+``_manifests/`` lineage, reruns skip finished partitions, part bytes
+are a pure function of the data).
 
 Serialization is orjson (shortest-roundtrip doubles: float64 columns
 survive write→read bit-exact; pandas ``to_json`` — Ray's stock JSON
@@ -29,26 +22,24 @@ auto-decodes).
 
 from __future__ import annotations
 
-import base64
-import json
-import math
 import os
-import time
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_META = "_meta.json"
+from ._partsink import (
+    b64_decode_batch,
+    b64_encode_columns,
+    read_manifests,  # noqa: F401  (re-exported: the sink's public API)
+    read_meta,
+    write_partitioned,
+)
 
 
 def _orjson():
     import orjson
 
     return orjson
-
-
-def _part_name(bucket: int) -> str:
-    return f"part-{bucket:05d}"
 
 
 def _check_finite(body: pa.Table) -> None:
@@ -75,6 +66,14 @@ def _check_finite(body: pa.Table) -> None:
             )
 
 
+def _binary_columns(schema) -> list[str]:
+    return [
+        n
+        for n, t in zip(schema.names, schema.types)
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t)
+    ]
+
+
 def write_jsonl(
     ds,
     out_dir: str,
@@ -89,149 +88,39 @@ def write_jsonl(
     are skipped and not re-listed).
 
     ``id_col`` must be an integer column; rows are bucketed by its hash
-    and sorted by it — with equal-id runs tie-broken by serialized bytes
-    — inside each part file, so part bytes are deterministic even for
-    duplicate ids.  ``binary="base64"`` converts binary columns to
+    and sorted by it — with equal-id runs tie-broken by canonical row
+    bytes — inside each part file, so part bytes are deterministic even
+    for duplicate ids.  ``binary="base64"`` converts binary columns to
     base64 strings and records them in the meta so ``read_jsonl``
     restores them.  Non-finite float values (NaN/±Inf) raise — JSON has
     no representation for them (orjson would silently emit ``null``).
     """
-    from ..functions._buckets import hash_buckets
-
-    man_dir = os.path.join(out_dir, "_manifests")
-    os.makedirs(man_dir, exist_ok=True)
-    meta_path = os.path.join(man_dir, _META)
-
-    schema = ds.schema()
-    b64_cols = [
-        n
-        for n, t in zip(schema.names, schema.types)
-        if pa.types.is_binary(t) or pa.types.is_large_binary(t)
-    ]
+    b64_cols = _binary_columns(ds.schema())
     if b64_cols and binary != "base64":
         raise ValueError(
             f"JSON has no binary type; columns {b64_cols} are binary. "
             'Pass binary="base64" to encode them, or write Parquet.'
         )
 
-    if os.path.exists(meta_path):
-        with open(meta_path) as fh:
-            meta = json.load(fh)
-        n_parts = int(meta["n_parts"])
-    else:
-        if num_rows is not None and num_rows > 0:
-            n_parts = min(4096, max(16, math.ceil(num_rows / 100_000)))
-        else:
-            n_parts = 64
-        meta = {"n_parts": n_parts, "b64_cols": sorted(b64_cols)}
-        tmp = meta_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, meta_path)
-
-    done = {
-        f[: -len(".json")]
-        for f in os.listdir(man_dir)
-        if f.endswith(".json") and not f.startswith("_")
-    }
-    try:
-        input_files = sorted(ds.input_files() or [])
-    except Exception:
-        input_files = []
-
-    t0 = time.time()
-
-    import numpy as np
-
-    # vectorized resume filter: bucket → still-to-write? lookup table
-    keep_tbl = np.ones(n_parts, dtype=bool)
-    for i in range(n_parts):
-        if _part_name(i) in done:
-            keep_tbl[i] = False
-
-    def tag(batch: pa.Table) -> pa.Table:
-        import numpy as np
-
-        if batch.num_rows == 0:
-            return batch.append_column("_jp", pa.array([], pa.int32()))
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = hash_buckets(ids, n_parts)
-        if done:
-            mask = keep_tbl[b]
-            batch = batch.filter(pa.array(mask))
-            b = b[mask]
-        return batch.append_column("_jp", pa.array(b, pa.int32()))
-
-    def write_part(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "partition": pa.array([], pa.string()),
-                "rows": pa.array([], pa.int64()),
-                "bytes": pa.array([], pa.int64()),
-            }
-        )
-        if group.num_rows == 0 or "_jp" not in group.column_names:
-            return empty
-        bucket = int(group["_jp"][0].as_py())
-        name = _part_name(bucket)
-        if name in done:
-            return empty
-        body = group.drop_columns(["_jp"]).sort_by(id_col)
+    def prepare(body: pa.Table) -> pa.Table:
         _check_finite(body)
-        for c in b64_cols:
-            ix = body.schema.get_field_index(c)
-            enc = pa.array(
-                [
-                    None if v is None else base64.b64encode(v).decode()
-                    for v in body[c].to_pylist()
-                ],
-                pa.string(),
-            )
-            body = body.set_column(ix, c, enc)
-        dumps = _orjson().dumps
-        lines = [dumps(r) + b"\n" for r in body.to_pylist()]
-        ids = body[id_col].to_numpy(zero_copy_only=False)
-        if len(ids) > 1 and (ids[1:] == ids[:-1]).any():
-            # duplicate ids: tie-break equal-id runs by serialized bytes
-            # so part bytes stay a pure function of the data
-            order = sorted(
-                range(len(lines)), key=lambda i: (int(ids[i]), lines[i])
-            )
-            lines = [lines[i] for i in order]
-        buf = b"".join(lines)
-        path = os.path.join(out_dir, name + ".jsonl")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as fh:
-            fh.write(buf)
-        os.replace(tmp, path)
-        manifest = {
-            "partition": name,
-            "rows": body.num_rows,
-            "bytes": len(buf),
-            "inputs": input_files,
-            "op_fingerprint": fingerprint,
-            "wall_ms": int((time.time() - t0) * 1000),
-            "written_at": time.time(),
-        }
-        mtmp = os.path.join(man_dir, name + ".json.tmp")
-        with open(mtmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(mtmp, os.path.join(man_dir, name + ".json"))
-        return pa.table(
-            {
-                "partition": pa.array([name]),
-                "rows": pa.array([body.num_rows], pa.int64()),
-                "bytes": pa.array([len(buf)], pa.int64()),
-            }
-        )
+        return b64_encode_columns(body, b64_cols)
 
-    summaries = (
-        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
-        .groupby("_jp")
-        .map_groups(write_part, batch_format="pyarrow")
-        .take_all()
+    def serialize(body: pa.Table) -> bytes:
+        dumps = _orjson().dumps
+        return b"".join(dumps(r) + b"\n" for r in body.to_pylist())
+
+    return write_partitioned(
+        ds,
+        out_dir,
+        id_col=id_col,
+        fingerprint=fingerprint,
+        num_rows=num_rows,
+        ext=".jsonl",
+        prepare=prepare,
+        serialize=serialize,
+        extra_meta={"b64_cols": sorted(b64_cols)},
     )
-    return sorted(summaries, key=lambda r: r["partition"])
 
 
 def read_jsonl(path, columns=None, schema: pa.Schema | None = None):
@@ -249,10 +138,9 @@ def read_jsonl(path, columns=None, schema: pa.Schema | None = None):
 
     b64_cols: list[str] = []
     if isinstance(path, str) and os.path.isdir(path):
-        meta_path = os.path.join(path, "_manifests", _META)
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                b64_cols = json.load(fh).get("b64_cols", [])
+        meta = read_meta(path)
+        if meta is not None:
+            b64_cols = meta.get("b64_cols", [])
         paths = sorted(
             os.path.join(path, f)
             for f in os.listdir(path)
@@ -262,7 +150,7 @@ def read_jsonl(path, columns=None, schema: pa.Schema | None = None):
             # A sink dir with meta but no parts is a legal 0-row export
             # (empty buckets write no file); surface it as a typed empty
             # Dataset when the caller gave a schema.
-            if os.path.exists(meta_path) and schema is not None:
+            if meta is not None and schema is not None:
                 fields = [
                     f
                     for f in schema
@@ -296,32 +184,9 @@ def read_jsonl(path, columns=None, schema: pa.Schema | None = None):
 
     dec = [c for c in b64_cols if columns is None or c in set(columns)]
     if dec:
-
-        def decode(batch: pa.Table) -> pa.Table:
-            for c in dec:
-                if c not in batch.column_names:
-                    continue
-                ix = batch.schema.get_field_index(c)
-                raw = pa.array(
-                    [
-                        None if v is None else base64.b64decode(v)
-                        for v in batch[c].to_pylist()
-                    ],
-                    pa.binary(),
-                )
-                batch = batch.set_column(ix, c, raw)
-            return batch
-
-        ds = ds.map_batches(decode, batch_format="pyarrow", batch_size=None)
+        ds = ds.map_batches(
+            lambda batch, _c=dec: b64_decode_batch(batch, _c),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     return ds
-
-
-def read_manifests(out_dir: str) -> list[dict]:
-    """Partition manifests written by ``write_jsonl``, partition-sorted."""
-    man_dir = os.path.join(out_dir, "_manifests")
-    out = []
-    for f in sorted(os.listdir(man_dir)):
-        if f.endswith(".json") and not f.startswith("_"):
-            with open(os.path.join(man_dir, f)) as fh:
-                out.append(json.load(fh))
-    return out
