@@ -168,14 +168,46 @@ def snap_cover_keys(cover_ids: list[int], snap_levels) -> list[int]:
     return [c.id for c in g.CellUnion(keys).cell_ids]
 
 
+# Covering is a pure function of (region table contents, max_cells), and
+# the scalar RegionCoverer costs ~1 ms/region of serial driver Python —
+# ~0.9 s for a 1000-region set, paid on EVERY join against it.  Pipelines
+# re-join different point streams against the same region set constantly
+# (the flagship's best-of-2, q_join_rect's three strategies), so the
+# driver-side path memoizes on a content hash.  FIFO-bounded like the
+# worker broadcast cache; only tables under ``ray_threshold`` rows are
+# cached (they serialize in ~100 KB — hashing is ~ms).
+_COVER_CACHE: dict = {}
+_COVER_CACHE_MAX = 8
+
+
+def _cover_cache_key(regions: pa.Table, max_cells: int) -> str:
+    import hashlib
+
+    import pyarrow.ipc as ipc
+
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, regions.schema) as w:
+        w.write_table(regions)
+    h = hashlib.sha256(sink.getvalue()).hexdigest()
+    return f"{h}:{max_cells}"
+
+
 def covers_for_regions(
     regions: pa.Table, max_cells: int = 8, ray_threshold: int = 2000
 ) -> pa.Table:
-    """Covered regions table; small tables cover driver-side, larger ones
-    through the E7 actor pool (the driver must not serialize on covering
-    a 10⁵+-region table)."""
+    """Covered regions table; small tables cover driver-side (memoized on
+    table contents), larger ones through the E7 actor pool (the driver
+    must not serialize on covering a 10⁵+-region table)."""
     if regions.num_rows <= ray_threshold:
-        return cover_table(regions, max_cells=max_cells)
+        key = _cover_cache_key(regions, max_cells)
+        hit = _COVER_CACHE.get(key)
+        if hit is not None:
+            return hit
+        out = cover_table(regions, max_cells=max_cells)
+        if len(_COVER_CACHE) >= _COVER_CACHE_MAX:
+            _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
+        _COVER_CACHE[key] = out
+        return out
     import ray.data as rd
 
     from .cover import cover_regions
