@@ -414,13 +414,32 @@ def run_bench() -> dict:
     from s2sphere_ray.queries import (
         q_dedup_exact,
         q_text_stats,
-        q_sessions,
         q_asof_orders,
     )
 
     timed("dedup_exact", lambda: q_dedup_exact(SF_DIR).count())
     timed("text_quality", lambda: q_text_stats(SF_DIR).count())
-    timed("sessions", lambda: q_sessions(SF_DIR).count())
+    # q_sessions now carries BOTH event-window ops; bench them separately
+    # so each leg stays a single-operator measurement.
+    def sessions_only():
+        from s2sphere_ray.functions.sessions import sessionize
+
+        ds = rd.read_parquet(
+            f"{SF_DIR}/events.parquet", columns=["user_id", "ts", "event_id"]
+        )
+        return sessionize(ds, gap_minutes=30, num_rows=ds.count()).count()
+
+    def window_funcs():
+        from s2sphere_ray.functions.windows import keyed_window
+
+        ds = rd.read_parquet(
+            f"{SF_DIR}/events.parquet",
+            columns=["user_id", "ts", "event_id", "value"],
+        )
+        return keyed_window(ds, num_rows=ds.count()).count()
+
+    timed("sessions", sessions_only)
+    timed("window_funcs", window_funcs)
     timed("asof_join", lambda: q_asof_orders(SF_DIR).count())
     from s2sphere_ray.queries import q_join_anti
     from s2sphere_ray.functions.quantiles import fixed_point_quantiles

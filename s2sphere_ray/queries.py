@@ -1269,16 +1269,105 @@ SQL_EVENTS_HOURLY = (
 
 
 def q_sessions(sf_dir: str):
-    """Session windows (30-min gap) per user — streaming-shaped op."""
+    """Keyed ordered windows over the events log, long format
+    (variant, user_id, k, v):
+
+    - 'session': session windows (30-min gap) per user
+      (functions/sessions.sessionize) — k = session_start epoch
+      microseconds, v = n_events;
+    - 'rn' / 'lag_milli' / 'lead_milli' / 'runsum_milli': per-event
+      window functions (functions/windows.keyed_window — ROW_NUMBER,
+      LAG, LEAD and the inclusive running SUM over
+      PARTITION BY user_id ORDER BY ts, event_id, values in exact
+      int64 milli-units) — k = event_id, v = the feature; NULL
+      lag/lead rows (first/last event of a user) are omitted.
+
+    Both ops are the same engine shape: ONE user-hash-bucketed
+    exchange, then a vectorized lexsort kernel per bucket."""
     from .functions.sessions import sessionize
+    from .functions.windows import keyed_window
 
     ds = _rd().read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
     )
-    return sessionize(ds, gap_minutes=30, num_rows=ds.count())
+    n = ds.count()
+    sess = sessionize(
+        ds.select_columns(["user_id", "ts", "event_id"]),
+        gap_minutes=30,
+        num_rows=n,
+    )
+    win = keyed_window(ds, num_rows=n)
+
+    def melt_sessions(batch: pa.Table) -> pa.Table:
+        ts = batch["session_start"]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        k = (
+            ts.to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "variant": pa.array(np.repeat("session", batch.num_rows)),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "k": pa.array(k),
+                "v": batch["n_events"].cast(pa.int64()),
+            }
+        )
+
+    def melt_windows(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy().astype(np.int64)
+        eid = batch["event_id"].to_numpy().astype(np.int64)
+        parts = []
+        for name in ("rn", "lag_milli", "lead_milli", "runsum_milli"):
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ok = (
+                ~np.asarray(col.is_null())
+                if col.null_count
+                else np.ones(len(col), dtype=bool)
+            )
+            vals = col.to_numpy(zero_copy_only=False)
+            parts.append(
+                pa.table(
+                    {
+                        "variant": pa.array(
+                            np.repeat(name, int(ok.sum()))
+                        ),
+                        "user_id": pa.array(uid[ok]),
+                        "k": pa.array(eid[ok]),
+                        "v": pa.array(vals[ok].astype(np.int64)),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return sess.map_batches(
+        melt_sessions, batch_format="pyarrow", batch_size=None
+    ).union(
+        win.map_batches(melt_windows, batch_format="pyarrow", batch_size=None)
+    )
 
 
-from .functions.sessions import SESSIONS_SQL as SQL_SESSIONS  # noqa: E402
+from .functions.sessions import SESSIONS_SQL as _SESSIONS_CORE_SQL  # noqa: E402
+from .functions.windows import WINDOW_SQL_CTE as _WINDOW_CTE  # noqa: E402
+
+SQL_SESSIONS = (
+    f"WITH core AS ({_SESSIONS_CORE_SQL}), {_WINDOW_CTE}"
+    " SELECT 'session' AS variant, user_id,"
+    " CAST(epoch_us(session_start) AS BIGINT) AS k,"
+    " CAST(n_events AS BIGINT) AS v FROM core"
+    " UNION ALL SELECT 'rn', user_id, event_id, rn FROM wfun"
+    " UNION ALL SELECT 'lag_milli', user_id, event_id, lag_milli"
+    " FROM wfun WHERE lag_milli IS NOT NULL"
+    " UNION ALL SELECT 'lead_milli', user_id, event_id, lead_milli"
+    " FROM wfun WHERE lead_milli IS NOT NULL"
+    " UNION ALL SELECT 'runsum_milli', user_id, event_id, runsum_milli"
+    " FROM wfun"
+)
 
 
 def q_embed_neardup(sf_dir: str):

@@ -1661,3 +1661,102 @@ def test_kmeans_driver_iterations_match_distributed(ray_session, monkeypatch):
     monkeypatch.setattr(sim, "_KM_GATHER_CELLS", 0)
     b = sim.kmeans_milli(rd.from_arrow(tbl).repartition(7), k=5, iters=4)
     assert a.equals(b)
+
+
+# --- keyed_window (functions/windows.py) -----------------------------------
+
+
+def _naive_window(uid, tsv, eid, val):
+    """Single-process reference: per-key ordered rn/lag/lead/runsum."""
+    import numpy as np
+
+    milli = np.floor(np.asarray(val) * 1000.0 + 0.5).astype(np.int64)
+    rows = sorted(
+        range(len(uid)), key=lambda i: (uid[i], tsv[i], eid[i])
+    )
+    out = {}
+    prev_u, rn, run, prev_i = None, 0, 0, None
+    for i in rows:
+        if uid[i] != prev_u:
+            rn, run, prev_u, prev_i = 1, int(milli[i]), uid[i], None
+        else:
+            rn += 1
+            run += int(milli[i])
+        out[eid[i]] = {
+            "rn": rn,
+            "lag": None if prev_i is None else int(milli[prev_i]),
+            "lead": None,
+            "run": run,
+        }
+        if prev_i is not None:
+            out[eid[prev_i]]["lead"] = int(milli[i])
+        prev_i = i
+    return out
+
+
+def test_keyed_window_matches_naive(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from s2sphere_ray.functions.windows import keyed_window
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    uid = rng.integers(0, 80, size=n).astype(np.int64)
+    tsv = rng.integers(0, 10_000, size=n).astype(np.int64) * 1_000_000
+    eid = rng.permutation(n).astype(np.int64)
+    val = rng.normal(0, 5, size=n)
+    # force ties: several events share a (user, ts) → eid breaks them
+    tsv[: n // 10] = tsv[0]
+    uid[: n // 10] = uid[0]
+    tbl = pa.table(
+        {
+            "user_id": pa.array(uid),
+            "ts": pa.array(tsv, pa.timestamp("us")),
+            "event_id": pa.array(eid),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    want = _naive_window(uid, tsv, eid, val)
+    got = pa.concat_tables(
+        keyed_window(
+            rd.from_arrow(tbl).repartition(9), num_rows=n
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    assert got.num_rows == n
+    lag = got["lag_milli"].to_pylist()
+    lead = got["lead_milli"].to_pylist()
+    rn = got["rn"].to_pylist()
+    run = got["runsum_milli"].to_pylist()
+    for j, e in enumerate(got["event_id"].to_pylist()):
+        w = want[e]
+        assert rn[j] == w["rn"] and run[j] == w["run"]
+        assert lag[j] == w["lag"] and lead[j] == w["lead"]
+
+
+def test_keyed_window_single_event_users(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from s2sphere_ray.functions.windows import keyed_window
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array([10, 20, 30], pa.timestamp("us")),
+            "event_id": pa.array([100, 200, 300], pa.int64()),
+            "value": pa.array([1.25, -2.5, 0.0], pa.float64()),
+        }
+    )
+    got = pa.concat_tables(
+        keyed_window(rd.from_arrow(tbl), num_rows=3).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("event_id")
+    assert got["rn"].to_pylist() == [1, 1, 1]
+    assert got["lag_milli"].to_pylist() == [None, None, None]
+    assert got["lead_milli"].to_pylist() == [None, None, None]
+    # floor(-2500 + 0.5) = -2500 — half-up via floor(x+0.5), toward -inf
+    assert got["runsum_milli"].to_pylist() == [1250, -2500, 0]
