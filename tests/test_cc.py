@@ -117,6 +117,17 @@ def test_cc_hybrid_handoff(ray_session):
     assert got == _ref_cc(pairs)
 
 
+def test_cc_contraction_gate_falls_back_to_stars(ray_session):
+    """A long chain is incompressible by local contraction (a spanning
+    forest of a chain IS the chain), so the dense-regime contraction
+    pass must fail its shrink gate and hand off to the star rounds —
+    with a threshold far below the node count, the distributed rounds
+    do the real work."""
+    pairs = [(i, i + 1) for i in range(600)]
+    got = _run(ray_session, pairs, local_threshold=50)
+    assert got == _ref_cc(pairs)
+
+
 def test_cc_output_schema_and_invariants(ray_session):
     """Every node appears exactly once; every component label is a member
     of its own component and the minimum of it; schema is typed even for
