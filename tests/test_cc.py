@@ -309,3 +309,103 @@ def test_pagerank_driver_iterations_match_distributed(ray_session, monkeypatch):
     monkeypatch.setattr(cc, "_PR_ADJ_GATHER_ROWS", 0)
     b = cc.pagerank(rd.from_arrow(tbl), num_iters=5)
     assert a.sort_by("node").equals(b.sort_by("node"))
+
+
+# --- pure-kernel fuzz (no Ray): the contraction combiner ---------------------
+
+
+def _kernel_pairs(pairs):
+    import pyarrow as pa
+
+    return pa.table(
+        {
+            "u": pa.array([a for a, _ in pairs], pa.int64()),
+            "v": pa.array([b for _, b in pairs], pa.int64()),
+        }
+    )
+
+
+def test_contract_fuzz_preserves_connectivity():
+    """_contract is the map-side combiner: for ANY block split, the union
+    of per-block contractions must reach the same components as the raw
+    edges, and each contraction must be canonical (node > component,
+    component = local min) and never larger than its input."""
+    from s2sphere_ray.functions.cc import _contract, _local_cc_kernel
+
+    rng = np.random.default_rng(99)
+    for trial in range(40):
+        n_nodes = int(rng.integers(2, 120))
+        n_edges = int(rng.integers(1, 300))
+        pairs = [
+            (int(a), int(b))
+            for a, b in zip(
+                rng.integers(0, n_nodes, n_edges),
+                rng.integers(0, n_nodes, n_edges),
+            )
+        ]
+        # arbitrary split into 1..5 blocks
+        k = int(rng.integers(1, 6))
+        cuts = sorted(rng.integers(0, n_edges + 1, k - 1).tolist())
+        blocks, lo = [], 0
+        for hi in cuts + [n_edges]:
+            blocks.append(pairs[lo:hi])
+            lo = hi
+        contracted = []
+        for blk in blocks:
+            canon = [(max(a, b), min(a, b)) for a, b in blk if a != b]
+            out = _contract(_kernel_pairs(canon))
+            node = out["u"].to_numpy(zero_copy_only=False)
+            comp = out["v"].to_numpy(zero_copy_only=False)
+            assert len(out) <= len(canon) or len(canon) == 0
+            assert (node > comp).all()  # canonical, no settled rows
+            contracted.extend(zip(node.tolist(), comp.tolist()))
+        # finishing the union of contractions == finishing the raw edges
+        got = _local_cc_kernel(_kernel_pairs(contracted))
+        want = _ref_cc(pairs)
+        assert (
+            sorted(
+                zip(
+                    got["node"].to_numpy(zero_copy_only=False).tolist(),
+                    got["component"].to_numpy(zero_copy_only=False).tolist(),
+                )
+            )
+            == want
+        )
+
+
+def test_local_kernel_fuzz_vs_union_find():
+    """_local_cc_kernel (with the settled-edge dropping) vs union-find on
+    adversarial shapes: chains, stars, cliques, random multigraphs with
+    duplicates/reversals/self-loops."""
+    from s2sphere_ray.functions.cc import _local_cc_kernel
+
+    rng = np.random.default_rng(1234)
+    shapes = []
+    shapes.append([(i, i + 1) for i in range(150)])          # chain
+    shapes.append([(0, i) for i in range(1, 80)])            # star
+    shapes.append(
+        [(i, j) for i in range(12) for j in range(i + 1, 12)]
+    )                                                        # clique
+    for _ in range(25):                                      # random
+        n = int(rng.integers(2, 200))
+        m = int(rng.integers(1, 400))
+        shapes.append(
+            [
+                (int(a), int(b))
+                for a, b in zip(
+                    rng.integers(0, n, m), rng.integers(0, n, m)
+                )
+            ]
+        )
+    for pairs in shapes:
+        canon = [(max(a, b), min(a, b)) for a, b in pairs if a != b]
+        got = _local_cc_kernel(_kernel_pairs(canon))
+        assert (
+            sorted(
+                zip(
+                    got["node"].to_numpy(zero_copy_only=False).tolist(),
+                    got["component"].to_numpy(zero_copy_only=False).tolist(),
+                )
+            )
+            == _ref_cc(pairs)
+        )
