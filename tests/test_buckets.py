@@ -143,3 +143,36 @@ def test_distinct_pairs_matches_native(ray_session, extras):
     assert sorted(tuple(r[k] for k in keys) for r in got) == sorted(
         tuple(r[k] for k in keys) for r in native
     )
+
+
+def test_triu_run_indices_matches_per_run_loop():
+    """The length-class-grouped expansion must produce exactly the same
+    PAIR SET as the naive per-run triu loop, for fuzzed run layouts
+    including empty, all-singleton, one giant run, and mixes."""
+    import numpy as np
+
+    from s2sphere_ray.functions.dedup import triu_run_indices
+
+    rng = np.random.default_rng(5)
+    layouts = [
+        np.array([], np.int64),
+        np.array([1], np.int64),
+        np.array([1, 1, 1], np.int64),
+        np.array([7], np.int64),
+        np.array([2, 3, 2, 1, 5, 3, 2], np.int64),
+    ]
+    for _ in range(30):
+        layouts.append(rng.integers(1, 9, rng.integers(1, 40)).astype(np.int64))
+    for lens in layouts:
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64) \
+            if len(lens) else np.array([], np.int64)
+        want = set()
+        for s, k in zip(starts, lens):
+            ii, jj = np.triu_indices(int(k), k=1)
+            want.update(zip((s + ii).tolist(), (s + jj).tolist()))
+        a, b = triu_run_indices(starts, lens)
+        got = set(zip(a.tolist(), b.tolist()))
+        assert got == want
+        assert len(a) == len(b) == sum(int(k * (k - 1) // 2) for k in lens)
+        if len(a):
+            assert (a < b).all()
