@@ -245,7 +245,28 @@ def ivf_topk(
     complement to :func:`cosine_topk_lsh` (recall grows with nprobe)."""
     import ray
 
-    sample_rows = embeddings_ds.limit(train_sample).take_all()
+    # Deterministic training sample: the ``train_sample`` SMALLEST-id
+    # rows.  A bare ``ds.limit(k)`` returns whichever read blocks finish
+    # first (measured: three different row sets in four identical runs),
+    # which made the trained centroids — and with them every
+    # nprobe-bounded result — run-dependent.  Per-block k-smallest
+    # partials (each ≤ k rows) feed a small distributed sort whose
+    # limit(k) IS deterministic (limit-after-sort), so the sample is a
+    # pure function of the table at any block layout.
+    def _block_smallest(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        if len(ids) > train_sample:
+            sel = np.argpartition(ids, train_sample)[:train_sample]
+            b = b.take(pa.array(np.sort(sel)))
+        return b
+
+    sample_rows = (
+        embeddings_ds.select_columns([id_col, "embedding"])
+        .map_batches(_block_smallest, batch_format="pyarrow")
+        .sort(id_col)
+        .limit(train_sample)
+        .take_all()
+    )
     sample = np.array([r["embedding"] for r in sample_rows], dtype=np.float64)
     cent = train_ivf_centroids(sample, n_centroids=n_centroids)
     q = _emb_matrix(queries).astype(np.float64)
