@@ -335,10 +335,22 @@ def run_bench() -> dict:
     timed("encode_only", lambda: read_pages_bench(columns=["doc_id"])
           .map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
           .map_batches(cell_encode, batch_format="pyarrow", batch_size=None).count())
+    def read_pages_quarter(columns=None):
+        # Deterministic quarter: the first quarter of the SORTED fragment
+        # list. A bare ``limit(N)`` takes whichever read blocks finish
+        # first (measured: three different row sets in four identical
+        # runs), making the leg's input — and its output row count —
+        # run-dependent; a pinned file slice keeps the early-stop economy
+        # of limit with a bit-stable input.
+        frags = sorted(
+            os.path.join(pages_path, f) for f in os.listdir(pages_path)
+        )
+        return rd.read_parquet(frags[: max(1, len(frags) // 4)], columns=columns)
+
     def shuffle_join():
         import pyarrow as pa
 
-        pages = read_pages_bench(columns=["doc_id"]).limit(BENCH_ROWS // 4)
+        pages = read_pages_quarter(columns=["doc_id"])
         pages = pages.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
         return spatial_join(
             pages,
@@ -360,7 +372,7 @@ def run_bench() -> dict:
 
         out_dir = "/tmp/graft_bench_tiles"
         shutil.rmtree(out_dir, ignore_errors=True)
-        pages = read_pages_bench(columns=["url", "doc_id"]).limit(BENCH_ROWS // 4)
+        pages = read_pages_quarter(columns=["url", "doc_id"])
         pages = pages.map_batches(
             geocode_batch, batch_format="pyarrow", batch_size=None
         )
