@@ -5,6 +5,7 @@
     python -m s2sphere_ray query q_join_rect --sf-dir ...
     python -m s2sphere_ray export-jsonl --sf-dir ... --out /tmp/docs_jsonl
     python -m s2sphere_ray export-csv --sf-dir ... --out /tmp/docs_csv
+    python -m s2sphere_ray export-ipc --sf-dir ... --out /tmp/docs_ipc
 
 Owns its Ray session (guarded init per driver contract: library code never
 calls ray.init, only CLI/bench/test entry points do).
@@ -36,7 +37,7 @@ def main(argv=None) -> int:
     qr.add_argument("name")
     qr.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     qr.add_argument("--limit", type=int, default=20)
-    for fmt in ("jsonl", "csv"):
+    for fmt in ("jsonl", "csv", "ipc"):
         ex = sub.add_parser(
             f"export-{fmt}",
             help=f"resumable {fmt.upper()} export of the documents table",
@@ -108,13 +109,17 @@ def main(argv=None) -> int:
                     default=str,
                 )
             )
-        elif args.cmd in ("export-jsonl", "export-csv"):
+        elif args.cmd in ("export-jsonl", "export-csv", "export-ipc"):
             import pyarrow.parquet as pq
 
-            from s2sphere_ray.sources import write_csv, write_jsonl
+            from s2sphere_ray.sources import write_csv, write_ipc, write_jsonl
             from s2sphere_ray.sources._partsink import read_manifests
 
-            writer = write_jsonl if args.cmd == "export-jsonl" else write_csv
+            writer = {
+                "export-jsonl": write_jsonl,
+                "export-csv": write_csv,
+                "export-ipc": write_ipc,
+            }[args.cmd]
             path = f"{args.sf_dir}/documents.parquet"
             n_hint = None
             if os.path.isfile(path):

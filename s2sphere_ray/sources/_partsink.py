@@ -79,6 +79,7 @@ def write_partitioned(
     prepare,
     serialize,
     extra_meta: dict | None = None,
+    row_key=None,
 ):
     """Write ``ds`` as an id-hash-partitioned directory of
     ``serialize``-encoded part files with lineage manifests; returns the
@@ -89,7 +90,9 @@ def write_partitioned(
     and id-sorted inside each part, with equal-id runs ordered by each
     row's canonical JSON serialization (computed on the ``prepare``-d
     body, so the key is format-independent and part bytes stay
-    deterministic even for duplicate ids).
+    deterministic even for duplicate ids).  Formats whose schemas JSON
+    cannot express (binary / nested — the IPC sink) pass ``row_key``, a
+    ``body -> list[bytes]`` giving each row a total-order tie-break key.
     """
     import numpy as np
 
@@ -166,9 +169,12 @@ def write_partitioned(
             # canonical JSON bytes so part bytes stay a pure function
             # of the data (orjson never emits a strict prefix of a
             # sibling row, so the key order is total)
-            import orjson
+            if row_key is not None:
+                keys = row_key(body)
+            else:
+                import orjson
 
-            keys = [orjson.dumps(r) for r in body.to_pylist()]
+                keys = [orjson.dumps(r) for r in body.to_pylist()]
             order = sorted(
                 range(len(keys)), key=lambda i: (int(ids[i]), keys[i])
             )
