@@ -30,6 +30,9 @@ _WINDOW_SCHEMA = pa.schema(
         ("lag_milli", pa.int64()),
         ("lead_milli", pa.int64()),
         ("runsum_milli", pa.int64()),
+        ("rank_milli", pa.int64()),
+        ("dense_rank_milli", pa.int64()),
+        ("movsum3_milli", pa.int64()),
     ]
 )
 
@@ -95,6 +98,30 @@ def keyed_window(
         lead_ok[-1] = False
         cs = np.cumsum(milli)
         runsum = cs - cs[start] + milli[start]
+        # moving 3-row sum (ROWS 2 PRECEDING), clipped at the key start:
+        # cs[i] - cs[lo-1] with lo = max(start, i-2); cs[-1] ≡ 0.
+        lo = np.maximum(start, idx - 2)
+        movsum3 = cs - np.where(lo > 0, cs[np.maximum(lo - 1, 0)], 0)
+        # RANK / DENSE_RANK of the value within the key (ties share a
+        # rank): a second lexsort by (key, value) over the SAME rows,
+        # run-start arithmetic on that view, scattered back through the
+        # permutation.
+        p2 = np.lexsort((milli, key))
+        k2, m2 = key[p2], milli[p2]
+        newk2 = np.empty(n, dtype=bool)
+        newk2[0] = True
+        newk2[1:] = k2[1:] != k2[:-1]
+        start2 = np.maximum.accumulate(np.where(newk2, idx, 0))
+        newv2 = newk2.copy()
+        newv2[1:] |= m2[1:] != m2[:-1]
+        run_start2 = np.maximum.accumulate(np.where(newv2, idx, 0))
+        rank2 = run_start2 - start2 + 1
+        c2 = np.cumsum(newv2)
+        dense2 = c2 - c2[start2] + 1
+        rank = np.empty(n, dtype=np.int64)
+        dense = np.empty(n, dtype=np.int64)
+        rank[p2] = rank2
+        dense[p2] = dense2
         return pa.Table.from_arrays(
             [
                 pa.array(key),
@@ -103,6 +130,9 @@ def keyed_window(
                 pa.array(lag, mask=~lag_ok),
                 pa.array(lead, mask=~lead_ok),
                 pa.array(runsum),
+                pa.array(rank),
+                pa.array(dense),
+                pa.array(movsum3),
             ],
             schema=_WINDOW_SCHEMA,
         )
@@ -124,7 +154,12 @@ WINDOW_SQL_CTE = (
     " LAG(milli) OVER win AS lag_milli,"
     " LEAD(milli) OVER win AS lead_milli,"
     " SUM(milli) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-    " ROWS UNBOUNDED PRECEDING) AS runsum_milli"
+    " ROWS UNBOUNDED PRECEDING) AS runsum_milli,"
+    " RANK() OVER vwin AS rank_milli,"
+    " DENSE_RANK() OVER vwin AS dense_rank_milli,"
+    " SUM(milli) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS movsum3_milli"
     " FROM wbase WINDOW win AS"
-    " (PARTITION BY user_id ORDER BY ts, event_id))"
+    " (PARTITION BY user_id ORDER BY ts, event_id),"
+    " vwin AS (PARTITION BY user_id ORDER BY milli))"
 )

@@ -1275,12 +1275,14 @@ def q_sessions(sf_dir: str):
     - 'session': session windows (30-min gap) per user
       (functions/sessions.sessionize) — k = session_start epoch
       microseconds, v = n_events;
-    - 'rn' / 'lag_milli' / 'lead_milli' / 'runsum_milli': per-event
+    - 'rn' / 'lag_milli' / 'lead_milli' / 'runsum_milli' /
+      'rank_milli' / 'dense_rank_milli' / 'movsum3_milli': per-event
       window functions (functions/windows.keyed_window — ROW_NUMBER,
-      LAG, LEAD and the inclusive running SUM over
-      PARTITION BY user_id ORDER BY ts, event_id, values in exact
-      int64 milli-units) — k = event_id, v = the feature; NULL
-      lag/lead rows (first/last event of a user) are omitted.
+      LAG, LEAD, inclusive running SUM and 3-row moving SUM over
+      PARTITION BY user_id ORDER BY ts, event_id, plus RANK /
+      DENSE_RANK of the value within the key; values in exact int64
+      milli-units) — k = event_id, v = the feature; NULL lag/lead
+      rows (first/last event of a user) are omitted.
 
     Both ops are the same engine shape: ONE user-hash-bucketed
     exchange, then a vectorized lexsort kernel per bucket."""
@@ -1321,7 +1323,15 @@ def q_sessions(sf_dir: str):
         uid = batch["user_id"].to_numpy().astype(np.int64)
         eid = batch["event_id"].to_numpy().astype(np.int64)
         parts = []
-        for name in ("rn", "lag_milli", "lead_milli", "runsum_milli"):
+        for name in (
+            "rn",
+            "lag_milli",
+            "lead_milli",
+            "runsum_milli",
+            "rank_milli",
+            "dense_rank_milli",
+            "movsum3_milli",
+        ):
             col = batch[name]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
@@ -1366,6 +1376,12 @@ SQL_SESSIONS = (
     " UNION ALL SELECT 'lead_milli', user_id, event_id, lead_milli"
     " FROM wfun WHERE lead_milli IS NOT NULL"
     " UNION ALL SELECT 'runsum_milli', user_id, event_id, runsum_milli"
+    " FROM wfun"
+    " UNION ALL SELECT 'rank_milli', user_id, event_id, rank_milli"
+    " FROM wfun"
+    " UNION ALL SELECT 'dense_rank_milli', user_id, event_id,"
+    " dense_rank_milli FROM wfun"
+    " UNION ALL SELECT 'movsum3_milli', user_id, event_id, movsum3_milli"
     " FROM wfun"
 )
 

@@ -1691,6 +1691,23 @@ def _naive_window(uid, tsv, eid, val):
         if prev_i is not None:
             out[eid[prev_i]]["lead"] = int(milli[i])
         prev_i = i
+    # rank / dense_rank of the value within the key; 3-row moving sum
+    # along the (ts, eid) order
+    import bisect
+
+    by_user = {}
+    for i in rows:
+        by_user.setdefault(uid[i], []).append(i)
+    for idxs in by_user.values():
+        vals = sorted(int(milli[i]) for i in idxs)
+        distinct = sorted(set(vals))
+        window = []
+        for i in idxs:
+            v = int(milli[i])
+            out[eid[i]]["rank"] = bisect.bisect_left(vals, v) + 1
+            out[eid[i]]["dense"] = bisect.bisect_left(distinct, v) + 1
+            window.append(v)
+            out[eid[i]]["mov3"] = sum(window[-3:])
     return out
 
 
@@ -1729,10 +1746,15 @@ def test_keyed_window_matches_naive(ray_session):
     lead = got["lead_milli"].to_pylist()
     rn = got["rn"].to_pylist()
     run = got["runsum_milli"].to_pylist()
+    rank = got["rank_milli"].to_pylist()
+    dense = got["dense_rank_milli"].to_pylist()
+    mov3 = got["movsum3_milli"].to_pylist()
     for j, e in enumerate(got["event_id"].to_pylist()):
         w = want[e]
         assert rn[j] == w["rn"] and run[j] == w["run"]
         assert lag[j] == w["lag"] and lead[j] == w["lead"]
+        assert rank[j] == w["rank"] and dense[j] == w["dense"]
+        assert mov3[j] == w["mov3"]
 
 
 def test_keyed_window_single_event_users(ray_session):
@@ -1758,5 +1780,8 @@ def test_keyed_window_single_event_users(ray_session):
     assert got["rn"].to_pylist() == [1, 1, 1]
     assert got["lag_milli"].to_pylist() == [None, None, None]
     assert got["lead_milli"].to_pylist() == [None, None, None]
+    assert got["rank_milli"].to_pylist() == [1, 1, 1]
+    assert got["dense_rank_milli"].to_pylist() == [1, 1, 1]
+    assert got["movsum3_milli"].to_pylist() == got["runsum_milli"].to_pylist()
     # floor(-2500 + 0.5) = -2500 — half-up via floor(x+0.5), toward -inf
     assert got["runsum_milli"].to_pylist() == [1250, -2500, 0]
