@@ -44,6 +44,18 @@ def add_tile_column(
     return ds.map_batches(_assign, batch_format="pyarrow")
 
 
+# Hint-estimated partial rows under which the tile merge gathers the
+# partials and finishes driver-side (~16 B/row × 4M ≈ 64 MB) — the
+# budgeted in-process-tail gate; above it the distributed merge runs.
+TILE_GATHER_ROWS = 4_000_000
+# ...and the floor below which it does NOT: with only ~10⁵ partial rows
+# the fused streaming plan already merges in one tiny op, and the
+# gather's driver sync costs more than it saves (interleaved probe:
+# 0.56-0.66 s streaming vs 0.62-0.72 s gathered at 5k rows; the 4M-row
+# flagship reads 0.97 the other way).
+TILE_GATHER_FLOOR = 500_000
+
+
 def tile_counts(
     ds,
     level: int,
@@ -152,7 +164,42 @@ def tile_counts(
         )
         coalesce_ok = est_partial <= final_combine_rows
     else:
+        est_partial = None
         coalesce_ok = True
+    if (
+        level <= tree_reduce_max_level
+        and est_partial is not None
+        and TILE_GATHER_FLOOR <= est_partial <= TILE_GATHER_ROWS
+    ):
+        # Budgeted in-process tail (the repo's budgeted-sum idiom): the
+        # partial rows are hint-bounded (≤16 B/row × TILE_GATHER_ROWS ≈
+        # 64 MB), so gather them ONCE and run the SAME combine+tokenize
+        # kernels driver-side — this removes the repartition exchange,
+        # the single remote combine task and the tokenize operator from
+        # the plan (each costs ~0.5-2 s of fixed streaming overhead at
+        # bench scale while the kernels run in ms).  Bit-identical by
+        # construction (same kernels, same coalesced input); the forced-
+        # path pytest pins it against the distributed merge.
+        import ray.data as rd
+
+        from ..functions._schema import concat_blocks
+
+        gathered = concat_blocks(
+            partials,
+            pa.schema(
+                [("tile_id", pa.int64())]
+                + [(c, pa.float64() if c != "n_rows" else pa.int64())
+                   for c in value_cols]
+            ),
+        )
+        merged = combine(gathered)
+        merged = merged.append_column(
+            "tile_token",
+            ck.token_array_from_cell_id(
+                merged["tile_id"].to_numpy().view(np.uint64)
+            ),
+        ).drop_columns(["tile_id"])
+        return rd.from_arrow(merged)
     if level <= tree_reduce_max_level and coalesce_ok:
         out = partials.repartition(1).map_batches(
             combine, batch_format="pyarrow", batch_size=None

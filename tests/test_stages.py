@@ -1785,3 +1785,47 @@ def test_keyed_window_single_event_users(ray_session):
     assert got["movsum3_milli"].to_pylist() == got["runsum_milli"].to_pylist()
     # floor(-2500 + 0.5) = -2500 — half-up via floor(x+0.5), toward -inf
     assert got["runsum_milli"].to_pylist() == [1250, -2500, 0]
+
+
+def test_tile_counts_gather_tail_matches_distributed(
+    ray_session, monkeypatch
+):
+    """The budgeted in-process tile merge (hint-bounded partial gather +
+    driver-side combine/tokenize) must be bit-identical to the
+    distributed repartition(1) merge — including sum columns and row
+    order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import s2sphere_ray.stages.tiles as tiles_mod
+
+    rng = np.random.default_rng(23)
+    n = 20_000
+    tbl = pa.table(
+        {
+            "lat": pa.array(rng.uniform(-80, 80, n)),
+            "lng": pa.array(rng.uniform(-179, 179, n)),
+            "w": pa.array(rng.uniform(0, 10, n)),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(13)
+
+    def run():
+        return pa.concat_tables(
+            tiles_mod.tile_counts(
+                rd.from_arrow(tbl).repartition(13),
+                5,
+                leaf_col=None,
+                sum_cols=("w",),
+                num_rows=n,
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        ).combine_chunks()
+
+    monkeypatch.setattr(tiles_mod, "TILE_GATHER_FLOOR", 0)
+    a = run()  # floor forced to 0 → gather tail
+    monkeypatch.setattr(tiles_mod, "TILE_GATHER_ROWS", 0)
+    b = run()  # forced distributed repartition(1) merge
+    assert a.schema.equals(b.schema)
+    assert a.equals(b)
+    del ds
