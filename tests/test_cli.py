@@ -67,3 +67,17 @@ def test_cli_export_csv_smoke(tmp_path):
         "export-csv", "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir
     )
     assert again["rows"] == 500 and again["partitions"] == out["partitions"]
+
+
+def test_cli_export_ipc_smoke(tmp_path):
+    out_dir = str(tmp_path / "docs_ipc")
+    out = _run_cli(
+        "export-ipc", "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir
+    )
+    assert out["cmd"] == "export-ipc"
+    assert out["rows"] == 500
+    assert out["partitions"] >= 16
+    again = _run_cli(
+        "export-ipc", "--sf-dir", "/root/testdata/sf0.001", "--out", out_dir
+    )
+    assert again["rows"] == 500 and again["partitions"] == out["partitions"]
