@@ -177,6 +177,7 @@ def snap_cover_keys(cover_ids: list[int], snap_levels) -> list[int]:
 # worker broadcast cache; only tables under ``ray_threshold`` rows are
 # cached (they serialize in ~100 KB — hashing is ~ms).
 _COVER_CACHE: dict = {}
+_KEYS_CACHE: dict = {}  # (covered-content hash, snap_levels) -> key table
 _COVER_CACHE_MAX = 8
 
 
@@ -271,6 +272,20 @@ def build_region_keys(
     """
     if covered is None:
         covered = covers_for_regions(regions, max_cells=max_cells)
+    # Pure function of (covered contents, snap_levels, max_cells) — the
+    # per-region snap loop costs ~0.25 s/1000 regions of serial driver
+    # Python and reruns on EVERY join against the same region set, so it
+    # shares the covering memo's content-hash idiom (small tables only;
+    # the key table is a few KB).
+    cache_key = None
+    if covered.num_rows <= 2000:
+        cache_key = (
+            _cover_cache_key(covered, max_cells),
+            repr(snap_levels),
+        )
+        hit = _KEYS_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
     if isinstance(snap_levels, str) and snap_levels == "auto":
         snap_levels = auto_snap_levels(covered)
     keys = []
@@ -283,7 +298,7 @@ def build_region_keys(
             idxs.append(ridx)
             levels_present.add(int(ck.level(np.array([kid], dtype=np.uint64))[0]))
     key_arr = np.array(keys, dtype=np.uint64).view(np.int64)
-    return (
+    out = (
         pa.table(
             {
                 "join_key": pa.array(key_arr, pa.int64()),
@@ -292,6 +307,11 @@ def build_region_keys(
         ),
         sorted(levels_present),
     )
+    if cache_key is not None:
+        if len(_KEYS_CACHE) >= _COVER_CACHE_MAX:
+            _KEYS_CACHE.pop(next(iter(_KEYS_CACHE)))
+        _KEYS_CACHE[cache_key] = out
+    return out
 
 
 def _empty_join_result(points_ds, point_cols):
