@@ -2118,8 +2118,14 @@ def q_webtext_quality(sf_dir: str, _vocab_budget: int | None = None):
         VOCAB_BROADCAST_BUDGET if _vocab_budget is None else _vocab_budget
     )
     # ONE tokenize pass + ONE exchange builds BOTH LM models (the
-    # separate builders each re-read the corpus).
+    # separate builders each re-read the corpus).  Each model dataset is
+    # consumed twice (the budget count, then the gather or the sharded
+    # scorer), so pin both ONCE — unmaterialized they re-ran the build
+    # exchange per consumer (measured: 12 executions per call, the model
+    # plans all twice).  Vocab-sized state: plasma-resident, spills.
     uni_model, bg_model = lm_models_ds(_docs(sf_dir, ["text"]))
+    uni_model = uni_model.materialize()
+    bg_model = bg_model.materialize()
     sharded = max(uni_model.count(), bg_model.count()) > budget
     if sharded:
         model_ref = None
