@@ -743,28 +743,83 @@ def minhash_lsh_pairs(
             }
         )
 
-    sh_rows = ds.map_batches(
-        shingle_candidates, batch_format="pyarrow"
-    ).take_all()
-    sh_map = {int(r["id"]): np.asarray(r["shingles"], np.uint64) for r in sh_rows}
-    sh_ref = ray.put(sh_map)
+    # Gather the bounded (id, shingles) map as typed Arrow blocks and
+    # broadcast it as a CSR triple (sorted ids, int64 offsets, flat
+    # values) — the per-pair python loop over a dict of arrays
+    # (np.intersect1d per pair) re-sorted both sets for every pair and
+    # was the last row-at-a-time kernel on the under-budget path.
+    from ._schema import concat_blocks
+
+    sh_tbl = concat_blocks(
+        ds.map_batches(shingle_candidates, batch_format="pyarrow"),
+        pa.schema([("id", pa.int64()), ("shingles", pa.list_(pa.uint64()))]),
+    )
+    sid = sh_tbl["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(sid)
+    sid = sid[order]
+    sets = sh_tbl["shingles"]
+    if isinstance(sets, pa.ChunkedArray):
+        sets = sets.combine_chunks()
+    sets = sets.take(pa.array(order, pa.int64()))
+    lens = (
+        pc.list_value_length(sets)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    flat = sets.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    sh_ref = ray.put((sid, offs, flat))
+
+    def _range_gather(pos, offs, flat):
+        # rows pos of a CSR → (concatenated values, per-row lengths)
+        lens = offs[pos + 1] - offs[pos]
+        total = int(lens.sum())
+        starts = np.repeat(offs[pos], lens)
+        excl = (
+            np.concatenate(([0], np.cumsum(lens)[:-1]))
+            if len(lens)
+            else np.zeros(0, np.int64)
+        )
+        intra = np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
+        return flat[starts + intra], lens
 
     def verify(batch: pa.Table) -> pa.Table:
-        smap = ray.get(sh_ref)
-        ia = batch["id_a"].to_numpy()
-        ib = batch["id_b"].to_numpy()
-        jac = np.empty(len(ia), dtype=np.float64)
-        for k in range(len(ia)):
-            sa = smap[int(ia[k])]
-            sb = smap[int(ib[k])]
-            inter = np.intersect1d(sa, sb).size
-            union = sa.size + sb.size - inter
-            jac[k] = inter / union if union else 1.0
+        from ._buckets import sorted_lookup
+
+        csid, coffs, cflat = _get_broadcast(sh_ref)
+        ia = batch["id_a"].to_numpy().astype(np.int64)
+        ib = batch["id_b"].to_numpy().astype(np.int64)
+        hit_a, pos_a = sorted_lookup(ia, csid)
+        hit_b, pos_b = sorted_lookup(ib, csid)
+        if not (hit_a.all() and hit_b.all()):
+            raise ValueError(
+                "lsh verify: candidate id missing from the corpus"
+            )
+        n = len(ia)
+        va, la = _range_gather(pos_a, coffs, cflat)
+        vb, lb = _range_gather(pos_b, coffs, cflat)
+        # run-of-2 intersection count over the pair-tagged sorted-unique
+        # sets — the same kernel as the exchange verify's verify_group
+        pcode = np.concatenate(
+            [
+                np.repeat(np.arange(n, dtype=np.int64), la),
+                np.repeat(np.arange(n, dtype=np.int64), lb),
+            ]
+        )
+        vals = np.concatenate([va, vb])
+        vorder = np.lexsort((vals, pcode))
+        vals, pcode = vals[vorder], pcode[vorder]
+        inter = np.zeros(n, np.int64)
+        if len(vals) > 1:
+            dup = (pcode[1:] == pcode[:-1]) & (vals[1:] == vals[:-1])
+            np.add.at(inter, pcode[1:][dup], 1)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = jac >= jaccard_threshold
         return pa.table(
             {
-                "id_a": pa.array(ia[keep].astype(np.int64)),
-                "id_b": pa.array(ib[keep].astype(np.int64)),
+                "id_a": pa.array(ia[keep]),
+                "id_b": pa.array(ib[keep]),
                 "jaccard": pa.array(jac[keep]),
             }
         )
