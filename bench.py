@@ -50,6 +50,31 @@ def _mix64(x):
     return z ^ (z >> np.uint64(31))
 
 
+def _tiles_checksum(tiles_ds) -> str:
+    """Order-insensitive 64-bit fingerprint of the flagship result
+    (tile_token, n_rows): XOR over rows of mix64(cell_id) ^ mix64(n_rows
+    + odd const).  ``--scaling`` asserts the lo- and hi-parallelism legs
+    produced IDENTICAL output, not just a wall-clock ratio.  Computed
+    OUTSIDE the timed region (one extra untimed pipeline pass)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from s2sphere_ray import cells as ck
+
+    def part(batch: pa.Table) -> pa.Table:
+        t = ck.token_to_cell_id_array(batch["tile_token"])
+        n = batch["n_rows"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _mix64(t) ^ _mix64(n + np.uint64(0x9E37))
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"x": pa.array([int(x)], pa.uint64())})
+
+    acc = 0
+    for r in tiles_ds.map_batches(part, batch_format="pyarrow").take_all():
+        acc ^= int(r["x"])
+    return f"{acc:016x}"
+
+
 def _heavy_docs_path(n_docs: int) -> str:
     """Near-dup corpus: clusters of 3 docs share a 40-word base (30k-word
     vocabulary), two of the three carry a 1-word mutation — realistic
@@ -280,7 +305,7 @@ def run_bench() -> dict:
     def read_pages_bench(columns=None):
         return rd.read_parquet(pages_path, columns=columns)
 
-    def headline():
+    def build_tiles():
         # Pure input_hint shape: geocode parses the page id from the url.
         pages = read_pages_bench(columns=["url"])
         pages = pages.map_batches(geocode_batch, batch_format="pyarrow", batch_size=None)
@@ -291,8 +316,10 @@ def run_bench() -> dict:
             strategy="broadcast",
             point_cols=("doc_id", "cell_id"),
         )
-        tiles = tile_counts(joined, 8, num_rows=BENCH_ROWS)
-        return tiles.count()
+        return tile_counts(joined, 8, num_rows=BENCH_ROWS)
+
+    def headline():
+        return build_tiles().count()
 
     # Best-of-2 for the headline: box-level noise on this VM swings ±50%
     # between runs (BASELINE.md "variance" note); the min of two
@@ -309,6 +336,8 @@ def run_bench() -> dict:
     queries["flagship"] = min(run_a, run_b)
     headline_sec = queries["flagship"]
     flagship_runs = [run_a, run_b]
+    # Untimed output fingerprint for --scaling's cross-leg equality gate.
+    tiles_checksum = _tiles_checksum(build_tiles())
 
     # --- operator micro-benches (skipped for scaling legs: the scaling
     # metric is flagship throughput; the full suite would triple each
@@ -327,6 +356,7 @@ def run_bench() -> dict:
             "flagship_runs": flagship_runs,
             "calibration_sec": calibration_sec,
             "n_tiles": n_tiles,
+            "tiles_checksum": tiles_checksum,
             "total_sec": total,
         }
         ray.shutdown()
@@ -541,6 +571,7 @@ def run_bench() -> dict:
         "flagship_runs": flagship_runs,
         "calibration_sec": calibration_sec,
         "n_tiles": n_tiles,
+        "tiles_checksum": tiles_checksum,
         "total_sec": total,
     }
     ray.shutdown()
@@ -606,7 +637,25 @@ def run_scaling(pipeline: str = "flagship") -> dict:
     r_hi = min(legs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    # Cross-parallelism OUTPUT equality: every leg must produce the
+    # identical result, not just a throughput ratio (flagship: 64-bit
+    # (tile_token, n_rows) checksum + tile count; heavy legs: exact
+    # result row count — their outputs are deterministic counts/pairs).
+    out_keys = [
+        k
+        for k in ("tiles_checksum", "n_tiles", "result_rows")
+        if k in legs_lo[0]
+    ]
+    outputs = {
+        k: sorted({str(r.get(k)) for r in legs_lo + legs_hi})
+        for k in out_keys
+    }
+    output_match = all(len(v) == 1 for v in outputs.values())
+    if not output_match:
+        print(f"[bench] OUTPUT MISMATCH across legs: {outputs}", file=sys.stderr)
     return {
+        "output_match": output_match,
+        "outputs": {k: v[0] if len(v) == 1 else v for k, v in outputs.items()},
         "metric": "scaling_efficiency",
         "pipeline": pipeline,
         "value": round(eff, 3),
