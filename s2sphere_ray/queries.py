@@ -496,34 +496,59 @@ def knn_base(sf_dir: str):
     return out.select_columns(["query_id", "rank", "doc_id"])
 
 
+# Within-radius variant parameters: ~637 km discs over the supplier
+# query set — nonzero hits at every sf (sf0.001: 10 pairs) without
+# blowing up near the hot cities (rank cap bounds per-query output).
+WITHIN_RADIUS_RAD = 0.1
+WITHIN_K = 20
+
+
 def q_knn(sf_dir: str):
     """Exact kNN through BOTH E11 paths — brute-force and cell-ring-pruned
-    — tagged and unioned against one oracle (identical rows required).
-    Consolidates the former q_knn / q_knn_pruned registry rows."""
-    from .stages.knn import knn_points_pruned
+    — plus the E11b within-radius distance join (every point within 0.1 rad
+    of each query, ranked, capped at 20/query), tagged and unioned against
+    one oracle (identical rows required). Consolidates the former
+    q_knn / q_knn_pruned registry rows."""
+    from .stages.knn import knn_points_pruned, within_radius_join
 
     pruned = knn_points_pruned(
         _points(sf_dir), _knn_queries(sf_dir), k=5, level=6
     ).select_columns(["query_id", "rank", "doc_id"])
-    return _tag_ds(knn_base(sf_dir), "method", "brute").union(
-        _tag_ds(pruned, "method", "pruned")
+    within = within_radius_join(
+        _points(sf_dir), _knn_queries(sf_dir), WITHIN_RADIUS_RAD, WITHIN_K
+    ).select_columns(["query_id", "rank", "doc_id"])
+    return (
+        _tag_ds(knn_base(sf_dir), "method", "brute")
+        .union(_tag_ds(pruned, "method", "pruned"))
+        .union(_tag_ds(within, "method", "within"))
     )
 
 
-_SQL_KNN_ONE = (
+_SQL_KNN_D = (
     f"WITH {_POINTS_CTE}, q AS (SELECT CAST(s_suppkey AS BIGINT) AS query_id,"
     " CAST((s_suppkey*7919)%140-70 AS DOUBLE) AS qlat,"
     " CAST((s_suppkey*104729)%360-180 AS DOUBLE) AS qlng FROM supplier),"
     " d AS (SELECT q.query_id, p.doc_id, "
     + CAP_DIST_SQL.format(lat="p.lat", lng="p.lng", alat="q.qlat", alng="q.qlng")
     + " AS dist FROM q CROSS JOIN points p)"
-    " SELECT query_id, rank, doc_id FROM (SELECT query_id, doc_id,"
+)
+_SQL_KNN_ONE = (
+    _SQL_KNN_D
+    + " SELECT query_id, rank, doc_id FROM (SELECT query_id, doc_id,"
     " ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank"
     " FROM d) t WHERE rank <= 5"
+)
+# WHERE before the window: rank numbers only the within-radius hits.
+_SQL_KNN_WITHIN = (
+    _SQL_KNN_D
+    + " SELECT query_id, rank, doc_id FROM (SELECT query_id, doc_id,"
+    " ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, doc_id) AS rank"
+    f" FROM d WHERE dist <= {WITHIN_RADIUS_RAD!r}) t WHERE rank <= {WITHIN_K}"
 )
 SQL_KNN = (
     f"SELECT query_id, rank, doc_id, 'brute' AS method FROM ({_SQL_KNN_ONE})"
     f" UNION ALL SELECT query_id, rank, doc_id, 'pruned' FROM ({_SQL_KNN_ONE})"
+    f" UNION ALL SELECT query_id, rank, doc_id, 'within' FROM ({_SQL_KNN_WITHIN})"
 )
 
 

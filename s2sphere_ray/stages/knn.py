@@ -246,6 +246,122 @@ def knn_points_pruned(
     return ok_ds.union(brute)
 
 
+def within_radius_join(
+    points_ds,
+    queries: pa.Table,
+    radius_rad: float,
+    k: int,
+    point_id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+    query_id_col: str = "query_id",
+    level: int | None = None,
+):
+    """E11b — within-radius distance join (the classic spatial θ-join):
+    every corpus point within ``radius_rad`` of each query point, ranked
+    by (distance, point id asc) and capped at ``k`` rows per query.
+    → Dataset(query_id, rank, <point_id_col>, dist_rad); exact.
+
+    Exactness by construction (no fallback needed, unlike the kNN ring
+    heuristic): each query disc is covered by a fixed-``level``
+    ``RegionCoverer.get_simple_covering`` of its Cap — a covering
+    CONTAINS its region, so a corpus point whose level-``level`` ancestor
+    is outside the union of covers is provably outside every disc.  Per
+    corpus batch: one vectorized ancestor + sorted-membership filter,
+    one (B′,Q) haversine (same op order as the oracle SQL), pairs
+    emitted where d ≤ radius.  A tiny ``groupby(query_id)`` ranks and
+    caps — shuffle volume is the hit pairs only, never the corpus.
+    When the candidate set covers most of the level (dense benchmark
+    query sets), the filter is skipped — it can't prune.
+
+    Scale: queries broadcast once via ``ray.put`` (the same Q ≪ corpus
+    assumption as :func:`knn_points`); for large Q build covers through
+    the E7 actor pool (``stages.join.covers_for_regions``) and run the
+    E9 cell-token shuffle join instead.  ``level`` defaults to the
+    MIN_WIDTH guarantee bound for ``radius_rad`` — the covering keeps
+    the result exact for ANY level, the default just balances covering
+    cost against filter selectivity.
+    """
+    import ray
+
+    from .. import geometry as g
+
+    if level is None:
+        level = g.MIN_WIDTH.get_max_level(radius_rad)
+    q_id = queries[query_id_col].to_numpy()
+    q_lat = queries["lat"].to_numpy()
+    q_lng = queries["lng"].to_numpy()
+    cand: set = set()
+    for la, ln in zip(q_lat, q_lng):
+        axis = g.LatLng.from_degrees(float(la), float(ln)).to_point()
+        cap = g.Cap.from_axis_angle(axis, radius_rad)
+        cand.update(
+            c.id for c in g.RegionCoverer.get_simple_covering(cap, axis, level)
+        )
+    cand_cells = np.fromiter(cand, dtype=np.uint64, count=len(cand))
+    cand_cells.sort()
+    # A candidate set spanning most of the level can't prune — skip the
+    # per-batch membership test entirely (empty sentinel = no filter).
+    if len(cand_cells) > 0.5 * 6 * 4**level:
+        cand_cells = np.zeros(0, np.uint64)
+    ref = ray.put((cand_cells, q_id, q_lat, q_lng))
+    radius = float(radius_rad)
+
+    def partial_pairs(batch: pa.Table) -> pa.Table:
+        cells, qids, qlat, qlng = ray.get(ref)
+        lat = _np(batch[lat_col])
+        lng = _np(batch[lng_col])
+        pid = _np(batch[point_id_col])
+        if len(cells):
+            anc = ck.parent(ck.cell_id_from_latlng(lat, lng), level)
+            from ..functions._buckets import sorted_lookup
+
+            keep, _ = sorted_lookup(anc, cells)
+            lat, lng, pid = lat[keep], lng[keep], pid[keep]
+        if not len(lat):
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    point_id_col: pa.array([], pa.int64()),
+                    "dist_rad": pa.array([], pa.float64()),
+                }
+            )
+        d = _haversine_oracle(
+            lat[:, None], lng[:, None], qlat[None, :], qlng[None, :]
+        )
+        bi, qi = np.nonzero(d <= radius)
+        return pa.table(
+            {
+                "query_id": pa.array(qids[qi], pa.int64()),
+                point_id_col: pa.array(pid[bi]),
+                "dist_rad": pa.array(d[bi, qi], pa.float64()),
+            }
+        )
+
+    partials = points_ds.map_batches(
+        partial_pairs, batch_format="pyarrow", batch_size=None
+    )
+
+    def rank_cap(group: pa.Table) -> pa.Table:
+        dd = group["dist_rad"].to_numpy()
+        pid = group[point_id_col].to_numpy()
+        order = np.lexsort((pid, dd))[:k]  # (dist, id asc) tie rule
+        return pa.table(
+            {
+                "query_id": group["query_id"].take(pa.array(order)),
+                "rank": pa.array(
+                    np.arange(1, len(order) + 1, dtype=np.int64)
+                ),
+                point_id_col: group[point_id_col].take(pa.array(order)),
+                "dist_rad": group["dist_rad"].take(pa.array(order)),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(
+        rank_cap, batch_format="pyarrow"
+    )
+
+
 def knn_cell_candidates(
     query_lat: np.ndarray, query_lng: np.ndarray, level: int, rings: int = 1
 ) -> np.ndarray:

@@ -340,6 +340,45 @@ def test_write_tiles_resume(ray_session, tmp_path):
     assert ds.count() == 500
 
 
+def test_within_radius_join_matches_brute(ray_session):
+    """E11b radius join equals the local brute force through BOTH batch
+    paths: a small radius (fine cover level — the candidate-cell filter
+    is active) and a large radius (cover spans the level — the filter is
+    skipped), including rank capping and the (dist, id) tie rule."""
+    import ray.data as rd
+    from s2sphere_ray.pages import geocode_from_doc_id
+    from s2sphere_ray.stages.join import _haversine_oracle
+    from s2sphere_ray.stages.knn import within_radius_join
+
+    doc_id = np.arange(20000, dtype=np.int64)
+    lat, lng = geocode_from_doc_id(doc_id)
+    ds = rd.from_arrow(pa.table({"doc_id": doc_id, "lat": lat, "lng": lng}))
+    queries = pa.table(
+        {
+            "query_id": pa.array([0, 1, 2, 3], pa.int64()),
+            # two dense (hot-city) queries, two sparse ones
+            "lat": pa.array([48.85, 40.71, -60.0, 5.0]),
+            "lng": pa.array([2.35, -74.0, 100.0, -170.0]),
+        }
+    )
+    for radius, k in ((0.01, 50), (0.3, 10)):
+        got = sorted(
+            (r["query_id"], r["rank"], r["doc_id"])
+            for r in within_radius_join(ds, queries, radius, k).take_all()
+        )
+        want = []
+        for q in range(4):
+            d = _haversine_oracle(
+                lat, lng, queries["lat"][q].as_py(), queries["lng"][q].as_py()
+            )
+            hit = np.flatnonzero(d <= radius)
+            order = hit[np.lexsort((doc_id[hit], d[hit]))][:k]
+            want.extend(
+                (q, i + 1, int(doc_id[order[i]])) for i in range(len(order))
+            )
+        assert got == sorted(want), radius
+
+
 def test_knn_pruned_equals_brute(ray_session):
     import ray.data as rd
     from s2sphere_ray.pages import geocode_from_doc_id
