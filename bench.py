@@ -450,6 +450,21 @@ def run_bench() -> dict:
     timed("cover_1k_regions", cover_1k)
     timed("tile_counts", lambda: tile_counts_base(SF_DIR).count())
     timed("knn", lambda: knn_base(SF_DIR).count())
+
+    def within_join():
+        from s2sphere_ray.queries import (
+            WITHIN_K,
+            WITHIN_RADIUS_RAD,
+            _knn_queries,
+            _points,
+        )
+        from s2sphere_ray.stages.knn import within_radius_join
+
+        return within_radius_join(
+            _points(SF_DIR), _knn_queries(SF_DIR), WITHIN_RADIUS_RAD, WITHIN_K
+        ).count()
+
+    timed("within_join", within_join)
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())
     timed("simsearch", lambda: simsearch_base(SF_DIR).count())
     timed("minhash", lambda: minhash_pairs_base(SF_DIR).count())
