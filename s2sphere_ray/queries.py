@@ -506,22 +506,28 @@ WITHIN_K = 20
 def q_knn(sf_dir: str):
     """Exact kNN through BOTH E11 paths — brute-force and cell-ring-pruned
     — plus the E11b within-radius distance join (every point within 0.1 rad
-    of each query, ranked, capped at 20/query), tagged and unioned against
-    one oracle (identical rows required). Consolidates the former
+    of each query, ranked, capped at 20/query) through BOTH its strategies
+    (broadcast + cell-partitioned shuffle), tagged and unioned against one
+    oracle (identical rows required). Consolidates the former
     q_knn / q_knn_pruned registry rows."""
     from .stages.knn import knn_points_pruned, within_radius_join
 
     pruned = knn_points_pruned(
         _points(sf_dir), _knn_queries(sf_dir), k=5, level=6
     ).select_columns(["query_id", "rank", "doc_id"])
-    within = within_radius_join(
-        _points(sf_dir), _knn_queries(sf_dir), WITHIN_RADIUS_RAD, WITHIN_K
-    ).select_columns(["query_id", "rank", "doc_id"])
-    return (
-        _tag_ds(knn_base(sf_dir), "method", "brute")
-        .union(_tag_ds(pruned, "method", "pruned"))
-        .union(_tag_ds(within, "method", "within"))
+    out = _tag_ds(knn_base(sf_dir), "method", "brute").union(
+        _tag_ds(pruned, "method", "pruned")
     )
+    for strategy in ("broadcast", "shuffle"):
+        within = within_radius_join(
+            _points(sf_dir),
+            _knn_queries(sf_dir),
+            WITHIN_RADIUS_RAD,
+            WITHIN_K,
+            strategy=strategy,
+        ).select_columns(["query_id", "rank", "doc_id"])
+        out = out.union(_tag_ds(within, "method", f"within_{strategy}"))
+    return out
 
 
 _SQL_KNN_D = (
@@ -548,7 +554,10 @@ _SQL_KNN_WITHIN = (
 SQL_KNN = (
     f"SELECT query_id, rank, doc_id, 'brute' AS method FROM ({_SQL_KNN_ONE})"
     f" UNION ALL SELECT query_id, rank, doc_id, 'pruned' FROM ({_SQL_KNN_ONE})"
-    f" UNION ALL SELECT query_id, rank, doc_id, 'within' FROM ({_SQL_KNN_WITHIN})"
+    " UNION ALL SELECT query_id, rank, doc_id, 'within_broadcast'"
+    f" FROM ({_SQL_KNN_WITHIN})"
+    " UNION ALL SELECT query_id, rank, doc_id, 'within_shuffle'"
+    f" FROM ({_SQL_KNN_WITHIN})"
 )
 
 

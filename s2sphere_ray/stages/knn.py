@@ -256,6 +256,7 @@ def within_radius_join(
     lng_col: str = "lng",
     query_id_col: str = "query_id",
     level: int | None = None,
+    strategy: str = "broadcast",
 ):
     """E11b — within-radius distance join (the classic spatial θ-join):
     every corpus point within ``radius_rad`` of each query point, ranked
@@ -274,18 +275,45 @@ def within_radius_join(
     When the candidate set covers most of the level (dense benchmark
     query sets), the filter is skipped — it can't prune.
 
-    Scale: queries broadcast once via ``ray.put`` (the same Q ≪ corpus
-    assumption as :func:`knn_points`); for large Q build covers through
-    the E7 actor pool (``stages.join.covers_for_regions``) and run the
-    E9 cell-token shuffle join instead.  ``level`` defaults to the
-    MIN_WIDTH guarantee bound for ``radius_rad`` — the covering keeps
-    the result exact for ANY level, the default just balances covering
-    cost against filter selectivity.
+    Scale: ``strategy="broadcast"`` (default) broadcasts the queries
+    once via ``ray.put`` (the same Q ≪ corpus assumption as
+    :func:`knn_points`).  ``strategy="shuffle"`` is the both-sides-large
+    path: each side emits candidate-cell keys (queries: their cover
+    cells; points: their unique level-``level`` ancestor) and ONE
+    ``groupby(cell)`` computes in-cell distances — a pair meets in
+    exactly one cell, so no pair dedup is needed and per-group memory is
+    O(points-in-cell × queries-covering-cell).  Hot cells (dense cities
+    × many overlapping discs) are split by using a finer ``level`` —
+    coverings keep any level exact.  ``level`` defaults to the
+    MIN_WIDTH guarantee bound for ``radius_rad`` (broadcast) / two
+    below it (shuffle, smaller groups); the covering keeps the result
+    exact for ANY level, the default just balances covering cost
+    against selectivity.
     """
     import ray
 
     from .. import geometry as g
 
+    if strategy == "shuffle":
+        return _within_radius_shuffle(
+            points_ds,
+            queries,
+            radius_rad,
+            k,
+            point_id_col=point_id_col,
+            lat_col=lat_col,
+            lng_col=lng_col,
+            query_id_col=query_id_col,
+            level=(
+                level
+                if level is not None
+                else min(
+                    g.MAX_LEVEL, g.MIN_WIDTH.get_max_level(radius_rad) + 2
+                )
+            ),
+        )
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy: {strategy!r}")
     if level is None:
         level = g.MIN_WIDTH.get_max_level(radius_rad)
     q_id = queries[query_id_col].to_numpy()
@@ -341,6 +369,12 @@ def within_radius_join(
     partials = points_ds.map_batches(
         partial_pairs, batch_format="pyarrow", batch_size=None
     )
+    return _rank_cap_groupby(partials, k, point_id_col)
+
+
+def _rank_cap_groupby(partials, k: int, point_id_col: str):
+    """(query_id, id, dist_rad) hit pairs → per-query (dist, id asc)
+    rank, capped at ``k`` — the shared merge of both E11b strategies."""
 
     def rank_cap(group: pa.Table) -> pa.Table:
         dd = group["dist_rad"].to_numpy()
@@ -360,6 +394,119 @@ def within_radius_join(
     return partials.groupby("query_id").map_groups(
         rank_cap, batch_format="pyarrow"
     )
+
+
+def _within_radius_shuffle(
+    points_ds,
+    queries: pa.Table,
+    radius_rad: float,
+    k: int,
+    *,
+    point_id_col: str,
+    lat_col: str,
+    lng_col: str,
+    query_id_col: str,
+    level: int,
+):
+    """E11b shuffle strategy — both sides large.  Queries emit one row
+    per cover cell (small side, built driver-side), points one row per
+    unique level-``level`` ancestor; a single ``groupby(cell)`` computes
+    in-cell distances.  A matching pair meets in EXACTLY one cell (the
+    point's ancestor is unique and, because the cover contains the disc,
+    it is among the query's cover cells whenever d ≤ r), so no pair
+    dedup is needed.  Integer point/query ids (cast to int64 on the
+    wire) — the two sides share one union schema."""
+    import ray.data as rd
+
+    from .. import geometry as g
+
+    q_id = queries[query_id_col].to_numpy().astype(np.int64)
+    q_lat = queries["lat"].to_numpy().astype(np.float64)
+    q_lng = queries["lng"].to_numpy().astype(np.float64)
+    cells_per_q = []
+    for la, ln in zip(q_lat, q_lng):
+        axis = g.LatLng.from_degrees(float(la), float(ln)).to_point()
+        cap = g.Cap.from_axis_angle(axis, radius_rad)
+        cells_per_q.append(
+            np.fromiter(
+                (
+                    c.id
+                    for c in g.RegionCoverer.get_simple_covering(
+                        cap, axis, level
+                    )
+                ),
+                dtype=np.uint64,
+            )
+        )
+    counts = np.array([len(c) for c in cells_per_q], dtype=np.int64)
+    cell_flat = (
+        np.concatenate(cells_per_q)
+        if cells_per_q
+        else np.zeros(0, np.uint64)
+    )
+    rep = np.repeat(np.arange(len(q_id)), counts)
+    q_side = pa.table(
+        {
+            "cell": pa.array(cell_flat.view(np.int64), pa.int64()),
+            "side": pa.array(np.ones(len(rep), np.int8)),
+            "gid": pa.array(q_id[rep], pa.int64()),
+            "lat": pa.array(q_lat[rep], pa.float64()),
+            "lng": pa.array(q_lng[rep], pa.float64()),
+        }
+    )
+    radius = float(radius_rad)
+
+    def emit_points(batch: pa.Table) -> pa.Table:
+        lat = _np(batch[lat_col]).astype(np.float64)
+        lng = _np(batch[lng_col]).astype(np.float64)
+        pid = _np(batch[point_id_col]).astype(np.int64)
+        anc = ck.parent(ck.cell_id_from_latlng(lat, lng), level)
+        return pa.table(
+            {
+                "cell": pa.array(anc.view(np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(pid), np.int8)),
+                "gid": pa.array(pid, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lng": pa.array(lng, pa.float64()),
+            }
+        )
+
+    both = points_ds.map_batches(
+        emit_points, batch_format="pyarrow", batch_size=None
+    ).union(rd.from_arrow(q_side))
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        lat = group["lat"].to_numpy(zero_copy_only=False)
+        lng = group["lng"].to_numpy(zero_copy_only=False)
+        gid = group["gid"].to_numpy(zero_copy_only=False)
+        pm = side == 0
+        qm = ~pm
+        if not pm.any() or not qm.any():
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    point_id_col: pa.array([], pa.int64()),
+                    "dist_rad": pa.array([], pa.float64()),
+                }
+            )
+        d = _haversine_oracle(
+            lat[pm][:, None], lng[pm][:, None],
+            lat[qm][None, :], lng[qm][None, :],
+        )
+        bi, qi = np.nonzero(d <= radius)
+        return pa.table(
+            {
+                "query_id": pa.array(gid[qm][qi], pa.int64()),
+                point_id_col: pa.array(gid[pm][bi], pa.int64()),
+                "dist_rad": pa.array(d[bi, qi], pa.float64()),
+            }
+        )
+
+    partials = both.groupby("cell").map_groups(
+        group_pairs, batch_format="pyarrow"
+    )
+    return _rank_cap_groupby(partials, k, point_id_col)
 
 
 def knn_cell_candidates(

@@ -362,10 +362,6 @@ def test_within_radius_join_matches_brute(ray_session):
         }
     )
     for radius, k in ((0.01, 50), (0.3, 10)):
-        got = sorted(
-            (r["query_id"], r["rank"], r["doc_id"])
-            for r in within_radius_join(ds, queries, radius, k).take_all()
-        )
         want = []
         for q in range(4):
             d = _haversine_oracle(
@@ -376,7 +372,15 @@ def test_within_radius_join_matches_brute(ray_session):
             want.extend(
                 (q, i + 1, int(doc_id[order[i]])) for i in range(len(order))
             )
-        assert got == sorted(want), radius
+        want.sort()
+        for strategy in ("broadcast", "shuffle"):
+            got = sorted(
+                (r["query_id"], r["rank"], r["doc_id"])
+                for r in within_radius_join(
+                    ds, queries, radius, k, strategy=strategy
+                ).take_all()
+            )
+            assert got == want, (radius, strategy)
 
 
 def test_knn_pruned_equals_brute(ray_session):
