@@ -451,7 +451,7 @@ def run_bench() -> dict:
     timed("tile_counts", lambda: tile_counts_base(SF_DIR).count())
     timed("knn", lambda: knn_base(SF_DIR).count())
 
-    def within_join():
+    def within_join(strategy):
         from s2sphere_ray.queries import (
             WITHIN_K,
             WITHIN_RADIUS_RAD,
@@ -461,10 +461,15 @@ def run_bench() -> dict:
         from s2sphere_ray.stages.knn import within_radius_join
 
         return within_radius_join(
-            _points(SF_DIR), _knn_queries(SF_DIR), WITHIN_RADIUS_RAD, WITHIN_K
+            _points(SF_DIR),
+            _knn_queries(SF_DIR),
+            WITHIN_RADIUS_RAD,
+            WITHIN_K,
+            strategy=strategy,
         ).count()
 
-    timed("within_join", within_join)
+    timed("within_join", lambda: within_join("broadcast"))
+    timed("within_join_shuffle", lambda: within_join("shuffle"))
     timed("pricing", lambda: q_pricing_summary(SF_DIR).count())
     timed("simsearch", lambda: simsearch_base(SF_DIR).count())
     timed("minhash", lambda: minhash_pairs_base(SF_DIR).count())
