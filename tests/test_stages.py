@@ -381,6 +381,19 @@ def test_within_radius_join_matches_brute(ray_session):
                 ).take_all()
             )
             assert got == want, (radius, strategy)
+    # Degenerate regimes: an empty query set and a radius with no hits
+    # both yield an empty result through both strategies, no errors.
+    empty_q = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "lat": pa.array([], pa.float64()),
+            "lng": pa.array([], pa.float64()),
+        }
+    )
+    one_q = queries.slice(0, 1)
+    for strategy in ("broadcast", "shuffle"):
+        assert within_radius_join(ds, empty_q, 0.1, 5, strategy=strategy).count() == 0
+        assert within_radius_join(ds, one_q, 1e-12, 5, strategy=strategy).count() == 0
 
 
 def test_knn_pruned_equals_brute(ray_session):
